@@ -1,0 +1,137 @@
+"""ISO WKB encode/decode (little-endian) — the geometry wire format.
+
+Geometry columns are BinaryType WKB, exactly how the reference ships
+geometry through its Arrow interface (ogr/ogrsf_frmts/generic/
+ogrlayerarrow.cpp: geometry as a WKB binary Arrow column). Supported
+types (ogr/ogr_core.h:422-556 subset): Point(1), LineString(2),
+Polygon(3), MultiPoint(4), MultiLineString(5), MultiPolygon(6),
+GeometryCollection(7), with the 0x80000000 Z flag tolerated on parse.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+POINT, LINESTRING, POLYGON, MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, COLLECTION = (
+    1, 2, 3, 4, 5, 6, 7,
+)
+
+_HDR = struct.Struct("<BI")
+_PT = struct.Struct("<BI2d")
+
+
+def points_to_wkb(x, y) -> list[bytes]:
+    """Vectorized point WKB: one (N,21) uint8 buffer, sliced to bytes."""
+    x = np.asarray(x, dtype="<f8")
+    y = np.asarray(y, dtype="<f8")
+    n = x.shape[0]
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, 0] = 1  # little endian
+    buf[:, 1:5] = np.array([1, 0, 0, 0], dtype=np.uint8)
+    buf[:, 5:13] = x.view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = y.view(np.uint8).reshape(n, 8)
+    raw = buf.tobytes()
+    return [raw[i * 21 : (i + 1) * 21] for i in range(n)]
+
+
+def wkb_points_to_xy(wkbs) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized point-WKB decode: join + single frombuffer."""
+    blob = b"".join(wkbs)
+    n = len(blob) // 21
+    a = np.frombuffer(blob, dtype=np.uint8).reshape(n, 21)
+    x = a[:, 5:13].copy().view("<f8").ravel()
+    y = a[:, 13:21].copy().view("<f8").ravel()
+    return x, y
+
+
+def linestring_to_wkb(coords: np.ndarray) -> bytes:
+    coords = np.ascontiguousarray(coords, dtype="<f8")
+    return _HDR.pack(1, LINESTRING) + struct.pack("<I", len(coords)) + coords.tobytes()
+
+
+def polygon_to_wkb(rings: list[np.ndarray]) -> bytes:
+    """rings[0] = exterior (closed or not — closed on write), rest holes."""
+    out = [_HDR.pack(1, POLYGON), struct.pack("<I", len(rings))]
+    for r in rings:
+        r = np.asarray(r, dtype="<f8")
+        if len(r) == 0 or not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        out.append(struct.pack("<I", len(r)))
+        out.append(np.ascontiguousarray(r).tobytes())
+    return b"".join(out)
+
+
+def multipolygon_to_wkb(polys: list[list[np.ndarray]]) -> bytes:
+    out = [_HDR.pack(1, MULTIPOLYGON), struct.pack("<I", len(polys))]
+    for rings in polys:
+        out.append(polygon_to_wkb(rings))
+    return b"".join(out)
+
+
+def _rd_u32(buf, off, little):
+    return struct.unpack_from("<I" if little else ">I", buf, off)[0], off + 4
+
+
+def _parse_one(buf: bytes, off: int):
+    little = buf[off] == 1
+    off += 1
+    gtype, off = _rd_u32(buf, off, little)
+    has_z = bool(gtype & 0x80000000) or (2500 <= (gtype % 0x80000000) < 4000)
+    base = gtype & 0xFF
+    if base > 100:  # ISO Z types 1001..1007
+        base = base % 100 if base % 1000 < 100 else base
+    base = (gtype % 1000) if gtype < 0x80000000 else ((gtype & 0x7FFFFFFF) % 1000)
+    dim = 3 if has_z else 2
+    fmt = ("<" if little else ">") + "d"
+
+    def rd_coords(n, off):
+        nb = n * dim * 8
+        arr = np.frombuffer(buf, dtype=("<f8" if little else ">f8"), count=n * dim,
+                            offset=off).reshape(n, dim)[:, :2]
+        return np.asarray(arr, dtype=np.float64), off + nb
+
+    if base == POINT:
+        c, off = rd_coords(1, off)
+        return (POINT, c), off
+    if base == LINESTRING:
+        n, off = _rd_u32(buf, off, little)
+        c, off = rd_coords(n, off)
+        return (LINESTRING, c), off
+    if base == POLYGON:
+        nr, off = _rd_u32(buf, off, little)
+        rings = []
+        for _ in range(nr):
+            n, off = _rd_u32(buf, off, little)
+            c, off = rd_coords(n, off)
+            rings.append(c)
+        return (POLYGON, rings), off
+    if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, COLLECTION):
+        ng, off = _rd_u32(buf, off, little)
+        parts = []
+        for _ in range(ng):
+            g, off = _parse_one(buf, off)
+            parts.append(g)
+        return (base, parts), off
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def parse_wkb(buf: bytes):
+    """→ (type, payload). Point/LineString: (t, coords(N,2));
+    Polygon: (t, [ring(N,2), ...]); Multi*/Collection: (t, [children])."""
+    g, _ = _parse_one(buf, 0)
+    return g
+
+
+def polygon_rings(buf: bytes) -> list[np.ndarray]:
+    """All rings of a Polygon or MultiPolygon WKB (flattened)."""
+    t, payload = parse_wkb(buf)
+    if t == POLYGON:
+        return payload
+    if t == MULTIPOLYGON:
+        rings = []
+        for (_, rs) in payload:
+            rings.extend(rs)
+        return rings
+    raise ValueError(f"expected (Multi)Polygon, got type {t}")

@@ -1,0 +1,90 @@
+"""Cell-index goldens: tile math pinned to GDAL's GlobalMercator
+(gdal2tiles.py:315-505), S2 invariants, Hilbert locality."""
+
+import numpy as np
+
+from gdal_spark.cellindex import (
+    hilbert_code,
+    lonlat_to_tile,
+    quadkey,
+    parent_tile,
+    lonlat_to_cell,
+    cell_parent,
+    cell_level,
+    cell_to_lonlat,
+)
+from gdal_spark.cellindex.s2 import cell_range
+from gdal_spark.cellindex.tile import tile_bounds_3857, lonlat_to_meters
+
+
+def test_tile_goldens():
+    # NYC at z12: x=1205 y=1540 (standard slippy-map values)
+    tx, ty = lonlat_to_tile(np.array([-74.0060]), np.array([40.7128]), 12)
+    assert (tx[0], ty[0]) == (1205, 1540)
+    # Sydney z10 (lon>0, lat<0 quadrant)
+    tx, ty = lonlat_to_tile(np.array([151.2093]), np.array([-33.8688]), 10)
+    assert (tx[0], ty[0]) == (942, 614)
+    # z0 is always (0,0)
+    tx, ty = lonlat_to_tile(np.array([123.0]), np.array([-45.0]), 0)
+    assert (tx[0], ty[0]) == (0, 0)
+
+
+def test_mercator_roundtrip_constants():
+    mx, my = lonlat_to_meters(np.array([180.0]), np.array([0.0]))
+    assert abs(mx[0] - 20037508.342789244) < 1e-6
+    assert abs(my[0]) < 1e-6
+
+
+def test_tile_bounds_contain_point():
+    lon, lat = np.array([2.3522]), np.array([48.8566])
+    tx, ty = lonlat_to_tile(lon, lat, 11)
+    minx, miny, maxx, maxy = tile_bounds_3857(tx, ty, 11)
+    mx, my = lonlat_to_meters(lon, lat)
+    assert minx[0] <= mx[0] <= maxx[0]
+    assert miny[0] <= my[0] <= maxy[0]
+
+
+def test_quadkey_parent_prefix():
+    tx, ty = np.array([1205]), np.array([1540])
+    k12 = quadkey(tx, ty, 12)
+    px, py = parent_tile(tx, ty)
+    k11 = quadkey(px, py, 11)
+    # parent quadkey is the child's with the last bit-pair dropped
+    assert k12[0] >> 2 == k11[0]
+
+
+def test_s2_roundtrip_and_hierarchy():
+    rng = np.random.default_rng(42)
+    lons = rng.uniform(-179.9, 179.9, 500)
+    lats = rng.uniform(-84.9, 84.9, 500)
+    for lev in (4, 9, 13, 30):
+        c = lonlat_to_cell(lons, lats, lev)
+        assert np.all(cell_level(c) == lev)
+        clon, clat = cell_to_lonlat(c)
+        assert np.array_equal(lonlat_to_cell(clon, clat, lev), c)
+    c30 = lonlat_to_cell(lons, lats, 30)
+    c9 = lonlat_to_cell(lons, lats, 9)
+    assert np.array_equal(cell_parent(c30, 9), c9)
+    lo, hi = cell_range(c9)
+    u30 = c30.astype(np.uint64)
+    assert np.all((u30 >= lo.astype(np.uint64)) & (u30 <= hi.astype(np.uint64)))
+
+
+def test_s2_locality():
+    # two points 10 m apart share the level-12 cell almost always;
+    # use a known in-cell pair
+    a = lonlat_to_cell(np.array([-74.0, -74.00005]), np.array([40.7, 40.70005]), 10)
+    assert a[0] == a[1]
+
+
+def test_hilbert_locality_beats_row_major():
+    # hilbert: consecutive codes are spatially adjacent
+    n = 32
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    x = (gx.ravel() + 0.5) / n
+    y = (gy.ravel() + 0.5) / n
+    h = hilbert_code(x, y, 0, 0, 1, 1, order=5)
+    assert len(np.unique(h)) == n * n
+    order = np.argsort(h)
+    dx = np.abs(np.diff(x[order])) + np.abs(np.diff(y[order]))
+    assert np.max(dx) <= 1.0 / n + 1e-9  # every hilbert step is one cell

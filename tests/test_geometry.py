@@ -1,0 +1,107 @@
+"""Geometry kernels: WKB roundtrip, ray-cast PIP (incl. holes), measures,
+packed R-tree correctness vs brute force."""
+
+import numpy as np
+
+from gdal_spark.geometry import (
+    PackedRTree,
+    parse_wkb,
+    points_in_rings,
+    points_to_wkb,
+    polygon_to_wkb,
+    ring_area,
+    wkb_points_to_xy,
+)
+from gdal_spark.geometry.kernels import (
+    haversine_m,
+    polygon_area,
+    ring_centroid,
+    ring_length,
+)
+from gdal_spark.geometry.wkb import (
+    POLYGON,
+    POINT,
+    MULTIPOLYGON,
+    linestring_to_wkb,
+    multipolygon_to_wkb,
+    polygon_rings,
+)
+
+SQUARE = np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], dtype=float)
+HOLE = np.array([(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)], dtype=float)
+
+
+def test_wkb_point_roundtrip():
+    xs = np.array([1.5, -74.006, 180.0])
+    ys = np.array([2.5, 40.7128, -85.0])
+    wkbs = points_to_wkb(xs, ys)
+    assert all(len(b) == 21 for b in wkbs)
+    x2, y2 = wkb_points_to_xy(wkbs)
+    assert np.array_equal(xs, x2) and np.array_equal(ys, y2)
+    t, c = parse_wkb(wkbs[1])
+    assert t == POINT and c[0][0] == -74.006
+
+
+def test_wkb_polygon_roundtrip():
+    wkb = polygon_to_wkb([SQUARE, HOLE])
+    t, rings = parse_wkb(wkb)
+    assert t == POLYGON and len(rings) == 2
+    assert np.array_equal(rings[0], SQUARE)
+    mp = multipolygon_to_wkb([[SQUARE], [HOLE]])
+    t, parts = parse_wkb(mp)
+    assert t == MULTIPOLYGON and len(parts) == 2
+    assert len(polygon_rings(mp)) == 2
+
+
+def test_pip_square_with_hole():
+    px = np.array([2.0, 0.5, 2.0, 5.0, -1.0, 3.5])
+    py = np.array([2.0, 0.5, 1.5, 2.0, 2.0, 3.5])
+    inside = points_in_rings(px, py, [SQUARE, HOLE])
+    # (2,2) is in the hole; (0.5,0.5) in; (2,1.5) in (below hole edge y=1?
+    # hole spans y 1..3 x 1..3 → (2,1.5) is IN the hole); (3.5,3.5) in ring
+    assert inside.tolist() == [False, True, False, False, False, True]
+
+
+def test_pip_concave():
+    # concave "L" polygon
+    L = np.array([(0, 0), (4, 0), (4, 1), (1, 1), (1, 4), (0, 4), (0, 0)], float)
+    px = np.array([0.5, 2.0, 2.0, 0.5])
+    py = np.array([0.5, 0.5, 2.0, 3.9])
+    assert points_in_rings(px, py, [L]).tolist() == [True, True, False, True]
+
+
+def test_measures():
+    assert ring_area(SQUARE) == 16.0
+    assert polygon_area([SQUARE, HOLE]) == 12.0
+    assert ring_length(SQUARE) == 16.0
+    cx, cy = ring_centroid([SQUARE])
+    assert (cx, cy) == (2.0, 2.0)
+    # haversine: 1 deg of latitude ≈ 111.19 km on R=6371008.8
+    d = haversine_m(np.array([0.0]), np.array([0.0]), np.array([1.0]), np.array([0.0]))
+    assert abs(d[0] - 111195.0) < 100
+
+
+def test_rtree_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    boxes = rng.uniform(0, 100, (300, 2))
+    boxes = np.column_stack([boxes, boxes + rng.uniform(0.5, 10, (300, 2))])
+    tree = PackedRTree(boxes)
+    px = rng.uniform(0, 110, 1000)
+    py = rng.uniform(0, 110, 1000)
+    q, item = tree.query_points(px, py)
+    got = set(zip(q.tolist(), item.tolist()))
+    want = set()
+    for i in range(len(boxes)):
+        m = (px >= boxes[i, 0]) & (px <= boxes[i, 2]) & (py >= boxes[i, 1]) & (py <= boxes[i, 3])
+        for qi in np.nonzero(m)[0]:
+            want.add((int(qi), i))
+    assert got == want
+
+
+def test_rtree_box_query():
+    boxes = np.array([[0, 0, 1, 1], [5, 5, 6, 6], [0.5, 0.5, 5.5, 5.5]])
+    tree = PackedRTree(boxes)
+    q, item = tree.query_boxes(
+        np.array([0.9]), np.array([0.9]), np.array([1.2]), np.array([1.2])
+    )
+    assert set(item.tolist()) == {0, 2}

@@ -1,0 +1,64 @@
+"""Spatial join: strategy equivalence + semantics pinned to the
+reference's filter/refine contract (ogrlayer.cpp:3981-4048, 5361)."""
+
+import numpy as np
+
+from gdal_spark import tables
+from gdal_spark.operators.spatial_join import (
+    broadcast_pip_join,
+    cell_pip_join,
+    polygon_cell_cover,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_strategies_identical(spark):
+    gp = tables.geo_pages(spark, SF_SMOKE).selectExpr("url", "lat", "lon")
+    polys = tables.polygons_local()
+    a = broadcast_pip_join(gp, polys).select("url", "polygon_id")
+    b = cell_pip_join(gp, polys).select("url", "polygon_id")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() > 0
+
+
+def test_left_join_keeps_unmatched(spark):
+    gp = tables.geo_pages(spark, SF_SMOKE).selectExpr("url", "lat", "lon")
+    polys = tables.polygons_local()
+    inner = broadcast_pip_join(gp, polys)
+    left = broadcast_pip_join(gp, polys, how="left")
+    n_pages = gp.count()
+    matched_pages = inner.select("url").distinct().count()
+    assert left.where("polygon_id is null").count() == n_pages - matched_pages
+    assert left.count() == inner.count() + (n_pages - matched_pages)
+
+
+def test_multi_match_duplicates_rows(spark):
+    # 25 polygons over 20 cities → 5 cities have two concentric octagons;
+    # pages near those centers must match both (Intersection semantics:
+    # one output row per overlapping pair, ogrlayer.cpp:5361).
+    gp = tables.geo_pages(spark, SF_SMOKE).selectExpr("url", "lat", "lon")
+    j = broadcast_pip_join(gp, tables.polygons_local())
+    dup = j.groupBy("url").count().where("count > 1").count()
+    assert dup > 0
+
+
+def test_cover_contains_polygon_tiles(spark):
+    polys = tables.polygons_local()[:3]
+    cover = polygon_cell_cover(polys, 7)
+    assert len(cover) >= 3
+    ids = {pid for _, pid in cover}
+    assert ids == {p["polygon_id"] for p in polys}
+
+
+def test_pip_matches_sql_oracle_rowcount(spark):
+    # engine vs pure-SQL ray-cast evaluated by Spark itself — an
+    # in-process replica of the DuckDB oracle check
+    from gdal_spark import portable
+
+    tables.register_views(spark, SF_SMOKE)
+    oracle = spark.sql(portable.pip_join_sql("spark"))
+    gp = tables.geo_pages(spark, SF_SMOKE).selectExpr("url", "lat", "lon")
+    eng = broadcast_pip_join(gp, tables.polygons_local()).select("url", "polygon_id")
+    assert eng.exceptAll(oracle).count() == 0
+    assert oracle.exceptAll(eng).count() == 0
