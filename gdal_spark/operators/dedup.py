@@ -1,0 +1,180 @@
+"""Deduplication & text-analysis operators for web-scale corpora.
+
+All operators are DataFrame-level compositions of built-in functions
+(split/explode/window/groupBy) — JVM-side, whole-stage-codegen'd, zero
+Python in the hot path. The portable 60-bit md5 hash
+(gdal_spark.portable.hash64) makes every derived value bit-identical to
+the DuckDB oracle.
+
+Scale notes (100 TB):
+- tokens/shingles explode fan-out is map-local (no shuffle until the
+  aggregation); minhash's groupBy(min) is partially aggregated map-side,
+  so the shuffle carries only (doc, perm, min) per partition — ~16 rows
+  per doc, not per token.
+- candidate pairs join on the band key; hot buckets (boilerplate docs)
+  are AQE-skew-split. Exact-Jaccard verification joins only candidate
+  docs' shingle sets (semi-join pushdown), never all pairs.
+- the whole pipeline is 3 shuffles: minhash agg, band self-join,
+  jaccard agg — independent of corpus size per-doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gdal_spark.portable import hash64
+
+H64 = lambda e: F.expr(hash64(e, "spark"))  # noqa: E731
+
+
+def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, pos, w) — whitespace tokens with position."""
+    return df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
+    )
+
+
+def shingles(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) — distinct k-word shingles per document."""
+    t = tokens(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, k)]
+    sh = t.select(
+        id_col, F.concat_ws(" ", *parts).alias("shingle"), *[
+            F.lead("w", k - 1).over(w).alias("_last")
+        ]
+    ).where(F.col("_last").isNotNull())
+    return sh.select(id_col, "shingle").distinct()
+
+
+def minhash(
+    sh: DataFrame, num_perm: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, perm, mh) MinHash signature rows. mh_i = min over shingles of
+    hash64(i || '|' || shingle). groupBy(min) is map-side combined."""
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    e = sh.select(id_col, "shingle", perms)
+    mh = H64("concat(cast(perm as string), '|', shingle)")
+    return e.groupBy(id_col, "perm").agg(F.min(mh).alias("mh"))
+
+
+def band_keys(
+    mh: DataFrame, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, sig) LSH band signatures. sig is an order-independent
+    combine (sum of hash64(perm||':'||mh)) so it needs no sort."""
+    piece = H64("concat(cast(perm as string), ':', cast(mh as string))")
+    return (
+        mh.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.sum(piece).alias("sig"))
+    )
+
+
+def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_a, id_b) distinct pairs sharing ≥1 LSH band bucket."""
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("sig")
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("band"), F.col("sig")
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_a, id_b, jaccard) exact n-gram Jaccard for given pairs."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → minhash → LSH bands →
+    candidate pairs → exact-Jaccard verify → threshold."""
+    sh = shingles(df, k, id_col, text_col)
+    bands = band_keys(minhash(sh, num_perm, id_col), rows_per_band, id_col)
+    cand = candidate_pairs(bands, id_col)
+    jac = jaccard_pairs(sh, cand, id_col)
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — `bits`-bit SimHash over token multiset. Each token
+    votes ±count on each bit of its hash64; bit set if the sum > 0."""
+    t = (
+        tokens(df, id_col, text_col)
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", H64("w"))
+    )
+    b = t.select(
+        id_col,
+        "cnt",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    )
+    vote = F.when(F.expr("shiftright(h, b) % 2 = 1"), F.col("cnt")).otherwise(
+        -F.col("cnt")
+    )
+    per_bit = b.groupBy(id_col, "b").agg(F.sum(vote).alias("v"))
+    contrib = F.when(
+        F.col("v") > 0, F.expr("cast(shiftleft(1, b) as bigint)")
+    ).otherwise(F.lit(0))
+    return per_bit.groupBy(id_col).agg(F.sum(contrib).alias("simhash"))
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text —
+    (kept_id = min id, group_size). Hash-groupBy, map-side combined."""
+    return (
+        df.select(id_col, H64(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count("*").alias("group_size"),
+        )
+    )

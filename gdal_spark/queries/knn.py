@@ -1,0 +1,59 @@
+"""kNN queries — k nearest polygon centers per page.
+
+The reference has no generic kNN operator; its nearest-neighbor search
+lives inside gridding (quadtree radius search, alg/gdalgrid.cpp:256-384).
+Our engine's kNN contract: candidates via cell/tile-ring expansion (or a
+broadcast of the target layer when it is small, as here — 25 targets),
+exact haversine re-rank with
+row_number() over (partition by query order by dist) <= k  (SURVEY §2.3).
+
+Both sides evaluate the identical haversine expression; distances are
+rounded after ranking, so the compare is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gdal_spark import portable, tables
+
+K = 3
+
+
+def _targets_cte(dialect: str) -> str:
+    """(polygon_id, t_lat, t_lon) — octagon centers = city centers."""
+    city = "cast((n_nationkey) % 20 as int)"
+    return (
+        f"select cast(n_nationkey as bigint) as polygon_id, "
+        f"{portable.case_city(city, 0)} as t_lat, "
+        f"{portable.case_city(city, 1)} as t_lon "
+        f"from nation"
+    )
+
+
+def _knn_sql(dialect: str) -> str:
+    dist = portable.haversine_sql("g.lat", "g.lon", "t.t_lat", "t.t_lon")
+    return f"""
+    with g as ({portable.geo_pages_cte(dialect)}),
+    t as ({_targets_cte(dialect)}),
+    ranked as (
+        select g.url, t.polygon_id, {dist} as dist,
+               row_number() over (partition by g.url
+                                  order by {dist} asc, t.polygon_id asc) as rnk
+        from g cross join t
+    )
+    select url, rnk, polygon_id, round(dist, 4) as dist_m
+    from ranked where rnk <= {K}
+    """
+
+
+def _knn_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-kNN: the 25-row target layer is broadcast by Catalyst
+    (cross join under autoBroadcastJoinThreshold); the window re-rank
+    shuffles only (url, k) candidate rows."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_knn_sql("spark"))
+
+
+QUERIES = {"knn_centers": _knn_centers}
+ORACLES = {"knn_centers": _knn_sql("duckdb")}

@@ -1,0 +1,236 @@
+"""OGR-SQL-dialect parity layer (SURVEY §2.2, §2.4, §2.6, §2.7).
+
+The reference's SQL engine (swq) supports exactly:
+  WHERE ops  — OR AND NOT = <> >= <= < > LIKE ILIKE IS NULL IN BETWEEN
+               + - * / % CONCAT SUBSTR HSTORE_GET_VALUE CAST
+               (registry ogr/swq_op_registrar.cpp:28-61, enum
+               ogr/ogr_swq.h:44-79, eval ogr/swq_op_general.cpp:380-1130)
+  aggregates — whole-table AVG MIN MAX COUNT SUM STDDEV_POP STDDEV_SAMP
+               COUNT(DISTINCT) — no GROUP BY in the dialect
+               (ogr/ogr_swq.h:436-507, accumulation ogr/swq.cpp:324-560)
+  DISTINCT   — single-column value list (ogr/swq.cpp:388-418)
+  ORDER BY   — multi-key, NULLs first (ogr_gensql.cpp:2470-2600)
+  LIMIT/OFFSET (ogr_gensql.cpp:605-655)
+  UNION ALL  — chained selects (ogr/swq_parser.y:840)
+  JOIN       — equi-join, LEFT-JOIN-take-first-match semantics even when
+               written as inner JOIN (ogr_gensql.cpp:1507-1537)
+
+Everything here is stock Catalyst (predicate pushdown, column pruning,
+codegen — SURVEY §4); only the first-match join rule needs an explicit
+dedup. LIKE is case-sensitive and ILIKE insensitive in Spark, DuckDB and
+the reference alike (pinned by autotest/ogr/ogr_sql_test.py:329-376).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gdal_spark import tables
+
+
+def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    tables.register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+# --- WHERE operator set (shared text: identical in Spark SQL & DuckDB) ---
+
+WHERE_LIKE_SQL = """
+    select p_partkey, p_name
+    from part
+    where p_name like '%old%'        -- case-SENSITIVE (matches 'cold …')
+       or p_name ilike '%WIDGET%'    -- case-insensitive
+    order by p_partkey
+"""
+
+WHERE_OPS_SQL = """
+    select l_orderkey, l_linenumber,
+           concat(l_returnflag, '/', l_linestatus) as flag_status,
+           substr(l_returnflag, 1, 1) as rf1,
+           cast(l_quantity as bigint) % 7 as qty_mod7,
+           l_extendedprice * (1.0 - l_discount) as net_price
+    from lineitem
+    where l_returnflag in ('A', 'N')
+      and l_quantity between 10 and 20
+      and l_shipdate is not null
+      and not (l_discount > 0.05 and l_tax > 0.05)
+      and l_linestatus <> 'X'
+    order by l_orderkey, l_linenumber
+"""
+
+# Spark CAST(double AS int) truncates toward zero — same as the
+# reference's C-style cast (ogr/swq_op_general.cpp:1844-1900). DuckDB
+# rounds, so its oracle spells the truncation out with trunc().
+CAST_OPS_SQL = """
+    select o_orderkey,
+           cast(o_orderkey as smallint) as k_small,
+           cast(o_orderkey as integer) as k_int,
+           cast(o_orderkey as bigint) as k_big,
+           cast(o_totalprice as integer) as price_int,
+           cast(o_orderkey as varchar(20)) as k_str,
+           cast(o_orderdate as date) as odate,
+           cast(o_orderkey % 2 as boolean) as k_odd
+    from orders
+    where o_orderkey < 1000
+    order by o_orderkey
+"""
+
+# HSTORE_GET_VALUE analog (ogr/ogr_swq.h:65): key lookup inside a string
+# field. events.props holds a one-key JSON object; both engines run the
+# same regexp_extract (pattern avoids backslash classes — Spark processes
+# backslash escapes inside SQL string literals, DuckDB does not).
+HSTORE_SQL = """
+    select event_id,
+           regexp_extract(props, '"k": *([0-9]+)', 1) as k_val
+    from events
+    where event_id < 500
+    order by event_id
+"""
+
+DISTINCT_SQL = """
+    select distinct o_orderpriority
+    from orders
+    order by o_orderpriority
+"""
+
+ORDERBY_LIMIT_SQL = """
+    select o_orderkey, o_custkey, o_totalprice
+    from orders
+    order by o_totalprice desc, o_orderkey asc
+    limit 50 offset 10
+"""
+
+UNION_ALL_SQL = """
+    select c_name as name, c_acctbal as acctbal, 'customer' as src
+    from customer where c_acctbal > 9900
+    union all
+    select s_name as name, s_acctbal as acctbal, 'supplier' as src
+    from supplier where s_acctbal > 9900
+"""
+
+SUMMARY_SQL = """
+    select count(*) as cnt,
+           count(distinct l_returnflag) as cnt_distinct_rf,
+           round(sum(l_quantity), 4) as sum_qty,
+           round(avg(l_extendedprice), 4) as avg_price,
+           min(l_shipdate) as min_ship,
+           max(l_shipdate) as max_ship,
+           round(stddev_pop(l_discount), 8) as stddev_pop_disc,
+           round(stddev_samp(l_discount), 8) as stddev_samp_disc
+    from lineitem
+"""
+
+# MIN/MAX on strings are lexicographic and AVG over datetime is average
+# unix time in the reference (ogr_gensql.cpp:1104-1170) — same in Spark
+# and DuckDB; avg-of-timestamp expressed portably via epoch seconds.
+SUMMARY_MINMAX_STR_SQL = """
+    select min(p_name) as min_name, max(p_name) as max_name,
+           min(p_brand) as min_brand, max(p_brand) as max_brand,
+           count(distinct p_type) as cnt_types
+    from part
+"""
+
+
+def _join_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SQL JOIN: for each primary row take the FIRST matching
+    secondary row only (ogr_gensql.cpp:1507-1537 — the per-row attribute
+    filter returns the first feature in FID order). Primary=customer,
+    secondary=orders on custkey; 'first' = lowest o_orderkey (scan
+    order). Unmatched customers keep NULLs (LEFT semantics even when
+    written JOIN)."""
+    tables.register_views(spark, sf_dir)
+    orders = spark.table("orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    first_order = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    cust = spark.table("customer").select("c_custkey", "c_name", "c_acctbal")
+    j = cust.join(
+        F.broadcast(first_order), cust.c_custkey == first_order.o_custkey, "left"
+    )
+    return j.select("c_custkey", "c_name", "o_orderkey", "o_totalprice").orderBy(
+        "c_custkey"
+    )
+
+
+JOIN_FIRST_MATCH_ORACLE = """
+    with first_order as (
+        select o_custkey, o_orderkey, o_totalprice
+        from (
+            select o_custkey, o_orderkey, o_totalprice,
+                   row_number() over (partition by o_custkey
+                                      order by o_orderkey) as rn
+            from orders
+        ) where rn = 1
+    )
+    select c_custkey, c_name, o_orderkey, o_totalprice
+    from customer left join first_order on c_custkey = o_custkey
+    order by c_custkey
+"""
+
+
+def _groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: GROUP BY aggregation (the OGR dialect lacks it;
+    its SQLITE dialect gets it from SQLite — ogrsqliteexecutesql.cpp:461).
+    Partial aggregation (map-side combine) makes this shuffle-light at
+    100 TB: only (group, partial-state) rows move."""
+    tables.register_views(spark, sf_dir)
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+GROUPBY_ORACLE = """
+    select l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) as sum_qty,
+           round(avg(l_extendedprice), 4) as avg_price,
+           count(*) as cnt
+    from lineitem
+    group by l_returnflag, l_linestatus
+    order by l_returnflag, l_linestatus
+"""
+
+
+def _q(sql: str):
+    return lambda spark, sf_dir: _sql(spark, sf_dir, sql)
+
+
+QUERIES = {
+    "where_like": _q(WHERE_LIKE_SQL),
+    "where_ops": _q(WHERE_OPS_SQL),
+    "cast_ops": _q(CAST_OPS_SQL),
+    "hstore_get": _q(HSTORE_SQL),
+    "distinct_vals": _q(DISTINCT_SQL),
+    "orderby_limit_offset": _q(ORDERBY_LIMIT_SQL),
+    "union_all": _q(UNION_ALL_SQL),
+    "summary_aggregates": _q(SUMMARY_SQL),
+    "summary_minmax_str": _q(SUMMARY_MINMAX_STR_SQL),
+    "join_first_match": _join_first_match,
+    "groupby_agg": _groupby_agg,
+}
+
+ORACLES = {
+    "where_like": WHERE_LIKE_SQL,
+    "where_ops": WHERE_OPS_SQL,
+    "cast_ops": CAST_OPS_SQL.replace(
+        "cast(o_totalprice as integer)", "cast(trunc(o_totalprice) as integer)"
+    ),
+    "hstore_get": HSTORE_SQL,
+    "distinct_vals": DISTINCT_SQL,
+    "orderby_limit_offset": ORDERBY_LIMIT_SQL,
+    "union_all": UNION_ALL_SQL,
+    "summary_aggregates": SUMMARY_SQL,
+    "summary_minmax_str": SUMMARY_MINMAX_STR_SQL,
+    "join_first_match": JOIN_FIRST_MATCH_ORACLE,
+    "groupby_agg": GROUPBY_ORACLE,
+}

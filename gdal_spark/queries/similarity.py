@@ -1,0 +1,140 @@
+"""Similarity-search queries over `embeddings` (vec_id, embedding float[64], label).
+
+- ann_cosine_topk: exact brute-force cosine top-k (broadcast query
+  matrix, partition-local prune, global window re-rank) — the
+  correctness baseline for any ANN index.
+- ann_lsh_signature: random-hyperplane signature, relational variant
+  with hash-derived ±1 planes so the DuckDB oracle reproduces it
+  bit-for-bit (the production matmul variant is
+  operators.similarity.hyperplane_signature, pinned by pytest).
+- embedding_label_centroids: per-label mean vector (posexplode +
+  groupBy — partial aggregation keeps the shuffle at |labels|×dim rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark import tables
+from gdal_spark.operators.similarity import cosine_topk
+from gdal_spark.portable import hash64
+
+TOPK = 5
+N_QUERIES = 10
+SIG_BITS = 16
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables.register_views(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _emb(spark, sf_dir)
+    qrows = (
+        corpus.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), np.asarray(r["embedding"])) for r in qrows]
+    return cosine_topk(corpus, queries, k=TOPK)
+
+
+ANN_COSINE_ORACLE = f"""
+    with ranked as (
+        select q.vec_id as query_id, c.vec_id as vec_id,
+               list_cosine_similarity(cast(q.embedding as double[]),
+                                      cast(c.embedding as double[])) as sim,
+               row_number() over (
+                   partition by q.vec_id
+                   order by list_cosine_similarity(
+                       cast(q.embedding as double[]),
+                       cast(c.embedding as double[])) desc,
+                       c.vec_id asc) as rnk
+        from embeddings q join embeddings c on q.vec_id <> c.vec_id
+        where q.vec_id < {N_QUERIES}
+    )
+    select query_id, rnk, vec_id, round(sim, 6) as sim
+    from ranked where rnk <= {TOPK}
+"""
+
+
+def _ann_lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational LSH signature: plane(j,d) = ±1 from the portable hash;
+    bit j set iff sum_d emb[d]*plane(j,d) > 0. Pure Catalyst."""
+    e = _emb(spark, sf_dir)
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select(
+        "vec_id",
+        "d",
+        F.col("v").cast("double").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIG_BITS - 1))).alias("j"),
+    )
+    sgn = F.when(
+        F.expr(hash64("concat(cast(j as string), '_', cast(d as string))", "spark"))
+        % 2
+        == 1,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    per_bit = ex.groupBy("vec_id", "j").agg(F.sum(F.col("v") * sgn).alias("s"))
+    contrib = F.when(
+        F.col("s") > 0, F.expr("cast(shiftleft(1, j) as bigint)")
+    ).otherwise(F.lit(0))
+    return per_bit.groupBy("vec_id").agg(F.sum(contrib).alias("sig"))
+
+
+_H_JD = hash64("concat(cast(j as varchar), '_', cast(d as varchar))", "duckdb")
+
+ANN_LSH_ORACLE = f"""
+    with ex as (
+        select vec_id,
+               unnest(range(len(embedding))) as d,
+               cast(unnest(embedding) as double) as v
+        from embeddings
+    ),
+    bits as (
+        select vec_id, j,
+               sum(v * (case when {_H_JD} % 2 = 1 then 1.0 else -1.0 end)) as s
+        from ex cross join (select unnest(range({SIG_BITS})) as j)
+        group by vec_id, j
+    )
+    select vec_id,
+           sum(case when s > 0 then cast(1 << j as bigint) else 0 end) as sig
+    from bits group by vec_id
+"""
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("embedding").alias("d", "v"))
+        .groupBy("label", "d")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+    )
+
+
+LABEL_CENTROID_ORACLE = """
+    select label, d, round(avg(v), 6) as mean_v
+    from (
+        select label,
+               unnest(range(len(embedding))) as d,
+               cast(unnest(embedding) as double) as v
+        from embeddings
+    )
+    group by label, d
+"""
+
+QUERIES = {
+    "ann_cosine_topk": _ann_cosine_topk,
+    "ann_lsh_signature": _ann_lsh_signature,
+    "embedding_label_centroids": _label_centroids,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ANN_COSINE_ORACLE,
+    "ann_lsh_signature": ANN_LSH_ORACLE,
+    "embedding_label_centroids": LABEL_CENTROID_ORACLE,
+}

@@ -1,0 +1,91 @@
+"""Spatial-join + tile-assignment queries (the flagship family).
+
+Reference semantics: OGRLayer::FilterGeometry 3-stage spatial filter
+(ogr/ogrsf_frmts/generic/ogrlayer.cpp:3981-4048), OGRLayer::Intersection
+join schema (ogrlayer.cpp:5361), gdal2tiles GlobalMercator tile math
+(swig/python/gdal-utils/osgeo_utils/gdal2tiles.py:315-505).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gdal_spark import portable, tables
+from gdal_spark.operators.spatial_join import (
+    broadcast_pip_join,
+    cell_pip_join,
+    sql_pip_join,
+)
+
+TILE_ZOOM = 12
+
+
+def _spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gp = tables.geo_pages(spark, sf_dir)
+    polys = tables.polygons_local()
+    j = broadcast_pip_join(gp.selectExpr("url", "lat", "lon"), polys)
+    return j.select("url", "polygon_id")
+
+
+def _spatial_join_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: PIP join + per-page XYZ tile assignment (pure Catalyst
+    tile math, Arrow-UDF PIP refine)."""
+    gp = tables.geo_pages(spark, sf_dir).selectExpr(
+        "url", "lat", "lon", *portable.tile_cols_list("lat", "lon", TILE_ZOOM)
+    )
+    j = broadcast_pip_join(gp, tables.polygons_local())
+    return j.select("url", "polygon_id", "tile_x", "tile_y")
+
+
+def _spatial_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join via the cell-key equi-join strategy (shuffle path for
+    polygon layers too large to broadcast; AQE handles the city skew)."""
+    gp = tables.geo_pages(spark, sf_dir).selectExpr("url", "lat", "lon")
+    j = cell_pip_join(gp, tables.polygons_local(), zoom=7)
+    return j.select("url", "polygon_id")
+
+
+def _spatial_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst strategy (zero Python, whole-stage codegen)."""
+    gp = tables.geo_pages(spark, sf_dir).selectExpr("url", "lat", "lon")
+    return sql_pip_join(gp, tables.polygons_local(), key_cols=("url",))
+
+
+def _tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        f"select url, {portable.tile_cols('lat', 'lon', TILE_ZOOM)} from geo_pages"
+    )
+
+
+QUERIES = {
+    "spatial_join_pip": _spatial_join,
+    "spatial_join_tiles": _spatial_join_tiles,
+    "spatial_join_cells": _spatial_join_cells,
+    "spatial_join_sql": _spatial_join_sql,
+    "tile_assign": _tile_assign,
+}
+
+
+def _oracles() -> dict[str, str]:
+    d = "duckdb"
+    tile = portable.tile_cols("lat", "lon", TILE_ZOOM)
+    pip = portable.pip_join_sql(d)
+    return {
+        "spatial_join_pip": pip,
+        "spatial_join_cells": pip,
+        "spatial_join_sql": pip,
+        "spatial_join_tiles": f"""
+            with j as ({pip}),
+            g as ({portable.geo_pages_cte(d)})
+            select j.url, j.polygon_id, {tile}
+            from j join g on j.url = g.url
+        """,
+        "tile_assign": (
+            f"with g as ({portable.geo_pages_cte(d)}) "
+            f"select url, {tile} from g"
+        ),
+    }
+
+
+ORACLES = _oracles()

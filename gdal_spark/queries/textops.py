@@ -1,0 +1,382 @@
+"""Training-data pipeline text operators over `documents`.
+
+Deduplication (exact hash, MinHash+LSH, SimHash, n-gram Jaccard), text
+analysis (token counting, language-ID heuristic, quality scoring,
+fingerprinting). Spark side = DataFrame compositions in
+gdal_spark.operators.dedup (JVM-side, zero Python); oracle = the same
+math in DuckDB SQL via the portable md5-based hash64.
+
+The near-dup queries amplify the corpus with mutated copies
+(doc_id+100000, one appended token) so LSH has true positives to find;
+exact-dedup amplifies with verbatim copies (doc_id+200000). Both
+amplifications are part of the query on BOTH sides, so the oracle
+compare stays exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark import tables
+from gdal_spark.operators import dedup
+from gdal_spark.portable import hash64
+
+LANGS = ["de", "en", "es", "fr", "zh"]
+STOPWORDS = ("a", "the")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables.register_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated")).alias("text"),
+    )
+    return d.unionAll(mutated)
+
+
+NEAR_DUP_CORPUS_SQL = """
+    select doc_id, text from documents
+    union all
+    select doc_id + 100000 as doc_id, concat(text, ' mutated') as text
+    from documents
+"""
+
+
+# --- text stats / quality scoring ---
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    stops = ",".join(f"'{s}'" for s in STOPWORDS)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> w in ({stops}))"))
+    distinct_ratio = n_distinct / n_tokens
+    stop_ratio = n_stop / n_tokens
+    quality = F.round(
+        0.4 * distinct_ratio
+        + 0.4 * (1.0 - stop_ratio)
+        + 0.2 * F.least(n_tokens / F.lit(50.0), F.lit(1.0)),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+TEXT_STATS_ORACLE = f"""
+    with t as (
+        select doc_id, text, string_split(text, ' ') as toks
+        from documents
+    )
+    select doc_id,
+           length(text) as n_chars,
+           len(toks) as n_tokens,
+           len(list_distinct(toks)) as n_distinct_tokens,
+           round(len(list_filter(toks, w -> w in
+                 ({','.join(f"'{s}'" for s in STOPWORDS)}))) / len(toks), 6)
+             as stop_ratio,
+           round(0.4 * (len(list_distinct(toks)) / len(toks))
+               + 0.4 * (1.0 - len(list_filter(toks, w -> w in
+                 ({','.join(f"'{s}'" for s in STOPWORDS)}))) / len(toks))
+               + 0.2 * least(len(toks) / 50.0, 1.0), 6) as quality
+    from t
+"""
+
+
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex tokenization counts."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.expr("regexp_count(text, '[a-z]+|[^a-z ]')").alias("n_re_tokens"),
+    )
+
+
+TOKEN_COUNT_ORACLE = """
+    select doc_id,
+           len(string_split(text, ' ')) as n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[^a-z ]')) as n_re_tokens
+    from documents
+"""
+
+
+# --- language-ID heuristic ---
+# Each token deterministically "belongs" to a language profile
+# (hash64(w) % 5 → sorted lang list); predicted language = plurality vote
+# over the doc's tokens, ties broken by lang name. The mechanism mirrors
+# n-gram profile scoring; profiles here are hash-derived because the
+# synthetic corpus shares one vocabulary across langs.
+
+_LANG_CASE_SPARK = "case " + " ".join(
+    f"when pl = {i} then '{l}'" for i, l in enumerate(LANGS)
+) + " end"
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    t = dedup.tokens(d).withColumn(
+        "pl", F.expr(hash64("w", "spark")) % len(LANGS)
+    )
+    counts = t.groupBy("doc_id", "pl").agg(F.count("*").alias("c"))
+    counts = counts.withColumn("pred_lang", F.expr(_LANG_CASE_SPARK))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("pred_lang").asc()
+    )
+    best = counts.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    return (
+        best.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            (F.col("pred_lang") == F.col("lang")).alias("agree"),
+        )
+    )
+
+
+_LANG_CASE_DUCK = "case " + " ".join(
+    f"when pl = {i} then '{l}'" for i, l in enumerate(LANGS)
+) + " end"
+
+LANG_ID_ORACLE = f"""
+    with toks as (
+        select doc_id, unnest(string_split(text, ' ')) as w from documents
+    ),
+    scored as (
+        select doc_id, {hash64('w', 'duckdb')} % {len(LANGS)} as pl,
+               count(*) as c
+        from toks group by doc_id, pl
+    ),
+    named as (
+        select doc_id, c, {_LANG_CASE_DUCK} as pred_lang from scored
+    ),
+    best as (
+        select doc_id, pred_lang
+        from named
+        qualify row_number() over (partition by doc_id
+                                   order by c desc, pred_lang asc) = 1
+    )
+    select b.doc_id, b.pred_lang, (b.pred_lang = d.lang) as agree
+    from best b join documents d on b.doc_id = d.doc_id
+"""
+
+
+# --- fingerprinting ---
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hash + min-shingle fingerprint (1-perm MinHash) per doc."""
+    d = _docs(spark, sf_dir)
+    sh = dedup.shingles(d, k=3)
+    minsh = sh.groupBy("doc_id").agg(
+        F.min(F.expr(hash64("shingle", "spark"))).alias("min_shingle_hash")
+    )
+    return (
+        d.select("doc_id", F.expr(hash64("text", "spark")).alias("content_hash"))
+        .join(minsh, "doc_id")
+    )
+
+
+DOC_FINGERPRINT_ORACLE = f"""
+    with toks as (
+        select doc_id,
+               unnest(range(len(string_split(text, ' ')))) as pos,
+               unnest(string_split(text, ' ')) as w
+        from documents
+    ),
+    sh as (
+        select distinct doc_id, concat(w, ' ', w1, ' ', w2) as shingle
+        from (
+            select doc_id, w,
+                   lead(w, 1) over (partition by doc_id order by pos) as w1,
+                   lead(w, 2) over (partition by doc_id order by pos) as w2
+            from toks
+        ) where w2 is not null
+    )
+    select d.doc_id,
+           {hash64('d.text', 'duckdb')} as content_hash,
+           m.min_shingle_hash
+    from documents d
+    join (select doc_id, min({hash64('shingle', 'duckdb')}) as min_shingle_hash
+          from sh group by doc_id) m on d.doc_id = m.doc_id
+"""
+
+
+# --- dedup: exact ---
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    return dedup.dedup_exact(d.unionAll(dup))
+
+
+DEDUP_EXACT_ORACLE = f"""
+    with corpus as (
+        select doc_id, text from documents
+        union all
+        select doc_id + 200000 as doc_id, text from documents
+    )
+    select {hash64('text', 'duckdb')} as content_hash,
+           min(doc_id) as kept_id,
+           count(*) as group_size
+    from corpus
+    group by content_hash
+"""
+
+
+# --- dedup: MinHash + LSH ---
+
+NUM_PERM = 16
+ROWS_PER_BAND = 2
+JACCARD_T = 0.5
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        corpus,
+        k=3,
+        num_perm=NUM_PERM,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=JACCARD_T,
+    )
+
+
+def _minhash_oracle() -> str:
+    h_mh = hash64("concat(cast(perm as varchar), '|', shingle)", "duckdb")
+    h_sig = hash64(
+        "concat(cast(perm as varchar), ':', cast(mh as varchar))", "duckdb"
+    )
+    return f"""
+    with corpus as ({NEAR_DUP_CORPUS_SQL}),
+    toks as (
+        select doc_id,
+               unnest(range(len(string_split(text, ' ')))) as pos,
+               unnest(string_split(text, ' ')) as w
+        from corpus
+    ),
+    sh as (
+        select distinct doc_id, concat(w, ' ', w1, ' ', w2) as shingle
+        from (
+            select doc_id, w,
+                   lead(w, 1) over (partition by doc_id order by pos) as w1,
+                   lead(w, 2) over (partition by doc_id order by pos) as w2
+            from toks
+        ) where w2 is not null
+    ),
+    mh as (
+        select doc_id, perm, min({h_mh}) as mh
+        from sh cross join (select unnest(range({NUM_PERM})) as perm)
+        group by doc_id, perm
+    ),
+    bands as (
+        select doc_id, perm // {ROWS_PER_BAND} as band, sum({h_sig}) as sig
+        from mh group by doc_id, band
+    ),
+    cand as (
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from bands a join bands b on a.band = b.band and a.sig = b.sig
+        where a.doc_id < b.doc_id
+    ),
+    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    inter as (
+        select c.id_a, c.id_b, count(*) as i
+        from cand c
+        join sh a on a.doc_id = c.id_a
+        join sh b on b.doc_id = c.id_b and b.shingle = a.shingle
+        group by c.id_a, c.id_b
+    )
+    select i.id_a, i.id_b,
+           round(i.i / (na.n + nb.n - i.i), 6) as jaccard
+    from inter i
+    join sizes na on na.doc_id = i.id_a
+    join sizes nb on nb.doc_id = i.id_b
+    where i.i / (na.n + nb.n - i.i) >= {JACCARD_T}
+    """
+
+
+# --- dedup: SimHash ---
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return dedup.simhash(corpus, bits=16)
+
+
+SIMHASH_ORACLE = f"""
+    with corpus as ({NEAR_DUP_CORPUS_SQL}),
+    t as (
+        select doc_id, w, count(*) as cnt,
+               {hash64('w', 'duckdb')} as h
+        from (select doc_id, unnest(string_split(text, ' ')) as w from corpus)
+        group by doc_id, w
+    ),
+    bits as (
+        select doc_id, b,
+               sum(case when (h >> b) % 2 = 1 then cnt else -cnt end) as v
+        from t cross join (select unnest(range(16)) as b)
+        group by doc_id, b
+    )
+    select doc_id,
+           sum(case when v > 0 then cast(1 << b as bigint) else 0 end) as simhash
+    from bits group by doc_id
+"""
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs: identical 16-bit SimHash."""
+    sh = dedup.simhash(_near_dup_corpus(spark, sf_dir), bits=16)
+    a = sh.select(F.col("doc_id").alias("id_a"), "simhash")
+    b = sh.select(F.col("doc_id").alias("id_b"), "simhash")
+    return (
+        a.join(b, "simhash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )
+
+
+SIMHASH_PAIRS_ORACLE = f"""
+    with sh as ({SIMHASH_ORACLE})
+    select a.doc_id as id_a, b.doc_id as id_b, a.simhash
+    from sh a join sh b on a.simhash = b.simhash
+    where a.doc_id < b.doc_id
+"""
+
+
+QUERIES = {
+    "text_stats": _text_stats,
+    "token_count": _token_count,
+    "lang_id": _lang_id,
+    "doc_fingerprint": _doc_fingerprint,
+    "dedup_exact": _dedup_exact,
+    "dedup_minhash_lsh": _dedup_minhash,
+    "dedup_simhash": _dedup_simhash,
+    "simhash_dup_pairs": _simhash_pairs,
+}
+
+ORACLES = {
+    "text_stats": TEXT_STATS_ORACLE,
+    "token_count": TOKEN_COUNT_ORACLE,
+    "lang_id": LANG_ID_ORACLE,
+    "doc_fingerprint": DOC_FINGERPRINT_ORACLE,
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": SIMHASH_ORACLE,
+    "simhash_dup_pairs": SIMHASH_PAIRS_ORACLE,
+}

@@ -1,0 +1,96 @@
+"""Dedup / text-analysis operator unit tests on tiny planted corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different text about spark engines here"),
+        (5, "a b"),  # too short for 3-shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokens_positions(corpus):
+    t = dedup.tokens(corpus).where("doc_id = 5").orderBy("pos").collect()
+    assert [(r.pos, r.w) for r in t] == [(0, "a"), (1, "b")]
+
+
+def test_shingles(corpus):
+    sh = dedup.shingles(corpus, k=3)
+    got = {r.shingle for r in sh.where("doc_id = 1").collect()}
+    assert "the quick brown" in got
+    assert "lazy dog" not in got  # only full 3-grams
+    # 9 tokens -> 7 shingles, 'the' repeats but shingles distinct
+    assert sh.where("doc_id = 1").count() == 7
+    assert sh.where("doc_id = 5").count() == 0  # shorter than k
+
+
+def test_dedup_exact_groups(corpus):
+    g = dedup.dedup_exact(corpus)
+    rows = {r.kept_id: r.group_size for r in g.collect()}
+    assert rows[1] == 2  # docs 1 and 2 collapse, min id kept
+    assert rows[3] == 1
+    assert g.count() == 4  # 5 docs -> 4 distinct texts
+
+
+def test_minhash_signature_shape(corpus):
+    sh = dedup.shingles(corpus, k=3)
+    mh = dedup.minhash(sh, num_perm=8)
+    per_doc = mh.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 8 for r in per_doc)
+    # identical docs have identical signatures
+    a = {r.perm: r.mh for r in mh.where("doc_id = 1").collect()}
+    b = {r.perm: r.mh for r in mh.where("doc_id = 2").collect()}
+    assert a == b
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    pairs = dedup.minhash_lsh_pairs(corpus, k=3, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p for p in got)  # unrelated never paired
+
+
+def test_simhash_identity_and_locality(corpus):
+    sh = dedup.simhash(corpus, bits=16)
+    v = {r.doc_id: r.simhash for r in sh.collect()}
+    assert v[1] == v[2]  # identical text -> identical simhash
+    assert 0 <= v[1] < 2**16
+    # near-dup differs in few bits, unrelated differs in more
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(v[1], v[3]) <= ham(v[1], v[4])
+
+
+def test_jaccard_exact_value(corpus):
+    sh = dedup.shingles(corpus, k=3)
+    pairs = corpus.sparkSession.createDataFrame(
+        [(1, 3)], "id_a long, id_b long"
+    )
+    j = dedup.jaccard_pairs(sh, pairs).collect()[0]
+    # 7 shingles each, 6 shared ('over the lazy dog/cat' splits 1)
+    assert abs(j.jaccard - 6.0 / 8.0) < 1e-12
+
+
+def test_minhash_plan_has_partial_agg(corpus):
+    """Scale guard: the min() aggregation must be partially aggregated
+    (map-side combine) so the shuffle carries ~num_perm rows per doc."""
+    sh = dedup.shingles(corpus, k=3)
+    plan = dedup.minhash(sh, num_perm=4)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+
+
+def test_no_python_udf_in_dedup_plans(corpus):
+    """Hot-path guard: dedup pipeline is pure Catalyst (no Python eval)."""
+    pairs = dedup.minhash_lsh_pairs(corpus, k=3, threshold=0.5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
