@@ -1,0 +1,335 @@
+"""Polygon clipping & constructive geometry — pure numpy, no GEOS.
+
+The layer-algebra operators (SURVEY §2.3: OGRLayer::Intersection/Union/
+SymDifference/Identity/Update/Clip/Erase, ogrlayer.cpp:5361-7822) need
+pairwise polygon set operations. Strategy:
+
+- A ∩ B for convex B: Sutherland–Hodgman clip of (possibly concave) A
+  against each half-plane of B. Exact for our operand shapes.
+- A − B for convex B with edges H_1..H_k: the standard half-plane
+  decomposition  A − B = ⊎_i (A ∩ H̄_i ∩ H_1 ∩ … ∩ H_{i-1}),
+  a disjoint piece per edge — emitted as a MultiPolygon.
+- A ∪ B = (A − B) ⊎ B,  A △ B = (A − B) ⊎ (B − A).
+
+Limitation (documented): the *method/clip* operand must be convex;
+concave method polygons would need a general clipper (Greiner–Hormann)
+or a convex decomposition pass. Subject polygons may be concave.
+All results are validated in tests against area invariants
+(|A∩B| + |A−B| = |A|, |A∪B| = |A|+|B|−|A∩B|) and golden fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdal_spark.geometry.kernels import (
+    points_in_rings,
+    ring_area,
+    ring_is_ccw,
+)
+
+_EPS_AREA = 1e-12
+
+
+def _open(ring: np.ndarray) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    return r
+
+
+def _ccw(ring: np.ndarray) -> np.ndarray:
+    r = _open(ring)
+    return r if ring_is_ccw(r) else r[::-1]
+
+
+def clip_half_plane(ring: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Clip an open ring against the half-plane LEFT of directed edge
+    a→b (inclusive). Returns an open ring (possibly empty).
+    Sutherland–Hodgman step; vectorized classify, python loop only over
+    the (small) vertex list for output assembly."""
+    r = _open(ring)
+    n = len(r)
+    if n == 0:
+        return r
+    d = b - a
+    # signed side: >0 strictly inside (left), 0 on boundary
+    side = d[0] * (r[:, 1] - a[1]) - d[1] * (r[:, 0] - a[0])
+    inside = side >= 0.0
+    if inside.all():
+        return r
+    if not inside.any():
+        return r[:0]
+    out: list[np.ndarray] = []
+    for i in range(n):
+        j = (i + 1) % n
+        pi, pj = r[i], r[j]
+        si, sj = side[i], side[j]
+        if inside[i]:
+            out.append(pi)
+            if not inside[j]:
+                t = si / (si - sj)
+                out.append(pi + t * (pj - pi))
+        elif inside[j]:
+            t = si / (si - sj)
+            out.append(pi + t * (pj - pi))
+    return np.array(out, dtype=np.float64)
+
+
+def convex_edges(poly: np.ndarray):
+    """(a, b) CCW directed edge pairs of a convex ring."""
+    p = _ccw(poly)
+    return [(p[i], p[(i + 1) % len(p)]) for i in range(len(p))]
+
+
+def clip_convex(subject: np.ndarray, clip_poly: np.ndarray) -> np.ndarray:
+    """subject ∩ clip_poly (clip convex). Open ring result ((0,2) if empty)."""
+    r = _ccw(subject)
+    for a, b in convex_edges(clip_poly):
+        r = clip_half_plane(r, a, b)
+        if len(r) < 3:
+            return r[:0].reshape(0, 2)
+    if abs(ring_area(r)) < _EPS_AREA:
+        return r[:0].reshape(0, 2)
+    return r
+
+
+def difference_convex(subject: np.ndarray, clip_poly: np.ndarray) -> list[np.ndarray]:
+    """subject − clip_poly (clip convex) as disjoint pieces (open rings).
+
+    Half-plane decomposition: piece_i keeps what is OUTSIDE edge i but
+    inside edges 1..i-1 — every output piece is disjoint and their union
+    is exactly subject − clip."""
+    pieces: list[np.ndarray] = []
+    remaining = _ccw(subject)
+    for a, b in convex_edges(clip_poly):
+        outside = clip_half_plane(remaining, b, a)  # reversed edge = outside
+        if len(outside) >= 3 and abs(ring_area(outside)) > _EPS_AREA:
+            pieces.append(outside)
+        remaining = clip_half_plane(remaining, a, b)
+        if len(remaining) < 3:
+            break
+    return pieces
+
+
+def union_convex(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
+    """a ∪ b as disjoint pieces (b convex)."""
+    return difference_convex(a, b) + [_ccw(b)]
+
+
+def sym_difference_convex(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
+    """a △ b as disjoint pieces (both convex for the b−a direction)."""
+    return difference_convex(a, b) + difference_convex(b, a)
+
+
+# --- predicates ---
+
+
+def segments_intersect(p1, p2, q1, q2) -> bool:
+    d1 = np.cross(q2 - q1, p1 - q1)
+    d2 = np.cross(q2 - q1, p2 - q1)
+    d3 = np.cross(p2 - p1, q1 - p1)
+    d4 = np.cross(p2 - p1, q2 - p1)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True
+    return False
+
+
+def rings_bbox_disjoint(a: np.ndarray, b: np.ndarray) -> bool:
+    a = _open(a)
+    b = _open(b)
+    return (
+        a[:, 0].max() < b[:, 0].min()
+        or b[:, 0].max() < a[:, 0].min()
+        or a[:, 1].max() < b[:, 1].min()
+        or b[:, 1].max() < a[:, 1].min()
+    )
+
+
+def polygons_intersect(a: np.ndarray, b: np.ndarray) -> bool:
+    """Exterior-ring intersects test: the reference's 3-stage contract
+    (envelope reject → refine; ogrlayer.cpp:3981-4048) with the refine =
+    any-edge-crossing OR containment either way."""
+    a = _open(a)
+    b = _open(b)
+    if rings_bbox_disjoint(a, b):
+        return False
+    if points_in_rings(a[:1, 0], a[:1, 1], [b])[0]:
+        return True
+    if points_in_rings(b[:1, 0], b[:1, 1], [a])[0]:
+        return True
+    na, nb = len(a), len(b)
+    for i in range(na):
+        p1, p2 = a[i], a[(i + 1) % na]
+        for j in range(nb):
+            if segments_intersect(p1, p2, b[j], b[(j + 1) % nb]):
+                return True
+    return False
+
+
+def polygon_contains(outer: np.ndarray, inner: np.ndarray) -> bool:
+    """True if every vertex of `inner` is inside `outer` and no edges
+    cross (sufficient for simple polygons)."""
+    o = _open(outer)
+    i = _open(inner)
+    if not points_in_rings(i[:, 0], i[:, 1], [o]).all():
+        return False
+    no, ni = len(o), len(i)
+    for x in range(ni):
+        p1, p2 = i[x], i[(x + 1) % ni]
+        for y in range(no):
+            if segments_intersect(p1, p2, o[y], o[(y + 1) % no]):
+                return False
+    return True
+
+
+# --- constructive ---
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain → CCW open ring. O(n log n) numpy sort +
+    small python loop (driver/batch-side geometry counts are small)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(seq):
+        h: list[np.ndarray] = []
+        for p in seq:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def simplify_dp(ring: np.ndarray, tol: float, closed: bool = True) -> np.ndarray:
+    """Douglas–Peucker (same semantics as OGR Simplify: keep points
+    farther than tol from the chord)."""
+    pts = np.asarray(ring, dtype=np.float64)
+    was_closed = len(pts) >= 2 and np.array_equal(pts[0], pts[-1])
+    if closed and not was_closed:
+        pts = np.vstack([pts, pts[:1]])
+
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        ln = np.hypot(*seg)
+        mid = pts[i + 1 : j]
+        if ln == 0:
+            d = np.hypot(mid[:, 0] - pts[i, 0], mid[:, 1] - pts[i, 1])
+        else:
+            d = np.abs(np.cross(seg, mid - pts[i])) / ln
+        m = int(np.argmax(d))
+        if d[m] > tol:
+            keep[i + 1 + m] = True
+            stack.append((i, i + 1 + m))
+            stack.append((i + 1 + m, j))
+    out = pts[keep]
+    if closed and not was_closed:
+        out = out[:-1]
+    return out
+
+
+def segmentize(ring: np.ndarray, max_len: float, closed: bool = True) -> np.ndarray:
+    """Insert vertices so no segment exceeds max_len (gdal vector
+    segmentize, apps/gdalalg_vector_segmentize.cpp:33)."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if closed and not np.array_equal(pts[0], pts[-1]):
+        pts = np.vstack([pts, pts[:1]])
+    out = [pts[0]]
+    for i in range(1, len(pts)):
+        a, b = pts[i - 1], pts[i]
+        d = float(np.hypot(*(b - a)))
+        n = max(1, int(np.ceil(d / max_len)))
+        for s in range(1, n + 1):
+            out.append(a + (b - a) * (s / n))
+    res = np.array(out, dtype=np.float64)
+    if closed:
+        res = res[:-1]
+    return res
+
+
+def buffer_polygon(
+    ring: np.ndarray, dist: float, quadrant_segments: int = 8
+) -> np.ndarray:
+    """Round-join outward buffer of a convex CCW ring (endcap/join per
+    gdal vector buffer defaults, apps/gdalalg_vector_buffer.cpp:32-52).
+    dist<0 erodes by intersecting inward-offset half-planes."""
+    r = _ccw(ring)
+    n = len(r)
+    if dist == 0:
+        return r
+    if dist < 0:
+        out = r
+        for i in range(n):
+            a, b = r[i], r[(i + 1) % n]
+            e = b - a
+            nrm = np.array([e[1], -e[0]])
+            nrm = nrm / np.hypot(*nrm)  # outward for CCW
+            out = clip_half_plane(out, a + nrm * dist, b + nrm * dist)
+            if len(out) < 3:
+                return out[:0].reshape(0, 2)
+        return out
+    pts: list[np.ndarray] = []
+    for i in range(n):
+        p_prev, p, p_next = r[i - 1], r[i], r[(i + 1) % n]
+        e0, e1 = p - p_prev, p_next - p
+        n0 = np.array([e0[1], -e0[0]]) / np.hypot(*e0)
+        n1 = np.array([e1[1], -e1[0]]) / np.hypot(*e1)
+        a0 = np.arctan2(n0[1], n0[0])
+        a1 = np.arctan2(n1[1], n1[0])
+        while a1 < a0:  # outward normals rotate CCW around a convex CCW ring
+            a1 += 2 * np.pi
+        steps = max(1, int(np.ceil((a1 - a0) / (np.pi / 2 / quadrant_segments))))
+        angles = a0 + (a1 - a0) * np.arange(steps + 1) / steps
+        for ang in angles:
+            pts.append(p + dist * np.array([np.cos(ang), np.sin(ang)]))
+    return np.array(pts, dtype=np.float64)
+
+
+def buffer_point(x: float, y: float, dist: float, quadrant_segments: int = 8) -> np.ndarray:
+    k = 4 * quadrant_segments
+    ang = 2 * np.pi * np.arange(k) / k
+    return np.column_stack([x + dist * np.cos(ang), y + dist * np.sin(ang)])
+
+
+# --- distance ---
+
+
+def point_segment_dist(px, py, a, b) -> np.ndarray:
+    """Distance of points (px,py) to segment a-b, vectorized over points."""
+    ab = b - a
+    ap = np.column_stack([px - a[0], py - a[1]])
+    denom = float(ab @ ab)
+    t = np.clip((ap @ ab) / denom, 0.0, 1.0) if denom > 0 else np.zeros(len(ap))
+    cx = a[0] + t * ab[0]
+    cy = a[1] + t * ab[1]
+    return np.hypot(px - cx, py - cy)
+
+
+def polygon_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Min planar distance between polygon boundaries; 0 if they
+    intersect or one contains the other (OGR Distance semantics)."""
+    a = _open(a)
+    b = _open(b)
+    if polygons_intersect(a, b):
+        return 0.0
+    best = np.inf
+    for i in range(len(b)):
+        p, q = b[i], b[(i + 1) % len(b)]
+        best = min(best, float(point_segment_dist(a[:, 0], a[:, 1], p, q).min()))
+    for i in range(len(a)):
+        p, q = a[i], a[(i + 1) % len(a)]
+        best = min(best, float(point_segment_dist(b[:, 0], b[:, 1], p, q).min()))
+    return best

@@ -236,3 +236,147 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f" + cos(radians({lat1})) * cos(radians({lat2}))"
         f" * pow(sin(radians(({lon2}) - ({lon1})) / 2.0), 2.0))))"
     )
+
+
+# --- second polygon layer (B) for two-layer ops: shifted/re-scaled octagons ---
+
+POLY_B_SHIFT_LON = 0.4
+POLY_B_SHIFT_LAT = 0.2
+POLY_B_XSCALE = 1.1
+
+
+def polygon_b_radius_sql(n: str) -> str:
+    return f"(0.3 + cast(({n}) % 4 as double) * 0.2)"
+
+
+def poly_b_verts_cte(dialect: str) -> str:
+    """Layer B octagon vertices (b_id, j, vx, vy) from `nation`; centers
+    shifted by (+0.4 lon, +0.2 lat) vs layer A so overlay results are
+    generic (no shared-edge degeneracies)."""
+    unit = " union all ".join(
+        f"select {j} as j, cast({ux!r} as double) as ux, cast({uy!r} as double) as uy"
+        for j, (ux, uy) in enumerate(OCTAGON)
+    )
+    n = "n_nationkey"
+    city = f"cast(({n}) % 20 as int)"
+    r = polygon_b_radius_sql(n)
+    clat = case_city(city, 0)
+    clon = case_city(city, 1)
+    return f"""
+  select cast({n} as bigint) as b_id, u.j as j,
+         ({clon} + {POLY_B_SHIFT_LON!r} + {r} * {POLY_B_XSCALE!r} * u.ux) as vx,
+         ({clat} + {POLY_B_SHIFT_LAT!r} + {r} * u.uy) as vy
+  from nation cross join ({unit}) u
+"""
+
+
+def _edges_cte(verts: str, idc: str) -> str:
+    """Directed edges with wraparound from a (id, j, vx, vy) vertex set."""
+    return f"""
+  select a.{idc}, a.vx as x1, a.vy as y1, b.vx as x2, b.vy as y2
+  from ({verts}) a join ({verts}) b
+    on a.{idc} = b.{idc} and b.j = (a.j + 1) % 8
+"""
+
+
+def convex_intersection_area_sql(dialect: str) -> str:
+    """Oracle for layer-algebra Intersection: |A_i ∩ B_j| for every
+    bbox-overlapping polygon pair, via the convex-convex construction —
+    vertex set = {A verts in B} ∪ {B verts in A} ∪ {edge×edge crossing
+    points}, angularly sorted, shoelace. Pure SQL in both engines.
+    Emits (input_id, method_id, inter_area) rounded to 6."""
+    av = poly_verts_cte(dialect).replace("polygon_id", "a_id")
+    bv = poly_b_verts_cte(dialect)
+    return f"""
+with av0 as ({av}),
+av as (select a_id, j, vx, vy from av0),
+bv as ({bv}),
+ae as ({_edges_cte('select a_id, j, vx, vy from av0', 'a_id')}),
+be as ({_edges_cte(bv, 'b_id')}),
+abox as (select a_id, min(vx) as minx, max(vx) as maxx,
+                min(vy) as miny, max(vy) as maxy from av group by a_id),
+bbox as (select b_id, min(vx) as minx, max(vx) as maxx,
+                min(vy) as miny, max(vy) as maxy from bv group by b_id),
+pairs as (
+  select a.a_id, b.b_id from abox a join bbox b
+    on a.minx <= b.maxx and b.minx <= a.maxx
+   and a.miny <= b.maxy and b.miny <= a.maxy
+),
+a_in_b as (
+  select p.a_id, p.b_id, v.vx as x, v.vy as y
+  from pairs p
+  join av v on v.a_id = p.a_id
+  join be e on e.b_id = p.b_id
+  group by p.a_id, p.b_id, v.vx, v.vy
+  having sum(case when ((e.y1 > v.vy) <> (e.y2 > v.vy))
+                   and (v.vx < (e.x2 - e.x1) * (v.vy - e.y1)
+                                / (e.y2 - e.y1) + e.x1)
+              then 1 else 0 end) % 2 = 1
+),
+b_in_a as (
+  select p.a_id, p.b_id, v.vx as x, v.vy as y
+  from pairs p
+  join bv v on v.b_id = p.b_id
+  join ae e on e.a_id = p.a_id
+  group by p.a_id, p.b_id, v.vx, v.vy
+  having sum(case when ((e.y1 > v.vy) <> (e.y2 > v.vy))
+                   and (v.vx < (e.x2 - e.x1) * (v.vy - e.y1)
+                                / (e.y2 - e.y1) + e.x1)
+              then 1 else 0 end) % 2 = 1
+),
+xpts as (
+  select p.a_id, p.b_id,
+         ea.x1 + (((eb.x1 - ea.x1) * (eb.y2 - eb.y1)
+                   - (eb.y1 - ea.y1) * (eb.x2 - eb.x1))
+                  / ((ea.x2 - ea.x1) * (eb.y2 - eb.y1)
+                     - (ea.y2 - ea.y1) * (eb.x2 - eb.x1)))
+               * (ea.x2 - ea.x1) as x,
+         ea.y1 + (((eb.x1 - ea.x1) * (eb.y2 - eb.y1)
+                   - (eb.y1 - ea.y1) * (eb.x2 - eb.x1))
+                  / ((ea.x2 - ea.x1) * (eb.y2 - eb.y1)
+                     - (ea.y2 - ea.y1) * (eb.x2 - eb.x1)))
+               * (ea.y2 - ea.y1) as y
+  from pairs p
+  join ae ea on ea.a_id = p.a_id
+  join be eb on eb.b_id = p.b_id
+  where ((ea.x2 - ea.x1) * (eb.y2 - eb.y1)
+         - (ea.y2 - ea.y1) * (eb.x2 - eb.x1)) <> 0
+    and (((eb.x1 - ea.x1) * (eb.y2 - eb.y1)
+          - (eb.y1 - ea.y1) * (eb.x2 - eb.x1))
+         / ((ea.x2 - ea.x1) * (eb.y2 - eb.y1)
+            - (ea.y2 - ea.y1) * (eb.x2 - eb.x1))) between 0 and 1
+    and (((eb.x1 - ea.x1) * (ea.y2 - ea.y1)
+          - (eb.y1 - ea.y1) * (ea.x2 - ea.x1))
+         / ((ea.x2 - ea.x1) * (eb.y2 - eb.y1)
+            - (ea.y2 - ea.y1) * (eb.x2 - eb.x1))) between 0 and 1
+),
+pts as (
+  select distinct a_id, b_id, x, y from (
+    select * from a_in_b
+    union all select * from b_in_a
+    union all select * from xpts
+  )
+),
+ctr as (
+  select a_id, b_id, avg(x) as cx, avg(y) as cy, count(*) as n
+  from pts group by a_id, b_id
+),
+ord as (
+  select p.a_id, p.b_id, p.x, p.y, c.n,
+         row_number() over (partition by p.a_id, p.b_id
+                            order by atan2(p.y - c.cy, p.x - c.cx), p.x, p.y)
+           as i
+  from pts p join ctr c on p.a_id = c.a_id and p.b_id = c.b_id
+),
+area as (
+  select o.a_id, o.b_id,
+         abs(sum(o.x * o2.y - o2.x * o.y)) / 2.0 as a
+  from ord o join ord o2
+    on o.a_id = o2.a_id and o.b_id = o2.b_id
+   and o2.i = (o.i % o.n) + 1
+  where o.n >= 3
+  group by o.a_id, o.b_id
+)
+select a_id as input_id, b_id as method_id, round(a, 6) as inter_area
+from area where a > 1e-9
+"""

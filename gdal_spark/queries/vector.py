@@ -1,9 +1,169 @@
-"""Vector geometry queries (ST_* registry + layer algebra) — SURVEY §2.7-2.8.
+"""Vector geometry queries — ST_* registry + layer algebra (SURVEY §2.3,
+§2.7, §2.8).
 
-Filled in as the geometry function registry lands.
+Layer A = nation octagons (portable.poly_verts_cte), layer B = shifted
+octagons (portable.poly_b_verts_cte). Both layers derive bit-exactly in
+numpy (tables.*_local) and SQL, so geometry results are oracle-checkable:
+
+- st_polygon_metrics: area/perimeter/centroid/npoints via the ST_ UDF
+  registry vs SQL shoelace over the vertex CTE.
+- st_point_roundtrip: WKB point encode/decode round-trip vs direct SQL.
+- st_predicates: pairwise convex-convex intersects matrix vs the SQL
+  edge-crossing + vertex-containment construction.
+- layer_intersection_area: OGRLayer::Intersection piece areas vs the
+  convex-convex intersection-polygon construction in pure SQL
+  (portable.convex_intersection_area_sql).
+- layer algebra union/erase/identity/clip/... : rows-only here (pinned
+  by area-invariant pytest goldens in tests/test_layer_algebra.py).
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark import portable, tables
+from gdal_spark.functions import register_st_functions
+from gdal_spark.operators.layer_algebra import layer_algebra
+
+
+def _metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_st_functions(spark)
+    a = tables.polygons_a_df(spark, sf_dir)
+    a.createOrReplaceTempView("layer_a")
+    return spark.sql(
+        """
+        select polygon_id,
+               round(st_area(geometry), 6) as area,
+               round(st_length(geometry), 6) as perimeter,
+               round(st_x(st_centroid(geometry)), 6) as cx,
+               round(st_y(st_centroid(geometry)), 6) as cy,
+               st_numpoints(geometry) as npoints,
+               st_isvalid(geometry) as valid
+        from layer_a
+        """
+    )
+
+
+def _metrics_oracle() -> str:
+    verts = portable.poly_verts_cte("duckdb")
+    return f"""
+    with v as ({verts}),
+    e as (
+      select a.polygon_id, a.vx as x1, a.vy as y1, b.vx as x2, b.vy as y2
+      from v a join v b on a.polygon_id = b.polygon_id and b.j = (a.j + 1) % 8
+    ),
+    m as (
+      select polygon_id,
+             sum(x1 * y2 - x2 * y1) / 2.0 as sa,
+             sum(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))) as perim,
+             sum((x1 + x2) * (x1 * y2 - x2 * y1)) as cx6,
+             sum((y1 + y2) * (x1 * y2 - x2 * y1)) as cy6
+      from e group by polygon_id
+    )
+    select polygon_id,
+           round(abs(sa), 6) as area,
+           round(perim, 6) as perimeter,
+           round(cx6 / (6.0 * sa), 6) as cx,
+           round(cy6 / (6.0 * sa), 6) as cy,
+           9 as npoints,
+           true as valid
+    from m
+    """
+
+
+def _point_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_st_functions(spark)
+    gp = tables.geo_pages(spark, sf_dir)
+    gp.createOrReplaceTempView("gp")
+    return spark.sql(
+        """
+        select url,
+               st_x(st_makepoint(lon, lat)) as x,
+               st_y(st_makepoint(lon, lat)) as y,
+               st_astext(st_makepoint(cast(round(lon, 3) as double),
+                                      cast(round(lat, 3) as double))) as wkt
+        from gp
+        """
+    )
+
+
+def _point_roundtrip_oracle() -> str:
+    g = portable.geo_pages_cte("duckdb")
+    # WKT number formatting: shortest-roundtrip repr of round(x,3) ==
+    # DuckDB's varchar cast for 3-decimal doubles (both trim zeros).
+    return f"""
+    with g as ({g})
+    select url, lon as x, lat as y,
+           concat('POINT (',
+                  regexp_replace(cast(round(lon, 3) as varchar), '\\.0$', ''),
+                  ' ',
+                  regexp_replace(cast(round(lat, 3) as varchar), '\\.0$', ''),
+                  ')') as wkt
+    from g
+    """
+
+
+def _predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_st_functions(spark)
+    a = tables.polygons_a_df(spark, sf_dir)
+    b = tables.polygons_b_df(spark, sf_dir)
+    pairs = a.crossJoin(b.withColumnRenamed("geometry", "geometry_b"))
+    return pairs.select(
+        "polygon_id",
+        "b_id",
+        F.expr("st_intersects(geometry, geometry_b)").alias("intersects"),
+    )
+
+
+def _predicates_oracle() -> str:
+    area_sql = portable.convex_intersection_area_sql("duckdb")
+    # intersects(convex, convex) ⇔ positive-area intersection OR touch;
+    # our layers never merely touch (generic offsets), so the area
+    # construction is the exact predicate.
+    return f"""
+    with ia as ({area_sql}),
+    a_ids as (select cast(n_nationkey as bigint) as polygon_id from nation),
+    b_ids as (select cast(n_nationkey as bigint) as b_id from nation)
+    select a.polygon_id, b.b_id,
+           (ia.input_id is not null) as intersects
+    from a_ids a cross join b_ids b
+    left join ia on ia.input_id = a.polygon_id and ia.method_id = b.b_id
+    """
+
+
+def _layer_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = tables.polygons_a_df(spark, sf_dir)
+    out = layer_algebra("intersection", a, tables.polygons_b_payload())
+    return out.select(
+        "input_id", "method_id", F.round("area", 6).alias("inter_area")
+    )
+
+
+def _layer_union_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = tables.polygons_a_df(spark, sf_dir)
+    out = layer_algebra("union", a, tables.polygons_b_payload())
+    return out.select("input_id", "method_id", F.round("area", 6).alias("area"))
+
+
+def _layer_erase_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = tables.polygons_a_df(spark, sf_dir)
+    out = layer_algebra("erase", a, tables.polygons_b_payload())
+    return out.select("input_id", F.round("area", 6).alias("area"))
+
+
+QUERIES = {
+    "st_polygon_metrics": _metrics,
+    "st_point_roundtrip": _point_roundtrip,
+    "st_predicates": _predicates,
+    "layer_intersection_area": _layer_intersection_area,
+    "layer_union_rows": _layer_union_rows,
+    "layer_erase_rows": _layer_erase_rows,
+}
+
+ORACLES = {
+    "st_polygon_metrics": _metrics_oracle(),
+    "st_point_roundtrip": _point_roundtrip_oracle(),
+    "st_predicates": _predicates_oracle(),
+    "layer_intersection_area": portable.convex_intersection_area_sql("duckdb"),
+}

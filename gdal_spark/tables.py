@@ -120,3 +120,48 @@ def polygons_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "polygon_id long, polygon_name string, geometry binary, "
         "minx double, miny double, maxx double, maxy double",
     )
+
+
+def polygon_b_ring_local(n_nationkey: int) -> np.ndarray:
+    """(8,2) open CCW ring of layer-B octagon; bit-exact with
+    portable.poly_b_verts_cte SQL."""
+    city = n_nationkey % 20
+    clat, clon = portable.CITIES[city]
+    r = 0.3 + float(n_nationkey % 4) * 0.2
+    return np.array(
+        [
+            (
+                clon + portable.POLY_B_SHIFT_LON
+                + (r * portable.POLY_B_XSCALE) * ux,
+                clat + portable.POLY_B_SHIFT_LAT + r * uy,
+            )
+            for (ux, uy) in portable.OCTAGON
+        ],
+        dtype=np.float64,
+    )
+
+
+def polygons_b_payload(n: int = 25) -> list[tuple[int, np.ndarray]]:
+    """[(b_id, ring)] — the layer-algebra method payload."""
+    return [(i, polygon_b_ring_local(i)) for i in range(n)]
+
+
+def polygons_a_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer A as (polygon_id, geometry WKB) DataFrame."""
+    register_views(spark, sf_dir)
+    n = spark.table("nation").count()
+    rows = [
+        (i, bytearray(polygon_to_wkb([polygon_rings_local(i)])))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "polygon_id long, geometry binary")
+
+
+def polygons_b_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    n = spark.table("nation").count()
+    rows = [
+        (i, bytearray(polygon_to_wkb([polygon_b_ring_local(i)])))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "b_id long, geometry binary")

@@ -1,0 +1,139 @@
+"""Geometry clipping kernel tests — area invariants + golden shapes."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.geometry import clip as C
+from gdal_spark.geometry.kernels import ring_area
+from gdal_spark.tables import polygon_b_ring_local, polygon_rings_local
+
+SQ = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+SQ_SHIFT = SQ + 1.0  # overlaps in [1,2]^2
+
+
+def area(r):
+    return abs(ring_area(r))
+
+
+def pieces_area(ps):
+    return sum(area(p) for p in ps)
+
+
+def test_clip_convex_squares():
+    inter = C.clip_convex(SQ, SQ_SHIFT)
+    assert area(inter) == pytest.approx(1.0, abs=1e-12)
+    assert sorted(map(tuple, inter.tolist())) == [
+        (1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0)
+    ]
+
+
+def test_clip_disjoint_and_contained():
+    far = SQ + 10.0
+    assert len(C.clip_convex(SQ, far)) == 0
+    small = SQ * 0.25 + 0.5
+    inter = C.clip_convex(small, SQ)
+    assert area(inter) == pytest.approx(0.25, abs=1e-12)
+
+
+def test_difference_decomposition_invariant():
+    d = C.difference_convex(SQ, SQ_SHIFT)
+    assert pieces_area(d) == pytest.approx(4.0 - 1.0, abs=1e-12)
+    # pieces are disjoint: pairwise intersection empty
+    for i in range(len(d)):
+        for j in range(i + 1, len(d)):
+            inter = C.clip_convex(d[i], d[j])
+            assert len(inter) == 0 or area(inter) < 1e-12
+
+
+def test_union_symdiff_areas():
+    u = C.union_convex(SQ, SQ_SHIFT)
+    assert pieces_area(u) == pytest.approx(4.0 + 4.0 - 1.0, abs=1e-12)
+    s = C.sym_difference_convex(SQ, SQ_SHIFT)
+    assert pieces_area(s) == pytest.approx(4.0 + 4.0 - 2.0, abs=1e-12)
+
+
+@pytest.mark.parametrize("n", range(0, 25, 5))
+def test_octagon_invariants(n):
+    a = polygon_rings_local(n)[:-1]
+    b = polygon_b_ring_local(n)
+    ia = area(C.clip_convex(a, b)) if len(C.clip_convex(a, b)) else 0.0
+    da = pieces_area(C.difference_convex(a, b))
+    assert ia + da == pytest.approx(area(a), rel=1e-10)
+    ua = pieces_area(C.union_convex(a, b))
+    assert ua == pytest.approx(area(a) + area(b) - ia, rel=1e-10)
+
+
+def test_concave_subject_convex_clip():
+    """Subjects may be concave (L-shape); clip is convex."""
+    L = np.array(
+        [[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3]], dtype=np.float64
+    )
+    win = np.array([[0.5, 0.5], [2.5, 0.5], [2.5, 2.5], [0.5, 2.5]])
+    inter = C.clip_convex(L, win)
+    # L ∩ window: bottom bar part (2.0 x 0.5) + left column part (0.5 x 2.0)
+    # = 1.0 + 1.0 minus double-counted corner 0.25 -> 1.75
+    assert area(inter) == pytest.approx(1.75, abs=1e-12)
+    d = C.difference_convex(L, win)
+    assert pieces_area(d) == pytest.approx(area(L) - 1.75, abs=1e-12)
+
+
+def test_predicates():
+    assert C.polygons_intersect(SQ, SQ_SHIFT)
+    assert not C.polygons_intersect(SQ, SQ + 10.0)
+    assert C.polygon_contains(SQ, SQ * 0.25 + 0.5)
+    assert not C.polygon_contains(SQ, SQ_SHIFT)
+    # containment also counts as intersecting
+    assert C.polygons_intersect(SQ, SQ * 0.25 + 0.5)
+
+
+def test_convex_hull():
+    pts = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [1, 1], [0.5, 0.5]])
+    h = C.convex_hull(pts)
+    assert area(h) == pytest.approx(4.0, abs=1e-12)
+    assert len(h) == 4
+
+
+def test_simplify_dp():
+    # square with a redundant midpoint on each edge
+    r = np.array(
+        [[0, 0], [1, 0], [2, 0], [2, 1], [2, 2], [1, 2], [0, 2], [0, 1]],
+        dtype=np.float64,
+    )
+    s = C.simplify_dp(r, tol=0.01)
+    assert len(s) == 4
+    assert area(s) == pytest.approx(4.0, abs=1e-12)
+    # below-tolerance wiggle removed, above-tolerance kept
+    r2 = r.astype(float)
+    r2[1, 1] = 0.005
+    assert len(C.simplify_dp(r2, tol=0.01)) == 4
+    r2[1, 1] = 0.5
+    assert len(C.simplify_dp(r2, tol=0.01)) == 5
+
+
+def test_segmentize():
+    seg = C.segmentize(SQ, max_len=0.5)
+    d = np.diff(np.vstack([seg, seg[:1]]), axis=0)
+    assert np.hypot(d[:, 0], d[:, 1]).max() <= 0.5 + 1e-12
+    assert area(seg) == pytest.approx(4.0, abs=1e-12)
+
+
+def test_buffer_point_and_polygon():
+    circle = C.buffer_point(0.0, 0.0, 1.0, quadrant_segments=16)
+    # inscribed 64-gon area = (k/2)·sin(2π/k) ≈ π·(1 − 1.6e-3)
+    assert area(circle) == pytest.approx(np.pi, rel=5e-3)
+    buf = C.buffer_polygon(SQ, 0.5, quadrant_segments=16)
+    # area + perim*d + pi*d^2 for convex round-join buffer
+    want = 4.0 + 8.0 * 0.5 + np.pi * 0.25
+    assert area(buf) == pytest.approx(want, rel=1e-3)
+    ero = C.buffer_polygon(SQ, -0.5)
+    assert area(ero) == pytest.approx(1.0, abs=1e-9)
+    gone = C.buffer_polygon(SQ, -1.5)
+    assert len(gone) == 0
+
+
+def test_distance():
+    assert C.polygon_distance(SQ, SQ_SHIFT) == 0.0
+    far = SQ + np.array([5.0, 0.0])
+    assert C.polygon_distance(SQ, far) == pytest.approx(3.0, abs=1e-12)
+    diag = SQ + 3.0
+    assert C.polygon_distance(SQ, diag) == pytest.approx(np.sqrt(2.0), abs=1e-12)

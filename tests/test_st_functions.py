@@ -1,0 +1,128 @@
+"""ST_* registry tests (SQL-callable geometry functions over WKB)."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.functions import register_st_functions
+from gdal_spark.geometry import wkb as W
+from gdal_spark.geometry import wkt as T
+
+
+@pytest.fixture(scope="module")
+def st(spark):
+    register_st_functions(spark)
+    sq = W.polygon_to_wkb(
+        [np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])]
+    )
+    sq_shift = W.polygon_to_wkb(
+        [np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]])]
+    )
+    far = W.polygon_to_wkb(
+        [np.array([[10.0, 0.0], [12.0, 0.0], [12.0, 2.0], [10.0, 2.0]])]
+    )
+    spark.createDataFrame(
+        [(1, bytearray(sq)), (2, bytearray(sq_shift)), (3, bytearray(far))],
+        "id long, g binary",
+    ).createOrReplaceTempView("shapes")
+    return spark
+
+
+def _one(st, expr):
+    return st.sql(f"select {expr} as v from shapes where id = 1").collect()[0].v
+
+
+def test_scalars(st):
+    assert _one(st, "st_area(g)") == 4.0
+    assert _one(st, "st_length(g)") == 8.0
+    assert _one(st, "st_numpoints(g)") == 5  # closed ring
+    assert _one(st, "st_isvalid(g)")
+    assert _one(st, "st_srid(g)") == 4326
+    assert _one(st, "st_x(st_centroid(g))") == 1.0
+    assert _one(st, "st_y(st_centroid(g))") == 1.0
+    assert _one(st, "st_astext(st_centroid(g))") == "POINT (1 1)"
+
+
+def test_geomfromtext_roundtrip(st):
+    row = st.sql(
+        "select st_astext(st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) as v"
+    ).collect()[0]
+    assert row.v == "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    row = st.sql(
+        "select st_area(st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) as v"
+    ).collect()[0]
+    assert row.v == 1.0
+
+
+def test_predicates_and_setops(st):
+    m = st.sql(
+        """
+        select a.id as ia, b.id as ib,
+               st_intersects(a.g, b.g) as inter,
+               st_disjoint(a.g, b.g) as disj,
+               round(st_distance(a.g, b.g), 6) as dist
+        from shapes a join shapes b on a.id < b.id
+        """
+    ).collect()
+    by = {(r.ia, r.ib): r for r in m}
+    assert by[(1, 2)].inter and not by[(1, 2)].disj and by[(1, 2)].dist == 0.0
+    assert not by[(1, 3)].inter and by[(1, 3)].disj and by[(1, 3)].dist == 8.0
+
+    areas = st.sql(
+        """
+        select round(st_area(st_intersection(a.g, b.g)), 9) as i,
+               round(st_area(st_union(a.g, b.g)), 9) as u,
+               round(st_area(st_difference(a.g, b.g)), 9) as d,
+               round(st_area(st_symdifference(a.g, b.g)), 9) as s
+        from shapes a join shapes b on a.id = 1 and b.id = 2
+        """
+    ).collect()[0]
+    assert areas.i == 1.0
+    assert areas.u == 7.0
+    assert areas.d == 3.0
+    assert areas.s == 6.0
+
+
+def test_contains_within(st):
+    inner = W.polygon_to_wkb(
+        [np.array([[0.5, 0.5], [1.0, 0.5], [1.0, 1.0], [0.5, 1.0]])]
+    )
+    st.createDataFrame([(9, bytearray(inner))], "id long, g binary") \
+        .createOrReplaceTempView("inner_shape")
+    r = st.sql(
+        """
+        select st_contains(s.g, i.g) as c, st_within(i.g, s.g) as w
+        from shapes s cross join inner_shape i where s.id = 1
+        """
+    ).collect()[0]
+    assert r.c and r.w
+
+
+def test_buffer_hull_simplify(st):
+    r = st.sql(
+        """
+        select round(st_area(st_buffer(g, cast(0.5 as double))), 3) as b,
+               round(st_area(st_convexhull(g)), 6) as h,
+               st_numpoints(st_simplify(g, cast(0.01 as double))) as s
+        from shapes where id = 1
+        """
+    ).collect()[0]
+    assert abs(r.b - (4.0 + 8.0 * 0.5 + np.pi * 0.25)) < 0.05
+    assert r.h == 4.0
+    assert r.s == 5
+
+
+def test_envelope(st):
+    r = st.sql(
+        "select st_astext(st_envelope(g)) as v from shapes where id = 2"
+    ).collect()[0]
+    assert r.v == "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+
+
+def test_wkt_module_roundtrip():
+    for wkt in [
+        "POINT (1.5 -2.25)",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))",
+    ]:
+        assert T.wkb_to_wkt(T.wkt_to_wkb(wkt)) == wkt
