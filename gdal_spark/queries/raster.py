@@ -1,9 +1,270 @@
-"""Raster queries (translate/warp/tile/zonal) — SURVEY §2.9-2.10.
+"""Raster queries (SURVEY §2.9-2.10) over the analytic block fixture
+`grad100` (value(x,y,band) = (x*7 + y*13 + band*17) % 256, 100×100×3,
+blocked 32×32, georeferenced over New York ±2°).
 
-Filled in as the raster block engine lands.
+Because the fixture is analytic, DuckDB reconstructs any pixel from
+(x, y, band) with generate_series — giving true SQL oracles for
+checksum, statistics, translate windows, as-features and zonal stats.
+Tile pyramid and focal/DEM outputs are pinned by pytest goldens
+(rows-only here): their resampling math has no SQL equivalent.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark import tables
+from gdal_spark.raster import focal as RF
+from gdal_spark.raster import model, ops
+from gdal_spark.raster import tile as RT
+
+W = H = 100
+BANDS = 3
+
+PIXELS_CTE = f"""
+  select x.x as x, y.y as y, b.band as band,
+         cast(({model.VALUE_SQL.format(x='x.x', y='y.y', band='b.band')})
+              as double) as value
+  from (select unnest(range({W})) as x) x
+  cross join (select unnest(range({H})) as y) y
+  cross join (select unnest(range(1, {BANDS + 1})) as band) b
+"""
+
+
+def _blocks(spark: SparkSession):
+    return model.synth_blocks(spark, model.grad100_spec())
+
+
+def _checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.checksum(_blocks(spark), width=W).withColumn(
+        "dataset", F.lit("grad100")
+    )
+
+
+CHECKSUM_ORACLE = f"""
+    with px as ({PIXELS_CTE})
+    select 'grad100' as dataset, band,
+           sum(cast(value as bigint) %
+               (case (y * {W} + x) % 11
+                  when 0 then 7 when 1 then 11 when 2 then 13 when 3 then 17
+                  when 4 then 19 when 5 then 23 when 6 then 29 when 7 then 31
+                  when 8 then 37 when 9 then 41 else 43 end)) % 65536
+             as checksum
+    from px group by band
+"""
+
+
+def _band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = ops.band_stats(_blocks(spark))
+    return s.select(
+        "dataset",
+        "band",
+        "cnt",
+        "vmin",
+        "vmax",
+        "vsum",
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev_pop", 6).alias("stddev_pop"),
+    )
+
+
+BAND_STATS_ORACLE = f"""
+    with px as ({PIXELS_CTE})
+    select 'grad100' as dataset, band,
+           count(*) as cnt,
+           min(value) as vmin,
+           max(value) as vmax,
+           sum(value) as vsum,
+           round(avg(value), 6) as mean,
+           round(stddev_pop(value), 6) as stddev_pop
+    from px group by band
+"""
+
+
+SRCWIN = (10, 20, 50, 40)  # x, y, w, h
+
+
+def _translate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = ops.translate(
+        _blocks(spark), SRCWIN, ot="int32", scale=(2.0, 1.0), bands=[1, 2]
+    )
+    s = ops.band_stats(t)
+    return s.select(
+        "band", "cnt", "vmin", "vmax", "vsum", F.round("mean", 6).alias("mean")
+    )
+
+
+TRANSLATE_ORACLE = f"""
+    with px as ({PIXELS_CTE}),
+    win as (
+        select band, floor(value * 2.0 + 1.0 + 0.5) as v
+        from px
+        where band in (1, 2)
+          and x >= {SRCWIN[0]} and x < {SRCWIN[0] + SRCWIN[2]}
+          and y >= {SRCWIN[1]} and y < {SRCWIN[1] + SRCWIN[3]}
+    )
+    select band, count(*) as cnt, min(v) as vmin, max(v) as vmax,
+           sum(v) as vsum, round(avg(v), 6) as mean
+    from win group by band
+"""
+
+
+def _as_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = ops.as_features(_blocks(spark))
+    return f.where("band = 1 and x < 8 and y < 8").select(
+        "x",
+        "y",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        "value",
+    )
+
+
+def _gt() -> tuple[float, ...]:
+    return model.grad100_spec().gt
+
+
+def _as_features_oracle() -> str:
+    gt = _gt()
+    return f"""
+    with px as ({PIXELS_CTE})
+    select x, y,
+           round({gt[0]!r} + (x + 0.5) * {gt[1]!r}, 6) as lon,
+           round({gt[3]!r} + (y + 0.5) * {gt[5]!r}, 6) as lat,
+           value
+    from px where band = 1 and x < 8 and y < 8
+"""
+
+
+def _norm_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nd = ops.pixel_function(
+        _blocks(spark).where("band in (1, 2)"), "norm_diff"
+    )
+    s = ops.band_stats(nd)
+    return s.select(
+        "cnt",
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round("mean", 6).alias("mean"),
+    )
+
+
+NORM_DIFF_ORACLE = f"""
+    with px as ({PIXELS_CTE}),
+    wide as (
+        select x, y,
+               max(case when band = 1 then value end) as v1,
+               max(case when band = 2 then value end) as v2
+        from px where band in (1, 2) group by x, y
+    ),
+    nd as (
+        select case when v1 + v2 = 0 then 0.0
+                    else (v1 - v2) / (v1 + v2) end as v
+        from wide
+    )
+    select count(*) as cnt,
+           round(min(v), 6) as vmin,
+           round(max(v), 6) as vmax,
+           round(avg(v), 6) as mean
+    from nd
+"""
+
+
+def _zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # zones: the two layer-A octagons centered on New York (city 0):
+    # polygon 0 (r=0.35) and polygon 20 (r=0.35) are identical; use
+    # polygon 0 and the bigger layer-B octagon 0 as distinct zones.
+    zones = [
+        (0, tables.polygon_rings_local(0)[:-1]),
+        (1, tables.polygon_b_ring_local(0)),
+    ]
+    z = ops.zonal_stats(_blocks(spark), zones, band=1)
+    return z.select(
+        "zone_id", "cnt", "vsum", F.round("mean", 6).alias("mean"),
+        "vmin", "vmax",
+    )
+
+
+def _zonal_oracle() -> str:
+    from gdal_spark import portable
+
+    gt = _gt()
+    octa = tables.polygon_rings_local(0)[:-1]
+    octb = tables.polygon_b_ring_local(0)
+
+    def edges_sql(zone_id: int, ring) -> str:
+        rows = []
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            rows.append(
+                f"select {zone_id} as zone_id, cast({x1!r} as double) as x1, "
+                f"cast({y1!r} as double) as y1, cast({x2!r} as double) as x2, "
+                f"cast({y2!r} as double) as y2"
+            )
+        return " union all ".join(rows)
+
+    _ = portable
+    return f"""
+    with px as ({PIXELS_CTE}),
+    pts as (
+        select value,
+               {gt[0]!r} + (x + 0.5) * {gt[1]!r} as lon,
+               {gt[3]!r} + (y + 0.5) * {gt[5]!r} as lat
+        from px where band = 1
+    ),
+    e as ({edges_sql(0, octa)} union all {edges_sql(1, octb)}),
+    hits as (
+        select e.zone_id, p.lon, p.lat, p.value,
+               sum(case when ((e.y1 > p.lat) <> (e.y2 > p.lat))
+                         and (p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                                      / (e.y2 - e.y1) + e.x1)
+                    then 1 else 0 end) as crossings
+        from pts p join e on true
+        group by e.zone_id, p.lon, p.lat, p.value
+    )
+    select zone_id, count(*) as cnt, sum(value) as vsum,
+           round(avg(value), 6) as mean,
+           min(value) as vmin, max(value) as vmax
+    from hits where crossings % 2 = 1
+    group by zone_id
+"""
+
+
+def _tile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ pyramid z8→z6 of grad100 band 1 (rows-only; pinned by
+    tests/test_tiles.py goldens + pyramid invariants)."""
+    blocks = _blocks(spark).where("band = 1")
+    t = RT.tile_pyramid(blocks, z_base=8, z_min=6, resampling="bilinear")
+    return t.select("band", "z", "tile_x", "tile_y", "checksum")
+
+
+def _hillshade_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEM hillshade block checksums (rows-only; analytic-plane goldens
+    in tests/test_focal.py)."""
+    blocks = model.synth_blocks(spark, model.plane_spec())
+    hs = RF.focal(blocks, "hillshade")
+    return ops.checksum(hs, width=60).select("dataset", "band", "checksum")
+
+
+QUERIES = {
+    "raster_checksum": _checksum,
+    "raster_band_stats": _band_stats,
+    "raster_translate_stats": _translate_stats,
+    "raster_as_features": _as_features,
+    "raster_norm_diff_stats": _norm_diff_stats,
+    "raster_zonal_stats": _zonal,
+    "raster_tile_pyramid": _tile_checksums,
+    "raster_hillshade": _hillshade_checksums,
+}
+
+ORACLES = {
+    "raster_checksum": CHECKSUM_ORACLE,
+    "raster_band_stats": BAND_STATS_ORACLE,
+    "raster_translate_stats": TRANSLATE_ORACLE,
+    "raster_as_features": _as_features_oracle(),
+    "raster_norm_diff_stats": NORM_DIFF_ORACLE,
+    "raster_zonal_stats": _zonal_oracle(),
+}

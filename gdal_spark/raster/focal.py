@@ -1,0 +1,245 @@
+"""Focal (neighborhood) raster operators via block halo exchange.
+
+The reference computes N×N focal stats and 3×3 DEM derivatives with
+scanline buffers (apps/gdalalg_raster_neighbors.cpp:206-224,
+apps/gdaldem_lib.cpp Horn kernels). Distributed re-expression:
+
+1. HALO EXCHANGE — every block emits its payload to itself and a
+   1-pixel-wide strip to each of its 8 neighbors, keyed by the receiving
+   block id. One shuffle, strip rows are ~2/blocksize of the data.
+2. ASSEMBLE + STENCIL — applyInPandas per receiving block pads the
+   array with neighbor strips (edge replicate at raster borders, like
+   GDAL's edge handling) and runs the numpy stencil.
+
+This is the general halo pattern for any kernel radius r (strips of
+width r); radius 1 here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.raster import model
+
+_HALO_SCHEMA = (
+    "dataset string, band int, tbx int, tby int, dx int, dy int, "
+    "x0 int, y0 int, width int, height int, dtype string, "
+    "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, gt5 double, "
+    "nodata double, buf binary"
+)
+
+
+def _halo_emit(blocks: DataFrame) -> DataFrame:
+    """Emit (target block, offset dx/dy, strip) rows."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype))
+                strips = {
+                    (0, 0): a,
+                    (-1, 0): a[:, :1],
+                    (1, 0): a[:, -1:],
+                    (0, -1): a[:1, :],
+                    (0, 1): a[-1:, :],
+                    (-1, -1): a[:1, :1],
+                    (1, -1): a[:1, -1:],
+                    (-1, 1): a[-1:, :1],
+                    (1, 1): a[-1:, -1:],
+                }
+                for (dx, dy), s in strips.items():
+                    out.append(
+                        (
+                            r.dataset,
+                            r.band,
+                            r.bx + dx,
+                            r.by + dy,
+                            dx,
+                            dy,
+                            r.x0,
+                            r.y0,
+                            s.shape[1],
+                            s.shape[0],
+                            r.dtype,
+                            r.gt0,
+                            r.gt1,
+                            r.gt2,
+                            r.gt3,
+                            r.gt4,
+                            r.gt5,
+                            r.nodata,
+                            np.ascontiguousarray(s).tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=[c.split()[0] for c in _HALO_SCHEMA.split(", ")]
+            )
+
+    return blocks.mapInPandas(fn, _HALO_SCHEMA)
+
+
+def _assemble(pdf: pd.DataFrame) -> tuple[np.ndarray, pd.Series] | None:
+    """Padded (h+2, w+2) array from self + neighbor strips; edge
+    replicate where a neighbor is absent (raster border)."""
+    self_rows = pdf[(pdf.dx == 0) & (pdf.dy == 0)]
+    if len(self_rows) == 0:
+        return None  # strip sent past the raster edge
+    c = self_rows.iloc[0]
+    # NB: c["dtype"] — attribute access would hit pandas Series.dtype
+    a = model.decode((c.buf, c.height, c.width, c["dtype"])).astype(np.float64)
+    h, w = a.shape
+    pad = np.empty((h + 2, w + 2), dtype=np.float64)
+    pad[1:-1, 1:-1] = a
+    # replicate defaults
+    pad[0, 1:-1] = a[0]
+    pad[-1, 1:-1] = a[-1]
+    pad[1:-1, 0] = a[:, 0]
+    pad[1:-1, -1] = a[:, -1]
+    pad[0, 0], pad[0, -1], pad[-1, 0], pad[-1, -1] = (
+        a[0, 0],
+        a[0, -1],
+        a[-1, 0],
+        a[-1, -1],
+    )
+    for r in pdf.itertuples():
+        if r.dx == 0 and r.dy == 0:
+            continue
+        s = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+            np.float64
+        )  # itertuples namedtuple: .dtype is the column here
+        # a strip from neighbor (dx,dy) lands on the OPPOSITE padded edge
+        if (r.dx, r.dy) == (1, 0):
+            pad[1:-1, 0] = s[:, 0] if s.shape[0] == h else pad[1:-1, 0]
+        elif (r.dx, r.dy) == (-1, 0):
+            pad[1:-1, -1] = s[:, 0] if s.shape[0] == h else pad[1:-1, -1]
+        elif (r.dx, r.dy) == (0, 1):
+            pad[0, 1:-1] = s[0] if s.shape[1] == w else pad[0, 1:-1]
+        elif (r.dx, r.dy) == (0, -1):
+            pad[-1, 1:-1] = s[0] if s.shape[1] == w else pad[-1, 1:-1]
+        elif (r.dx, r.dy) == (1, 1):
+            pad[0, 0] = s[0, 0]
+        elif (r.dx, r.dy) == (-1, 1):
+            pad[0, -1] = s[0, 0]
+        elif (r.dx, r.dy) == (1, -1):
+            pad[-1, 0] = s[0, 0]
+        elif (r.dx, r.dy) == (-1, -1):
+            pad[-1, -1] = s[0, 0]
+    return pad, c
+
+
+def _w(pad: np.ndarray):
+    """The 9 shifted views a..i (GDAL window naming, gdaldem_lib.cpp):
+    a b c / d e f / g h i."""
+    return {
+        "a": pad[:-2, :-2],
+        "b": pad[:-2, 1:-1],
+        "c": pad[:-2, 2:],
+        "d": pad[1:-1, :-2],
+        "e": pad[1:-1, 1:-1],
+        "f": pad[1:-1, 2:],
+        "g": pad[2:, :-2],
+        "h": pad[2:, 1:-1],
+        "i": pad[2:, 2:],
+    }
+
+
+def _horn_derivs(pad, ew, ns):
+    w = _w(pad)
+    dzdx = ((w["c"] + 2 * w["f"] + w["i"]) - (w["a"] + 2 * w["d"] + w["g"])) / (
+        8.0 * ew
+    )
+    dzdy = ((w["g"] + 2 * w["h"] + w["i"]) - (w["a"] + 2 * w["b"] + w["c"])) / (
+        8.0 * ns
+    )
+    return dzdx, dzdy
+
+
+def _kernel_out(op: str, pad: np.ndarray, c) -> np.ndarray:
+    ew = abs(c.gt1)
+    ns = abs(c.gt5)
+    if op in ("mean", "sum", "min", "max", "stddev", "median"):
+        stack = np.stack(list(_w(pad).values()))
+        return {
+            "mean": stack.mean(0),
+            "sum": stack.sum(0),
+            "min": stack.min(0),
+            "max": stack.max(0),
+            "stddev": stack.std(0),
+            "median": np.median(stack, 0),
+        }[op]
+    dzdx, dzdy = _horn_derivs(pad, ew, ns)
+    if op == "slope":  # degrees (gdaldem slope, Horn; gdaldem_lib.cpp:860)
+        return np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+    if op == "aspect":  # azimuth degrees from north, clockwise
+        az = np.degrees(np.arctan2(dzdy, -dzdx))
+        az = 90.0 - az
+        az = np.where(az < 0, az + 360.0, az)
+        az = np.where(az >= 360.0, az - 360.0, az)
+        return az
+    if op == "hillshade":  # default az=315 alt=45
+        azr = np.radians(360.0 - 315.0 + 90.0)
+        altr = np.radians(45.0)
+        slope = np.arctan(np.hypot(dzdx, dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        shade = np.sin(altr) * np.cos(slope) + np.cos(altr) * np.sin(
+            slope
+        ) * np.cos(azr - aspect)
+        return np.clip(1.0 + 254.0 * shade, 1.0, 255.0)
+    if op == "tri":  # terrain ruggedness: mean |e - neighbor|
+        w = _w(pad)
+        return (
+            sum(abs(w[k] - w["e"]) for k in "abcdfghi") / 8.0
+        )
+    if op == "tpi":  # e - mean(neighbors)
+        w = _w(pad)
+        return w["e"] - sum(w[k] for k in "abcdfghi") / 8.0
+    if op == "roughness":  # max - min of window
+        stack = np.stack(list(_w(pad).values()))
+        return stack.max(0) - stack.min(0)
+    raise ValueError(f"unknown focal op {op}")
+
+
+def focal(blocks: DataFrame, op: str) -> DataFrame:
+    """Focal/DEM operator → new block table (float64 payload)."""
+    halo = _halo_emit(blocks)
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        asm = _assemble(pdf)
+        if asm is None:
+            return pd.DataFrame(
+                columns=[c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")]
+            )
+        pad, c = asm
+        out = _kernel_out(op, pad, c)
+        return pd.DataFrame(
+            [
+                (
+                    str(c.dataset) + "_" + op,
+                    int(c.band),
+                    int(key[2]),
+                    int(key[3]),
+                    int(c.x0),
+                    int(c.y0),
+                    out.shape[1],
+                    out.shape[0],
+                    "float64",
+                    c.gt0,
+                    c.gt1,
+                    c.gt2,
+                    c.gt3,
+                    c.gt4,
+                    c.gt5,
+                    None,
+                    np.ascontiguousarray(out).tobytes(),
+                )
+            ],
+            columns=[cc.split()[0] for cc in model.BLOCK_SCHEMA.split(", ")],
+        )
+
+    return halo.groupBy("dataset", "band", "tbx", "tby").applyInPandas(
+        fn, model.BLOCK_SCHEMA
+    )

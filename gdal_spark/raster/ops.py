@@ -1,0 +1,405 @@
+"""Core raster operators over the block table: checksum, statistics,
+translate (crop/cast/scale), as-features, pixel functions, zonal stats.
+
+All kernels are numpy inside mapInPandas/applyInPandas (Arrow batches of
+block rows — the unit of work, like the reference's 64 MiB warp chunks,
+alg/gdalwarpoperation.cpp:611). Aggregations emit per-block PARTIALS and
+let Spark's partial/final aggregation merge them, so nothing ever
+materializes a pixel-per-row table at scale (SURVEY §2.4 zonal row).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.geometry.kernels import points_in_rings
+from gdal_spark.raster import model
+
+# GDAL checksum prime table (alg/gdalchecksum.cpp:55-56); the running
+# pixel index is global row-major over the full raster, so each pixel's
+# contribution val % primes[(y*W + x) % 11] is independent → the sum
+# distributes over blocks and the final & 0xffff happens once.
+_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int64)
+
+
+def checksum(blocks: DataFrame, width: int) -> DataFrame:
+    """(dataset, band, checksum) — GDALChecksumImage parity
+    (alg/gdalchecksum.cpp:48-374, window = full raster)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                arr = model.decode((r.buf, r.height, r.width, r.dtype))
+                if arr.dtype.kind == "f":
+                    # GDALCopyWords float→Int32: floor(v + 0.5)
+                    arr = np.floor(arr.astype(np.float64) + 0.5).astype(np.int64)
+                else:
+                    arr = arr.astype(np.int64)
+                ys = np.arange(r.y0, r.y0 + r.height, dtype=np.int64)
+                xs = np.arange(r.x0, r.x0 + r.width, dtype=np.int64)
+                gidx = ys[:, None] * width + xs[None, :]
+                contrib = arr % _PRIMES[gidx % 11]
+                rows.append((r.dataset, r.band, int(contrib.sum())))
+            yield pd.DataFrame(rows, columns=["dataset", "band", "partial"])
+
+    partials = blocks.mapInPandas(fn, "dataset string, band int, partial long")
+    return partials.groupBy("dataset", "band").agg(
+        (F.sum("partial") % 65536).alias("checksum")
+    )
+
+
+def band_stats(blocks: DataFrame) -> DataFrame:
+    """(dataset, band, cnt, vmin, vmax, vsum, mean, stddev_pop) via
+    per-block partials + Spark merge (ComputeStatistics parity,
+    gcore/gdal_rasterband.h)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.float64
+                )
+                if r.nodata is not None and not pd.isna(r.nodata):
+                    a = a[a != r.nodata]
+                rows.append(
+                    (
+                        r.dataset,
+                        r.band,
+                        int(a.size),
+                        float(a.min()) if a.size else None,
+                        float(a.max()) if a.size else None,
+                        float(a.sum()),
+                        float((a * a).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["dataset", "band", "n", "mn", "mx", "s", "ss"],
+            )
+
+    partials = blocks.mapInPandas(
+        fn,
+        "dataset string, band int, n long, mn double, mx double, "
+        "s double, ss double",
+    )
+    agg = partials.groupBy("dataset", "band").agg(
+        F.sum("n").alias("cnt"),
+        F.min("mn").alias("vmin"),
+        F.max("mx").alias("vmax"),
+        F.sum("s").alias("vsum"),
+        F.sum("ss").alias("vsumsq"),
+    )
+    return agg.select(
+        "dataset",
+        "band",
+        "cnt",
+        "vmin",
+        "vmax",
+        "vsum",
+        (F.col("vsum") / F.col("cnt")).alias("mean"),
+        F.sqrt(
+            F.col("vsumsq") / F.col("cnt")
+            - (F.col("vsum") / F.col("cnt")) ** 2
+        ).alias("stddev_pop"),
+    )
+
+
+def translate(
+    blocks: DataFrame,
+    srcwin: tuple[int, int, int, int],
+    ot: str | None = None,
+    scale: tuple[float, float] | None = None,
+    bands: list[int] | None = None,
+) -> DataFrame:
+    """GDALTranslate subset: -srcwin crop, -ot cast, -scale a*v+b, band
+    select (apps/gdal_translate_lib.cpp:645). Blocks outside the window
+    are pruned BEFORE the kernel by a Catalyst filter on (x0, y0) — the
+    partition-pruning analog of -srcwin."""
+    wx, wy, ww, wh = srcwin
+    cand = blocks.where(
+        (F.col("x0") < wx + ww)
+        & (F.col("x0") + F.col("width") > wx)
+        & (F.col("y0") < wy + wh)
+        & (F.col("y0") + F.col("height") > wy)
+    )
+    if bands:
+        cand = cand.where(F.col("band").isin(bands))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype))
+                ix0 = max(r.x0, wx)
+                iy0 = max(r.y0, wy)
+                ix1 = min(r.x0 + r.width, wx + ww)
+                iy1 = min(r.y0 + r.height, wy + wh)
+                sub = a[iy0 - r.y0 : iy1 - r.y0, ix0 - r.x0 : ix1 - r.x0]
+                v = sub.astype(np.float64)
+                if scale is not None:
+                    v = v * scale[0] + scale[1]
+                tgt = np.dtype(ot) if ot else a.dtype
+                if tgt.kind in "iu":
+                    v = np.clip(
+                        np.floor(v + 0.5),
+                        np.iinfo(tgt).min,
+                        np.iinfo(tgt).max,
+                    )
+                v = v.astype(tgt)
+                # re-origin: output pixel (0,0) = window origin
+                gt = (
+                    r.gt0 + wx * r.gt1,
+                    r.gt1,
+                    0.0,
+                    r.gt3 + wy * r.gt5,
+                    0.0,
+                    r.gt5,
+                )
+                out.append(
+                    (
+                        r.dataset + "_xlat",
+                        r.band,
+                        r.bx,
+                        r.by,
+                        ix0 - wx,
+                        iy0 - wy,
+                        v.shape[1],
+                        v.shape[0],
+                        str(tgt),
+                        *gt,
+                        r.nodata,
+                        np.ascontiguousarray(v).tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")],
+            )
+
+    return cand.mapInPandas(fn, model.BLOCK_SCHEMA)
+
+
+def as_features(blocks: DataFrame) -> DataFrame:
+    """raster → vector rows: one row per pixel with center lon/lat
+    (gdal raster as-features, apps/gdalalg_raster_as_features.cpp:49-57).
+    Scale note: explodes pixels — use only behind a window filter/tile."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype))
+                ys, xs = np.mgrid[0 : r.height, 0 : r.width]
+                gx = (xs + r.x0).ravel()
+                gy = (ys + r.y0).ravel()
+                lon = r.gt0 + (gx + 0.5) * r.gt1 + (gy + 0.5) * r.gt2
+                lat = r.gt3 + (gx + 0.5) * r.gt4 + (gy + 0.5) * r.gt5
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "dataset": r.dataset,
+                            "band": r.band,
+                            "x": gx,
+                            "y": gy,
+                            "lon": lon,
+                            "lat": lat,
+                            "value": a.ravel().astype(np.float64),
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["dataset", "band", "x", "y", "lon", "lat", "value"]
+            )
+
+    return blocks.mapInPandas(
+        fn,
+        "dataset string, band int, x long, y long, "
+        "lon double, lat double, value double",
+    )
+
+
+# --- VRT pixel functions (frmts/vrt/pixelfunctions.cpp:4370-4457 subset) ---
+
+_PIXFUNCS = {
+    "sum": lambda bands: np.sum(bands, axis=0),
+    "diff": lambda bands: bands[0] - bands[1],
+    "mul": lambda bands: np.prod(bands, axis=0),
+    "div": lambda bands: np.divide(
+        bands[0], bands[1], out=np.zeros_like(bands[0]), where=bands[1] != 0
+    ),
+    "min": lambda bands: np.min(bands, axis=0),
+    "max": lambda bands: np.max(bands, axis=0),
+    "mean": lambda bands: np.mean(bands, axis=0),
+    "sqrt": lambda bands: np.sqrt(bands[0]),
+    "log10": lambda bands: np.log10(np.maximum(bands[0], 1e-300)),
+    "exp": lambda bands: np.exp(bands[0]),
+    "norm_diff": lambda bands: np.divide(
+        bands[0] - bands[1],
+        bands[0] + bands[1],
+        out=np.zeros_like(bands[0]),
+        where=(bands[0] + bands[1]) != 0,
+    ),
+    "intensity": lambda bands: np.mean(bands, axis=0),
+}
+
+
+def pixel_function(blocks: DataFrame, func: str) -> DataFrame:
+    """Derived band = func(all bands of a block), float64 output —
+    the VRT derived-band contract (in: ndarray stack, out: ndarray;
+    frmts/vrt/vrtderivedrasterband.cpp:446-520)."""
+    if func not in _PIXFUNCS:
+        raise ValueError(f"unknown pixel function {func}")
+    kern = _PIXFUNCS[func]
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("band")
+        stack = np.stack(
+            [
+                model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.float64
+                )
+                for r in pdf.itertuples()
+            ]
+        )
+        out = kern(stack)
+        r0 = pdf.iloc[0]
+        return pd.DataFrame(
+            [
+                (
+                    r0.dataset,
+                    1,
+                    r0.bx,
+                    r0.by,
+                    r0.x0,
+                    r0.y0,
+                    r0.width,
+                    r0.height,
+                    "float64",
+                    r0.gt0,
+                    r0.gt1,
+                    r0.gt2,
+                    r0.gt3,
+                    r0.gt4,
+                    r0.gt5,
+                    None,
+                    np.ascontiguousarray(out).tobytes(),
+                )
+            ],
+            columns=[c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")],
+        )
+
+    return blocks.groupBy("dataset", "bx", "by").applyInPandas(
+        fn, model.BLOCK_SCHEMA
+    )
+
+
+def reclassify(blocks: DataFrame, mapping: dict[int, int], default: int = 0) -> DataFrame:
+    """Reclassify mapping DSL analog (apps/gdalalg_raster_reclassify.cpp)."""
+    keys = np.array(sorted(mapping), dtype=np.int64)
+    vals = np.array([mapping[k] for k in sorted(mapping)], dtype=np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.int64
+                )
+                idx = np.searchsorted(keys, a)
+                idx = np.clip(idx, 0, len(keys) - 1)
+                hit = keys[idx] == a
+                res = np.where(hit, vals[idx], default).astype(np.int32)
+                d = r._asdict()
+                d["dtype"] = "int32"
+                d["buf"] = np.ascontiguousarray(res).tobytes()
+                d.pop("Index", None)
+                out.append(d)
+            yield pd.DataFrame(out)
+
+    return blocks.mapInPandas(fn, model.BLOCK_SCHEMA)
+
+
+# --- zonal statistics (alg/zonal.cpp; Raptor VLDB'19 layout) ---
+
+
+def zonal_stats(
+    blocks: DataFrame,
+    zones: list[tuple[int, np.ndarray]],
+    band: int = 1,
+) -> DataFrame:
+    """(zone_id, cnt, vsum, mean, vmin, vmax) — DEFAULT pixel inclusion
+    (pixel CENTER inside the zone polygon, alg/zonal.cpp:2079). Zones are
+    broadcast; per (block × zone) partials merge via groupBy — the
+    RASTER_SEQUENTIAL strategy (alg/zonal.cpp:2111) distributed."""
+    spark = blocks.sparkSession
+    bc = spark.sparkContext.broadcast(
+        [(int(z), np.asarray(r, dtype=np.float64).tolist()) for z, r in zones]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zs = [(z, np.asarray(r)) for z, r in bc.value]
+        zboxes = [
+            (r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max())
+            for _, r in zs
+        ]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.float64
+                )
+                ys, xs = np.mgrid[0 : r.height, 0 : r.width]
+                gx = (xs + r.x0).ravel()
+                gy = (ys + r.y0).ravel()
+                lon = r.gt0 + (gx + 0.5) * r.gt1
+                lat = r.gt3 + (gy + 0.5) * r.gt5
+                v = a.ravel()
+                bminx, bmaxx = lon.min(), lon.max()
+                bminy, bmaxy = lat.min(), lat.max()
+                for (zid, ring), (zx0, zy0, zx1, zy1) in zip(zs, zboxes):
+                    if bminx > zx1 or bmaxx < zx0 or bminy > zy1 or bmaxy < zy0:
+                        continue
+                    inside = points_in_rings(lon, lat, [ring])
+                    if not inside.any():
+                        continue
+                    sel = v[inside]
+                    rows.append(
+                        (
+                            zid,
+                            int(sel.size),
+                            float(sel.sum()),
+                            float(sel.min()),
+                            float(sel.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["zone_id", "n", "s", "mn", "mx"]
+            )
+
+    partials = blocks.where(F.col("band") == band).mapInPandas(
+        fn, "zone_id long, n long, s double, mn double, mx double"
+    )
+    return (
+        partials.groupBy("zone_id")
+        .agg(
+            F.sum("n").alias("cnt"),
+            F.sum("s").alias("vsum"),
+            F.min("mn").alias("vmin"),
+            F.max("mx").alias("vmax"),
+        )
+        .select(
+            "zone_id",
+            "cnt",
+            "vsum",
+            (F.col("vsum") / F.col("cnt")).alias("mean"),
+            "vmin",
+            "vmax",
+        )
+    )

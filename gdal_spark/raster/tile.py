@@ -1,0 +1,269 @@
+"""XYZ tile-pyramid generation — the engine's scale-out core operator
+(gdal raster tile / gdal2tiles.py, SURVEY §2.9 + §3.3).
+
+Spark re-expression of apps/gdalalg_raster_tile.cpp:
+
+  1. tile cover: each source block computes the (z, tx, ty) tiles its
+     georeferenced bbox feeds at the base zoom (pure math, no shuffle).
+  2. ONE shuffle keyed by (band, z, tx, ty) replicating each block to
+     the tiles it overlaps — the distributed analog of the reference's
+     spawn-sharding by tile ranges (gdalalg_raster_tile.cpp:96-120).
+  3. per-tile applyInPandas warp kernel: tile pixel centers (EPSG:3857)
+     → inverse web-mercator → lon/lat → inverse geotransform → source
+     pixels → nearest/bilinear sample from the assembled block mosaic —
+     the WarpRegionToBuffer step (gdalalg_raster_tile.cpp:636-664) as a
+     numpy gather.
+  4. overview zooms: groupBy(parent tile) over ≤4 children, 2×2 average
+     reduce (overview construction, gdalalg_raster_tile.cpp:1466).
+  5. resume: anti-join against a manifest of already-produced
+     (band, z, x, y) — the --resume contract (gdalalg_raster_tile.cpp:280)
+     over an Iceberg/parquet checkpoint table.
+
+Tile math uses GDAL's exact GlobalMercator constants via
+gdal_spark.cellindex.tile (gdal2tiles.py:315-505).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.cellindex.tile import (
+    lonlat_to_meters,
+    lonlat_to_tile,
+    meters_to_lonlat,
+    resolution,
+    tile_bounds_3857,
+)
+from gdal_spark.portable import TILE_SIZE
+from gdal_spark.raster import model
+from gdal_spark.raster.ops import _PRIMES
+
+TILE_SCHEMA = (
+    "dataset string, band int, z int, tile_x long, tile_y long, "
+    "dtype string, buf binary, checksum long"
+)
+
+_SHIP_SCHEMA = (
+    "dataset string, band int, z int, tile_x long, tile_y long, "
+    "x0 int, y0 int, width int, height int, dtype string, "
+    "gt0 double, gt1 double, gt3 double, gt5 double, buf binary"
+)
+
+
+def _tile_checksum(arr: np.ndarray) -> int:
+    v = (
+        np.floor(arr.astype(np.float64) + 0.5).astype(np.int64)
+        if arr.dtype.kind == "f"
+        else arr.astype(np.int64)
+    )
+    n = v.size
+    gidx = np.arange(n, dtype=np.int64)
+    return int((v.ravel() % _PRIMES[gidx % 11]).sum() & 0xFFFF)
+
+
+def base_tiles(
+    blocks: DataFrame, z: int, resampling: str = "bilinear"
+) -> DataFrame:
+    """Base-zoom tiles from the block table (stages 1-3 above)."""
+
+    def ship(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                # block bbox in lon/lat (north-up affine, +1px margin for
+                # the bilinear support at tile seams)
+                lon0 = r.gt0 + (r.x0 - 1) * r.gt1
+                lon1 = r.gt0 + (r.x0 + r.width + 1) * r.gt1
+                lat0 = r.gt3 + (r.y0 - 1) * r.gt5
+                lat1 = r.gt3 + (r.y0 + r.height + 1) * r.gt5
+                lo, hi = min(lat0, lat1), max(lat0, lat1)
+                tx0, ty0 = lonlat_to_tile(
+                    np.array([min(lon0, lon1)]), np.array([hi]), z
+                )
+                tx1, ty1 = lonlat_to_tile(
+                    np.array([max(lon0, lon1)]), np.array([lo]), z
+                )
+                for ty in range(int(ty0[0]), int(ty1[0]) + 1):
+                    for tx in range(int(tx0[0]), int(tx1[0]) + 1):
+                        out.append(
+                            (
+                                r.dataset,
+                                r.band,
+                                z,
+                                tx,
+                                ty,
+                                r.x0,
+                                r.y0,
+                                r.width,
+                                r.height,
+                                r.dtype,
+                                r.gt0,
+                                r.gt1,
+                                r.gt3,
+                                r.gt5,
+                                r.buf,
+                            )
+                        )
+            yield pd.DataFrame(
+                out, columns=[c.split()[0] for c in _SHIP_SCHEMA.split(", ")]
+            )
+
+    shipped = blocks.mapInPandas(ship, _SHIP_SCHEMA)
+
+    def warp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dataset, band, zz, tx, ty = key
+        r0 = pdf.iloc[0]
+        # assemble the source mosaic spanned by the received blocks
+        x0 = int(pdf.x0.min())
+        y0 = int(pdf.y0.min())
+        x1 = int((pdf.x0 + pdf.width).max())
+        y1 = int((pdf.y0 + pdf.height).max())
+        mosaic = np.full((y1 - y0, x1 - x0), np.nan, dtype=np.float64)
+        for r in pdf.itertuples():
+            a = model.decode((r.buf, r.height, r.width, r.dtype))
+            mosaic[
+                r.y0 - y0 : r.y0 - y0 + r.height,
+                r.x0 - x0 : r.x0 - x0 + r.width,
+            ] = a
+        # tile pixel centers in EPSG:3857 → lon/lat → source pixel coords
+        minx, miny, maxx, maxy = tile_bounds_3857(
+            np.array([tx]), np.array([ty]), zz
+        )
+        res = resolution(zz)
+        px = minx[0] + (np.arange(TILE_SIZE) + 0.5) * res
+        py = maxy[0] - (np.arange(TILE_SIZE) + 0.5) * res
+        lon, lat = meters_to_lonlat(
+            np.repeat(px[None, :], TILE_SIZE, 0),
+            np.repeat(py[:, None], TILE_SIZE, 1),
+        )
+        # inverse north-up affine; pixel-center convention → -0.5
+        sx = (lon - r0.gt0) / r0.gt1 - 0.5 - x0
+        sy = (lat - r0.gt3) / r0.gt5 - 0.5 - y0
+        h, w = mosaic.shape
+        if resampling == "nearest":
+            ix = np.clip(np.round(sx).astype(np.int64), 0, w - 1)
+            iy = np.clip(np.round(sy).astype(np.int64), 0, h - 1)
+            out = mosaic[iy, ix]
+            valid = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+        else:  # bilinear
+            fx = np.clip(sx, 0, w - 1)
+            fy = np.clip(sy, 0, h - 1)
+            ix0 = np.floor(fx).astype(np.int64)
+            iy0 = np.floor(fy).astype(np.int64)
+            ix1 = np.minimum(ix0 + 1, w - 1)
+            iy1 = np.minimum(iy0 + 1, h - 1)
+            wx = fx - ix0
+            wy = fy - iy0
+            out = (
+                mosaic[iy0, ix0] * (1 - wx) * (1 - wy)
+                + mosaic[iy0, ix1] * wx * (1 - wy)
+                + mosaic[iy1, ix0] * (1 - wx) * wy
+                + mosaic[iy1, ix1] * wx * wy
+            )
+            valid = (sx >= -0.5) & (sx <= w - 0.5) & (sy >= -0.5) & (sy <= h - 0.5)
+        out = np.where(valid & np.isfinite(out), out, 0.0)
+        if r0["dtype"] == "uint8":  # ["dtype"]: Series.dtype is shadowed
+            arr = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+        else:
+            arr = out.astype(np.dtype(r0["dtype"]))
+        return pd.DataFrame(
+            [
+                (
+                    dataset,
+                    int(band),
+                    int(zz),
+                    int(tx),
+                    int(ty),
+                    str(arr.dtype),
+                    np.ascontiguousarray(arr).tobytes(),
+                    _tile_checksum(arr),
+                )
+            ],
+            columns=[c.split()[0] for c in TILE_SCHEMA.split(", ")],
+        )
+
+    return shipped.groupBy("dataset", "band", "z", "tile_x", "tile_y").applyInPandas(
+        warp, TILE_SCHEMA
+    )
+
+
+def overview_level(tiles: DataFrame) -> DataFrame:
+    """One pyramid step: z → z-1 by 2×2 average of ≤4 children
+    (gdalalg_raster_tile.cpp overview zooms; average kernel of
+    gcore/overview.cpp)."""
+    parented = tiles.select(
+        "dataset",
+        "band",
+        (F.col("z") - 1).alias("z"),
+        (F.col("tile_x") / 2).cast("long").alias("ptx"),
+        (F.col("tile_y") / 2).cast("long").alias("pty"),
+        "tile_x",
+        "tile_y",
+        "dtype",
+        "buf",
+    )
+
+    def reduce4(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dataset, band, z, ptx, pty = key
+        big = np.zeros((2 * TILE_SIZE, 2 * TILE_SIZE), dtype=np.float64)
+        for r in pdf.itertuples():
+            a = model.decode((r.buf, TILE_SIZE, TILE_SIZE, r.dtype)).astype(
+                np.float64
+            )
+            ox = int(r.tile_x - 2 * ptx) * TILE_SIZE
+            oy = int(r.tile_y - 2 * pty) * TILE_SIZE
+            big[oy : oy + TILE_SIZE, ox : ox + TILE_SIZE] = a
+        # 2×2 average (SSE2 average path, gcore/overview.cpp:543)
+        red = big.reshape(TILE_SIZE, 2, TILE_SIZE, 2).mean(axis=(1, 3))
+        dt = pdf.iloc[0]["dtype"]
+        if dt == "uint8":
+            arr = np.clip(np.floor(red + 0.5), 0, 255).astype(np.uint8)
+        else:
+            arr = red.astype(np.dtype(dt))
+        return pd.DataFrame(
+            [
+                (
+                    dataset,
+                    int(band),
+                    int(z),
+                    int(ptx),
+                    int(pty),
+                    str(arr.dtype),
+                    np.ascontiguousarray(arr).tobytes(),
+                    _tile_checksum(arr),
+                )
+            ],
+            columns=[c.split()[0] for c in TILE_SCHEMA.split(", ")],
+        )
+
+    return parented.groupBy("dataset", "band", "z", "ptx", "pty").applyInPandas(
+        reduce4, TILE_SCHEMA
+    )
+
+
+def tile_pyramid(
+    blocks: DataFrame, z_base: int, z_min: int, resampling: str = "bilinear"
+) -> DataFrame:
+    """Full pyramid z_base..z_min. The per-zoom loop is driver-side but
+    each level is one distributed job; levels shrink 4× per step."""
+    level = base_tiles(blocks, z_base, resampling)
+    out = level
+    for _ in range(z_base - z_min):
+        level = overview_level(level)
+        out = out.unionByName(level)
+    return out
+
+
+def resume_filter(tiles: DataFrame, manifest: DataFrame) -> DataFrame:
+    """Drop tiles already present in the checkpoint manifest
+    (band, z, tile_x, tile_y) — the --resume anti-join."""
+    return tiles.join(
+        manifest.select("band", "z", "tile_x", "tile_y"),
+        ["band", "z", "tile_x", "tile_y"],
+        "left_anti",
+    )

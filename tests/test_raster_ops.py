@@ -1,0 +1,137 @@
+"""Raster core-operator tests vs direct numpy computation."""
+
+import numpy as np
+import pytest
+
+from gdal_spark import tables
+from gdal_spark.geometry.kernels import points_in_rings
+from gdal_spark.raster import model, ops
+
+
+@pytest.fixture(scope="module")
+def blocks(spark):
+    return model.synth_blocks(spark, model.grad100_spec())
+
+
+def full_grid(band):
+    return model.value_grid(0, 0, 100, 100, band)
+
+
+def ref_checksum(arr):
+    primes = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], np.int64)
+    v = arr.astype(np.int64).ravel()
+    idx = np.arange(v.size)
+    return int((v % primes[idx % 11]).sum() & 0xFFFF)
+
+
+def test_block_layout(blocks):
+    rows = blocks.collect()
+    assert len(rows) == 3 * 16  # 4x4 blocks x 3 bands
+    # partial edge blocks
+    sizes = {(r.bx, r.by): (r.width, r.height) for r in rows if r.band == 1}
+    assert sizes[(0, 0)] == (32, 32)
+    assert sizes[(3, 3)] == (4, 4)
+    # reassemble and compare to the analytic grid
+    full = np.zeros((100, 100), dtype=np.uint8)
+    for r in rows:
+        if r.band != 2:
+            continue
+        a = model.decode((r.buf, r.height, r.width, r.dtype))
+        full[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
+    assert np.array_equal(full, full_grid(2))
+
+
+def test_checksum_matches_reference_formula(blocks):
+    got = {r.band: r.checksum for r in ops.checksum(blocks, width=100).collect()}
+    for b in (1, 2, 3):
+        assert got[b] == ref_checksum(full_grid(b))
+
+
+def test_band_stats(blocks):
+    got = {r.band: r for r in ops.band_stats(blocks).collect()}
+    for b in (1, 2, 3):
+        g = full_grid(b).astype(np.float64)
+        assert got[b].cnt == 10000
+        assert got[b].vmin == g.min()
+        assert got[b].vmax == g.max()
+        assert got[b].vsum == pytest.approx(g.sum(), rel=1e-12)
+        assert got[b].stddev_pop == pytest.approx(g.std(), rel=1e-9)
+
+
+def test_translate_crop_cast_scale(blocks):
+    t = ops.translate(blocks, (10, 20, 50, 40), ot="int32", scale=(2.0, 1.0))
+    rows = t.where("band = 1").collect()
+    full = np.full((40, 50), -1, dtype=np.int64)
+    for r in rows:
+        a = model.decode((r.buf, r.height, r.width, r.dtype))
+        assert r.dtype == "int32"
+        full[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
+    want = np.floor(
+        full_grid(1)[20:60, 10:60].astype(np.float64) * 2.0 + 1.0 + 0.5
+    ).astype(np.int64)
+    assert np.array_equal(full, want)
+    # geotransform re-origined to the window
+    spec = model.grad100_spec()
+    assert rows[0].gt0 == spec.gt[0] + 10 * spec.gt[1]
+    assert rows[0].gt3 == spec.gt[3] + 20 * spec.gt[5]
+
+
+def test_pixel_functions(blocks, spark):
+    for func, ref in [
+        ("sum", lambda s: s.sum(0)),
+        ("diff", lambda s: s[0] - s[1]),
+        ("norm_diff", lambda s: (s[0] - s[1]) / np.where(s[0] + s[1] == 0, 1, s[0] + s[1]) * (s[0] + s[1] != 0)),
+        ("max", lambda s: s.max(0)),
+    ]:
+        out = ops.pixel_function(blocks.where("band in (1,2)"), func)
+        rows = out.collect()
+        full = np.zeros((100, 100))
+        for r in rows:
+            a = model.decode((r.buf, r.height, r.width, r.dtype))
+            full[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
+        stack = np.stack([full_grid(1), full_grid(2)]).astype(np.float64)
+        assert np.allclose(full, ref(stack)), func
+
+
+def test_reclassify(blocks):
+    out = ops.reclassify(
+        blocks.where("band = 1"), {0: 100, 1: 101, 255: 7}, default=-1
+    )
+    full = np.zeros((100, 100), dtype=np.int64)
+    for r in out.collect():
+        a = model.decode((r.buf, r.height, r.width, r.dtype))
+        full[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
+    g = full_grid(1).astype(np.int64)
+    want = np.select([g == 0, g == 1, g == 255], [100, 101, 7], default=-1)
+    assert np.array_equal(full, want)
+
+
+def test_zonal_stats_vs_numpy(blocks):
+    ring = tables.polygon_rings_local(0)[:-1]
+    got = {
+        r.zone_id: r
+        for r in ops.zonal_stats(blocks, [(0, ring)], band=1).collect()
+    }
+    spec = model.grad100_spec()
+    g = full_grid(1).astype(np.float64)
+    ys, xs = np.mgrid[0:100, 0:100]
+    lon = spec.gt[0] + (xs.ravel() + 0.5) * spec.gt[1]
+    lat = spec.gt[3] + (ys.ravel() + 0.5) * spec.gt[5]
+    inside = points_in_rings(lon, lat, [ring])
+    sel = g.ravel()[inside]
+    assert got[0].cnt == sel.size
+    assert got[0].vsum == pytest.approx(sel.sum(), rel=1e-12)
+    assert got[0].vmin == sel.min()
+    assert got[0].vmax == sel.max()
+
+
+def test_as_features_coords(blocks):
+    f = (
+        ops.as_features(blocks)
+        .where("band = 1 and x = 0 and y = 0")
+        .collect()[0]
+    )
+    spec = model.grad100_spec()
+    assert f.lon == spec.gt[0] + 0.5 * spec.gt[1]
+    assert f.lat == spec.gt[3] + 0.5 * spec.gt[5]
+    assert f.value == float(full_grid(1)[0, 0])
