@@ -108,10 +108,11 @@ def pages_cte(dialect: str) -> str:
 """
 
 
-def geocode_cols(dialect: str, url: str = "url") -> str:
-    """lat/lon/city columns from a url expression. Skewed on purpose:
-    city = floor(sqrt(h mod 400)) gives city c weight (2c+1)/400, so the
-    hottest city holds ~10% of pages — exercises salting/AQE skew-join."""
+def geocode_cols_list(dialect: str, url: str = "url") -> list[str]:
+    """The three geocode column exprs (city_id, lat, lon) separately —
+    for DataFrame.selectExpr. Skewed on purpose: city = floor(sqrt(h mod
+    400)) gives city c weight (2c+1)/400, so the hottest city holds ~10%
+    of pages — exercises salting/AQE skew-join."""
     h = hash64(url, dialect)
     u = f"(({h}) % 400)"
     city = f"cast(floor(sqrt(cast({u} as double))) as int)"
@@ -119,11 +120,15 @@ def geocode_cols(dialect: str, url: str = "url") -> str:
     r2 = f"(cast({idiv(h, '40000000', dialect)} % 100000 as double) / 100000.0)"
     clat = case_city(city, 0)
     clon = case_city(city, 1)
-    return (
-        f"{city} as city_id, "
-        f"({clat} + ({r1} - 0.5) * 2.0) as lat, "
-        f"({clon} + ({r2} - 0.5) * 2.0) as lon"
-    )
+    return [
+        f"{city} as city_id",
+        f"({clat} + ({r1} - 0.5) * 2.0) as lat",
+        f"({clon} + ({r2} - 0.5) * 2.0) as lon",
+    ]
+
+
+def geocode_cols(dialect: str, url: str = "url") -> str:
+    return ", ".join(geocode_cols_list(dialect, url))
 
 
 def geo_pages_cte(dialect: str) -> str:

@@ -268,3 +268,151 @@ ORACLES = {
     "raster_norm_diff_stats": NORM_DIFF_ORACLE,
     "raster_zonal_stats": _zonal_oracle(),
 }
+
+
+# --- gridding (points → raster) and rasterize (vector → raster) ---
+
+from gdal_spark import portable  # noqa: E402
+from gdal_spark.raster.grid import IDW_SMOOTH, CellGrid, grid_points, rasterize  # noqa: E402
+
+# grid over the HOTTEST city of the skewed geocode (city 19, Jakarta —
+# ~10% of pages) so the gridding aggregates see real point density
+_CLAT, _CLON = portable.CITIES[19]
+GRID = dict(minx=_CLON - 2.0, miny=_CLAT - 2.0, ncols=40, nrows=40, cell=0.1)
+GRID_RADIUS = 0.25
+
+
+def _grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW/average/nearest/data-metrics gridding of page points near NY
+    (value = text length)."""
+    g = CellGrid(
+        GRID["minx"],
+        GRID["miny"],
+        GRID["minx"] + GRID["ncols"] * GRID["cell"],
+        GRID["miny"] + GRID["nrows"] * GRID["cell"],
+        GRID["ncols"],
+        GRID["nrows"],
+    )
+    pts = (
+        tables.geo_pages(spark, sf_dir)
+        .selectExpr("lon", "lat", "cast(length(text) as double) as value")
+        .where(
+            f"lon >= {g.minx - GRID_RADIUS} and lon <= {g.maxx + GRID_RADIUS} "
+            f"and lat >= {g.miny - GRID_RADIUS} and lat <= {g.maxy + GRID_RADIUS}"
+        )
+    )
+    out = grid_points(pts, g, GRID_RADIUS)
+    return out.select(
+        "col",
+        "row",
+        "n",
+        "vmin",
+        "vmax",
+        F.round("mean", 6).alias("mean"),
+        F.round("idw", 6).alias("idw"),
+        "nearest",
+    )
+
+
+def _grid_idw_oracle() -> str:
+    from gdal_spark import portable as P
+
+    g = GRID
+    return f"""
+    with pts as (
+        select lon, lat, cast(length(text) as double) as value
+        from ({P.geo_pages_cte('duckdb')})
+    ),
+    cells as (
+        select c.col, r.row,
+               {g['minx']!r} + (c.col + 0.5) * {g['cell']!r} as cx,
+               {g['miny']!r} + (r.row + 0.5) * {g['cell']!r} as cy
+        from (select unnest(range({g['ncols']})) as col) c
+        cross join (select unnest(range({g['nrows']})) as row) r
+    ),
+    contrib as (
+        select cells.col, cells.row, pts.value as v,
+               (cx - lon) * (cx - lon) + (cy - lat) * (cy - lat) as d2
+        from cells join pts
+          on (cx - lon) * (cx - lon) + (cy - lat) * (cy - lat)
+             <= {GRID_RADIUS * GRID_RADIUS!r}
+    )
+    select col, row, count(*) as n, min(v) as vmin, max(v) as vmax,
+           round(avg(v), 6) as mean,
+           round(sum(v / (d2 + {IDW_SMOOTH!r})) / sum(1.0 / (d2 + {IDW_SMOOTH!r})), 6)
+             as idw,
+           arg_min(v, d2) as nearest
+    from contrib group by col, row
+"""
+
+
+def _rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burn layer-A octagons into the grad100 grid; pixel count per
+    burned id (max-id merge where polygons overlap)."""
+    polys = [
+        (i, tables.polygon_rings_local(i)[:-1]) for i in range(25)
+    ]
+    burned = rasterize(_blocks(spark), polys)
+    f = ops.as_features(burned)
+    return (
+        f.where("value >= 0")
+        .groupBy(F.col("value").cast("long").alias("polygon_id"))
+        .agg(F.count("*").alias("npixels"))
+    )
+
+
+def _rasterize_oracle() -> str:
+    gt = _gt()
+    octs = []
+    for i in range(25):
+        ring = tables.polygon_rings_local(i)[:-1]
+        n = len(ring)
+        for k in range(n):
+            x1, y1 = ring[k]
+            x2, y2 = ring[(k + 1) % n]
+            octs.append(
+                f"select {i} as pid, cast({x1!r} as double) as x1, "
+                f"cast({y1!r} as double) as y1, cast({x2!r} as double) as x2, "
+                f"cast({y2!r} as double) as y2"
+            )
+    edges = " union all ".join(octs)
+    return f"""
+    with px as (
+        select x.x as x, y.y as y,
+               {gt[0]!r} + (x.x + 0.5) * {gt[1]!r} as lon,
+               {gt[3]!r} + (y.y + 0.5) * {gt[5]!r} as lat
+        from (select unnest(range({W})) as x) x
+        cross join (select unnest(range({H})) as y) y
+    ),
+    e as ({edges}),
+    hits as (
+        select e.pid, p.x, p.y,
+               sum(case when ((e.y1 > p.lat) <> (e.y2 > p.lat))
+                         and (p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                                      / (e.y2 - e.y1) + e.x1)
+                    then 1 else 0 end) as crossings
+        from px p join e on true
+        group by e.pid, p.x, p.y
+    ),
+    burned as (
+        select x, y, max(pid) as polygon_id
+        from hits where crossings % 2 = 1
+        group by x, y
+    )
+    select polygon_id, count(*) as npixels
+    from burned group by polygon_id
+"""
+
+
+QUERIES.update(
+    {
+        "vector_grid_idw": _grid_idw,
+        "rasterize_counts": _rasterize_counts,
+    }
+)
+ORACLES.update(
+    {
+        "vector_grid_idw": _grid_idw_oracle(),
+        "rasterize_counts": _rasterize_oracle(),
+    }
+)

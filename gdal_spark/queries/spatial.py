@@ -89,3 +89,47 @@ def _oracles() -> dict[str, str]:
 
 
 ORACLES = _oracles()
+
+
+# --- spatial sort (gdal vector sort --hilbert/--strtree analog) ---
+
+SORT_ZOOM = 12
+
+
+def _morton_sql(dialect: str, tx: str, ty: str, z: int) -> str:
+    """Unrolled Morton (z-order) interleave of two z-bit tile indices —
+    the quadtree clustering key (portable to both engines)."""
+    shr = (lambda e, i: f"shiftright({e}, {i})") if dialect == "spark" else (
+        lambda e, i: f"(({e}) >> {i})"
+    )
+    terms = []
+    for i in range(z):
+        terms.append(f"(({shr(tx, i)}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({shr(ty, i)}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _spatial_sort_sql(dialect: str) -> str:
+    tile = portable.tile_cols("lat", "lon", SORT_ZOOM)
+    morton = _morton_sql(dialect, "tile_x", "tile_y", SORT_ZOOM)
+    return f"""
+    with g as ({portable.geo_pages_cte(dialect)}),
+    t as (select url, {tile} from g)
+    select url, tile_x, tile_y, {morton} as morton
+    from t
+    """
+
+
+def _spatial_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton clustering key per page; the write path orders by it via
+    repartitionByRange(morton) so tiles land co-located (the reference's
+    hilbert sort before writes, apps/gdalalg_vector_sort.cpp:295-368).
+    The Hilbert variant (cellindex.hilbert, alg/hilbert.cpp parity) is
+    pinned by pytest; Morton is the oracle-checkable one."""
+    tables.register_views(spark, sf_dir)
+    df = spark.sql(_spatial_sort_sql("spark"))
+    return df.repartitionByRange(8, "morton").sortWithinPartitions("morton")
+
+
+QUERIES["spatial_sort_morton"] = _spatial_sort
+ORACLES["spatial_sort_morton"] = _spatial_sort_sql("duckdb")

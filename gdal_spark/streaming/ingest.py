@@ -1,0 +1,91 @@
+"""Structured-streaming ingest of crawl pages → cell/tile assignment.
+
+The reference has NO streaming subsystem (SURVEY §2.12); parity needs
+batch only. This module is the forward-looking incremental-crawl path:
+the same deterministic geocode + tile-math expressions run unchanged
+under readStream, with a `warc_ts` watermark for late data and windowed
+per-tile counts as the stateful example.
+
+All transformations are the identical pure-SQL fragments used in batch
+(gdal_spark.portable) — one logical plan, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark import portable
+
+
+def stage_page_files(spark: SparkSession, path: str, n: int = 1000) -> None:
+    """Write a deterministic batch of page rows as the file-stream inbox
+    (stands in for a crawl drop directory / Kafka topic)."""
+    spark.range(n).selectExpr(
+        "concat('https://src', cast(id % 20 as string), "
+        "'.example/', cast(id as string)) as url",
+        "timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,"
+        "cast(id as int)) as warc_ts",
+        "concat('doc text ', cast(id as string)) as text",
+        "case cast(id % 5 as int) when 0 then 'de' when 1 then 'en' "
+        "when 2 then 'es' when 3 then 'fr' else 'zh' end as lang",
+    ).write.mode("overwrite").parquet(path)
+
+
+def synthetic_page_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File source → pages(url, warc_ts, text, lang): incremental crawl
+    ingest (new files in `path` become new micro-batches)."""
+    schema = "url string, warc_ts timestamp, text string, lang string"
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def geocode_and_tile(pages: DataFrame, zoom: int = 12) -> DataFrame:
+    """Attach deterministic geocode + XYZ tile columns (works on batch
+    AND streaming DataFrames — pure Catalyst expressions)."""
+    return pages.selectExpr(
+        "url",
+        "warc_ts",
+        *portable.geocode_cols_list("spark"),
+    ).selectExpr(
+        "url",
+        "warc_ts",
+        "city_id",
+        "lat",
+        "lon",
+        *portable.tile_cols_list("lat", "lon", zoom),
+    )
+
+
+def windowed_tile_counts(
+    tiled: DataFrame, window: str = "10 seconds", watermark: str = "30 seconds"
+) -> DataFrame:
+    """Late-data-tolerant per-tile page counts (event-time window on
+    warc_ts + watermark) — the streaming rollup a live crawl monitor
+    would run."""
+    return (
+        tiled.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("w"),
+            "tile_x",
+            "tile_y",
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select("w.start", "w.end", "tile_x", "tile_y", "n_pages")
+    )
+
+
+def run_ingest_once(spark: SparkSession, path: str, n: int = 1000) -> int:
+    """availableNow micro-batch run into a memory sink; returns rows
+    observed. Used by tests and as the smoke for the streaming path."""
+    stage_page_files(spark, path, n)
+    pages = synthetic_page_stream(spark, path)
+    tiled = geocode_and_tile(pages)
+    q = (
+        tiled.writeStream.format("memory")
+        .queryName("stream_tiles")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("stream_tiles").count()

@@ -1,0 +1,126 @@
+"""Checkpoint/resume, multimodal plumbing, streaming ingest, kNN ring."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.geometry.kernels import haversine_m
+from gdal_spark.operators import checkpoint as CP
+from gdal_spark.operators import multimodal as MM
+from gdal_spark.operators.knn import knn_ring_join
+
+
+# --- checkpoint / resume ---
+
+
+def test_resumable_write_and_resume(spark, tmp_path):
+    path = str(tmp_path / "out")
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("part"), F.col("id").alias("v")
+    )
+    rid, n = CP.resumable_write(df, path, ["part"])
+    assert rid is not None and n == 100
+    m = CP.read_manifest(spark, path)
+    rows = {r.part: r for r in m.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert all(r.n_rows == 25 for r in rows.values())
+    assert all(r.n_bytes > 0 for r in rows.values())
+    assert all(r.run_id == rid for r in rows.values())
+    # second run: everything checkpointed → no-op
+    rid2, n2 = CP.resumable_write(df, path, ["part"])
+    assert rid2 is None and n2 == 0
+    # partial new data: only the new partition is written
+    df2 = spark.range(100, 110).select(
+        F.lit(9).alias("part"), F.col("id").alias("v")
+    )
+    rid3, n3 = CP.resumable_write(df.unionByName(df2), path, ["part"])
+    assert n3 == 10
+    back = spark.read.parquet(path)
+    assert back.count() == 110
+    assert CP.read_manifest(spark, path).count() == 5
+
+
+# --- multimodal stubs ---
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    return MM.attach_media(docs)
+
+
+def test_media_schema_and_determinism(spark, media):
+    rows = media.collect()
+    assert len(rows) == 12
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.media_type, []).append(r)
+        assert len(bytes(r.payload)) == 1024
+    assert set(by_type) == {"image", "audio", "video"}
+    again = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    assert all(bytes(r.payload) == again[r.doc_id] for r in rows)
+
+
+def test_decode_fake_and_stub_boundary(spark, media):
+    feats = MM.decode_media(media, fake=True).collect()
+    assert len(feats) == 12
+    for f in feats:
+        assert 0 <= f.vmin <= f.vmax <= 255
+        assert f.vmin <= f.mean <= f.vmax
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        MM.decode_media(media, fake=False).collect()
+
+
+def test_frame_sample(spark, media):
+    frames = MM.frame_sample(media, every=2).collect()
+    vids = media.where("media_type = 'video'").count()
+    assert len(frames) == vids * 2  # 4 frames sampled every 2
+    assert {f.frame for f in frames} == {0, 2}
+
+
+# --- streaming ---
+
+
+def test_streaming_ingest(spark, tmp_path):
+    from gdal_spark.streaming.ingest import run_ingest_once
+
+    n = run_ingest_once(spark, str(tmp_path / "inbox"), n=500)
+    assert n == 500
+    t = spark.table("stream_tiles")
+    assert {"url", "lat", "lon", "tile_x", "tile_y"} <= set(t.columns)
+    # tile ids valid at z12
+    bad = t.where(
+        "tile_x < 0 or tile_x >= 4096 or tile_y < 0 or tile_y >= 4096"
+    ).count()
+    assert bad == 0
+
+
+# --- kNN ring expansion ---
+
+
+def test_knn_ring_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    tlat = rng.uniform(-60, 60, 200)
+    tlon = rng.uniform(-170, 170, 200)
+    targets = [(i, float(tlat[i]), float(tlon[i])) for i in range(200)]
+    qlat = rng.uniform(-55, 55, 40)
+    qlon = rng.uniform(-160, 160, 40)
+    pts = spark.createDataFrame(
+        [(f"q{i}", float(qlat[i]), float(qlon[i])) for i in range(40)],
+        "url string, lat double, lon double",
+    )
+    got = knn_ring_join(pts, targets, k=3, cell_deg=5.0).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.url, []).append((r.rnk, r.target_id, r.dist_m))
+    for i in range(40):
+        d = haversine_m(qlat[i], qlon[i], tlat, tlon)
+        order = np.lexsort((np.arange(200), d))[:3]
+        want = [(int(t), float(d[t])) for t in order]
+        rows = sorted(by_q[f"q{i}"])
+        assert [t for _, t, _ in rows] == [t for t, _ in want]
+        for (_, _, dd), (_, wd) in zip(rows, want):
+            assert dd == pytest.approx(wd, rel=1e-12)
