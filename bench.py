@@ -1,14 +1,18 @@
 """Benchmark harness — prints ONE JSON line per run.
 
 Headline metric (BASELINE.json): spatial-join + tile-assignment
-throughput in pages/sec, plus per-query wall times at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS].
+throughput in pages/sec at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The timed region is
+exactly the metric: Catalyst tile math + broadcast-R-tree ray-cast PIP
+join over a cached (url, lat, lon) input (pages amplified
+$GDAL_SPARK_BENCH_AMPLIFY× with salted urls so geocodes differ).
 
-Scaling-efficiency evidence (north rule, sandbox proxy): run
-  SPARK_GRAFT_CPUS=8 python bench.py
-  SPARK_GRAFT_CPUS=32 python bench.py
-and compare pages_per_sec (see BENCH/BASELINE.md).
+Also reports wall time for one representative query per operator family
+(SURVEY §2) at the same scale factor.
+
+Scaling-efficiency evidence (north rule, sandbox proxy — no real
+cluster): tools/bench_scaling.py runs this headline at N and 4N cores
+in one process and writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -22,35 +26,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gdal_spark.session import get_spark  # noqa: E402
 
+# one representative per family (name -> sf-appropriate at sf0.1)
+BENCH_QUERIES = [
+    "spatial_join_tiles",      # flagship family (also headline below)
+    "spatial_join_sql",        # pure-Catalyst strategy
+    "tile_assign",             # tile math only
+    "groupby_agg",             # relational / aggregation
+    "join_first_match",        # OGR join semantics
+    "text_stats",              # text analysis
+    "dedup_minhash_lsh",       # MinHash + LSH near-dup
+    "dedup_simhash",           # SimHash
+    "knn_centers",             # kNN re-rank
+    "ann_cosine_topk",         # similarity search
+    "layer_intersection_area", # layer algebra / clipping
+    "raster_zonal_stats",      # raster↔vector aggregation
+    "raster_tile_pyramid",     # tile pyramid (z8→z6)
+    "spatial_sort_morton",     # clustering key + range partition
+]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app_name="gdal_spark_bench", master=f"local[{cpus}]")
 
-    import __spark_entry__ as entrymod
-
-    queries = entrymod.queries()
-    # multiplier: replicate pages so the spatial-join benchmark has
-    # enough rows to measure throughput meaningfully (documents at
-    # sf0.1 is only 5000 rows)
-    times: dict[str, float] = {}
-    for name, fn in queries.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 4)
-        _ = n
-
-    # headline: flagship spatial join + tile assignment throughput over an
-    # amplified pages table (pages replicated with salted urls so geocodes
-    # differ). Input (url, lat, lon) is materialized and cached first so
-    # the timed region measures exactly the metric: tile math (Catalyst)
-    # + PIP join (broadcast R-tree + ray-cast Arrow kernel).
+def headline(spark, sf_dir: str, cpus: int, amplify: int | None = None) -> dict:
+    """Flagship throughput: tile math + broadcast-R-tree PIP join of
+    amplified pages against the DENSE bench polygon layer (1280 small
+    octagons — realistic per-page filter/refine work; the 25-row
+    correctness layer is too cheap to measure)."""
     from gdal_spark import portable, tables
-    from gdal_spark.operators.spatial_join import broadcast_pip_join, sql_pip_join
+    from gdal_spark.operators.spatial_join import broadcast_pip_join
 
-    amplify = int(os.environ.get("GDAL_SPARK_BENCH_AMPLIFY", "128"))
+    if amplify is None:
+        amplify = int(os.environ.get("GDAL_SPARK_BENCH_AMPLIFY", "256"))
     tables.register_views(spark, sf_dir)
     base = (
         spark.sql(
@@ -62,49 +66,54 @@ def main() -> None:
             """
         )
         .select("url", "lat", "lon")
-        .repartition(cpus)
+        .repartition(cpus * 2)
         .persist()
     )
     n_pages = base.count()
-    polys = tables.polygons_local()
+    polys = tables.bench_polygons_local()
+    tiled = base.selectExpr(
+        "url", "lat", "lon", *portable.tile_cols_list("lat", "lon", 12)
+    )
+    # warm python workers / codegen on a slice, then measure the full set
+    broadcast_pip_join(tiled.limit(cpus * 20000), polys).count()
+    t0 = time.time()
+    rows = broadcast_pip_join(tiled, polys).count()
+    dt = time.time() - t0
+    base.unpersist()
+    return {
+        "n_pages": n_pages,
+        "join_rows": rows,
+        "join_sec": round(dt, 3),
+        "pages_per_sec": round(n_pages / dt, 1),
+    }
 
-    def timed(make_df):
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="gdal_spark_bench", master=f"local[{cpus}]")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
         t0 = time.time()
-        rows = make_df().count()
-        return rows, time.time() - t0
+        _ = fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
 
-    def arrow_path():
-        tiled = base.selectExpr(
-            "url", "lat", "lon", *portable.tile_cols_list("lat", "lon", 12)
-        )
-        return broadcast_pip_join(tiled, polys)
-
-    def sql_path():
-        tiled = base.selectExpr(
-            "url", "lat", "lon", *portable.tile_cols_list("lat", "lon", 12)
-        )
-        return sql_pip_join(tiled, polys, key_cols=("url", "tile_x", "tile_y"))
-
-    # warm (python workers / codegen), then measure
-    timed(arrow_path)
-    out_rows, dt = timed(arrow_path)
-    _, dt_sql = timed(sql_path)
-    pages_per_sec = n_pages / dt
-
+    h = headline(spark, sf_dir, cpus)
     print(
         json.dumps(
             {
                 "metric": "spatial_join_tile_assign_throughput",
-                "value": round(pages_per_sec, 1),
+                "value": h["pages_per_sec"],
                 "unit": "pages/sec",
                 "queries": times,
                 "sf": sf_dir,
                 "cpus": cpus,
-                "n_pages": n_pages,
-                "join_rows": out_rows,
-                "join_sec": round(dt, 3),
-                "sql_join_sec": round(dt_sql, 3),
-                "sql_pages_per_sec": round(n_pages / dt_sql, 1),
+                **h,
             }
         )
     )

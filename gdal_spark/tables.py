@@ -165,3 +165,35 @@ def polygons_b_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(n)
     ]
     return spark.createDataFrame(rows, "b_id long, geometry binary")
+
+
+def bench_polygons_local(side: int = 8, radius: float = 0.12) -> list:
+    """Dense benchmark polygon layer: side×side small octagons tiled over
+    each city's ±1° square (20·side² polygons). Models the north star's
+    fine-grained polygon layer (H3-res-9-like cell density) so the
+    filter/refine join does realistic per-page work, unlike the 25-row
+    correctness layer."""
+    out = []
+    pid = 0
+    for clat, clon in portable.CITIES:
+        for gy in range(side):
+            for gx in range(side):
+                cx = clon - 1.0 + (gx + 0.5) * 2.0 / side
+                cy = clat - 1.0 + (gy + 0.5) * 2.0 / side
+                ring = np.array(
+                    [
+                        (cx + radius * portable.POLY_XSCALE * ux, cy + radius * uy)
+                        for (ux, uy) in portable.OCTAGON
+                    ],
+                    dtype=np.float64,
+                )
+                out.append(
+                    {
+                        "polygon_id": pid,
+                        "name": f"bench_{pid}",
+                        "rings": [ring],
+                        "bbox": bbox_of_rings([ring]),
+                    }
+                )
+                pid += 1
+    return out
