@@ -416,3 +416,77 @@ ORACLES.update(
         "rasterize_counts": _rasterize_oracle(),
     }
 )
+
+
+# --- point interpolation (InterpolateAtPoint / gdallocationinfo) ---
+
+from gdal_spark.portable import hash64  # noqa: E402
+from gdal_spark.raster.resample import interpolate_at_points  # noqa: E402
+
+
+def _sample_points_sql(dialect: str) -> str:
+    """500 deterministic probe points inside the grad100 extent (margin
+    0.2° so no edge-clamp path): derived from document urls."""
+    gt = _gt()
+    h = hash64("url", dialect)
+    u1 = f"(cast(({h}) % 100000 as double) / 100000.0)"
+    u2 = f"(cast((({h}) // 271) % 100000 as double) / 100000.0)" if dialect == "duckdb" else \
+         f"(cast((({h}) div 271) % 100000 as double) / 100000.0)"
+    minx, w = gt[0] + 0.2, 100 * gt[1] - 0.4
+    maxy, hgt = gt[3] - 0.2, 100 * (-gt[5]) - 0.4
+    return (
+        f"select url, ({minx!r} + {u1} * {w!r}) as lon, "
+        f"({maxy!r} - {u2} * {hgt!r}) as lat "
+        f"from ({{pages}}) p"
+    )
+
+
+def _point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark import portable as P
+
+    tables.register_views(spark, sf_dir)
+    pts_sql = _sample_points_sql("spark").format(pages=P.pages_cte("spark"))
+    pts = spark.sql(pts_sql).withColumnRenamed("url", "pid")
+    out = interpolate_at_points(
+        _blocks(spark), pts, band=1, method="bilinear", id_col="pid"
+    )
+    return out.select("pid", F.round("value", 6).alias("value"))
+
+
+def _point_sample_oracle() -> str:
+    from gdal_spark import portable as P
+
+    gt = _gt()
+    pts = _sample_points_sql("duckdb").format(pages=P.pages_cte("duckdb"))
+    val = model.VALUE_SQL
+    # mirror resample.sample(..., 'bilinear') exactly: clamp, floor,
+    # neighbor fetch via the analytic formula, same multiply order
+    return f"""
+    with pts as ({pts}),
+    s as (
+        select url as pid,
+               least(greatest((lon - {gt[0]!r}) / {gt[1]!r} - 0.5, 0), 99) as sx,
+               least(greatest((lat - {gt[3]!r}) / {gt[5]!r} - 0.5, 0), 99) as sy
+        from pts
+    ),
+    g as (
+        select pid, sx, sy,
+               cast(floor(sx) as bigint) as x0, cast(floor(sy) as bigint) as y0,
+               least(cast(floor(sx) as bigint) + 1, 99) as x1,
+               least(cast(floor(sy) as bigint) + 1, 99) as y1,
+               sx - floor(sx) as wx, sy - floor(sy) as wy
+        from s
+    )
+    select pid,
+           round(
+             cast({val.format(x='x0', y='y0', band='1')} as double) * (1 - wx) * (1 - wy)
+           + cast({val.format(x='x1', y='y0', band='1')} as double) * wx * (1 - wy)
+           + cast({val.format(x='x0', y='y1', band='1')} as double) * (1 - wx) * wy
+           + cast({val.format(x='x1', y='y1', band='1')} as double) * wx * wy, 6)
+             as value
+    from g
+"""
+
+
+QUERIES["raster_point_sample"] = _point_sample
+ORACLES["raster_point_sample"] = _point_sample_oracle()

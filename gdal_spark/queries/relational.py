@@ -234,3 +234,49 @@ ORACLES = {
     "join_first_match": JOIN_FIRST_MATCH_ORACLE,
     "groupby_agg": GROUPBY_ORACLE,
 }
+
+
+# --- gdal vector concat (OGRUnionLayer, apps/gdalalg_vector_concat.cpp) ---
+
+def _concat_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-layer union with merged schema (union field strategy:
+    missing fields NULL-padded) + source-layer provenance column —
+    unionByName(allowMissingColumns) is the OGRUnionLayer analog
+    (ogr/ogrsf_frmts/generic/ogrunionlayer.cpp:510-518)."""
+    tables.register_views(spark, sf_dir)
+    cust = (
+        spark.table("customer")
+        .selectExpr(
+            "c_custkey as key",
+            "c_name as name",
+            "c_acctbal as acctbal",
+            "c_mktsegment as mktsegment",
+        )
+        .withColumn("source_layer", F.lit("customer"))
+    )
+    supp = (
+        spark.table("supplier")
+        .selectExpr(
+            "s_suppkey as key", "s_name as name", "s_acctbal as acctbal"
+        )
+        .withColumn("source_layer", F.lit("supplier"))
+    )
+    return cust.unionByName(supp, allowMissingColumns=True).where(
+        "acctbal > 9000"
+    )
+
+
+CONCAT_ORACLE = """
+    select * from (
+        select c_custkey as key, c_name as name, c_acctbal as acctbal,
+               c_mktsegment as mktsegment, 'customer' as source_layer
+        from customer
+        union all
+        select s_suppkey as key, s_name as name, s_acctbal as acctbal,
+               null as mktsegment, 'supplier' as source_layer
+        from supplier
+    ) where acctbal > 9000
+"""
+
+QUERIES["concat_layers"] = _concat_layers
+ORACLES["concat_layers"] = CONCAT_ORACLE

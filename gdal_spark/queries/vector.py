@@ -167,3 +167,37 @@ ORACLES = {
     "st_predicates": _predicates_oracle(),
     "layer_intersection_area": portable.convex_intersection_area_sql("duckdb"),
 }
+
+
+# --- OGR special fields (FID, OGR_GEOMETRY, OGR_GEOM_AREA — ogr/ogr_p.h:167) ---
+
+def _special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_st_functions(spark)
+    a = tables.polygons_a_df(spark, sf_dir)
+    a.createOrReplaceTempView("layer_a_sf")
+    return spark.sql(
+        """
+        select polygon_id as fid,
+               'POLYGON' as ogr_geometry,
+               round(st_area(geometry), 6) as ogr_geom_area
+        from layer_a_sf
+        """
+    )
+
+
+def _special_fields_oracle() -> str:
+    verts = portable.poly_verts_cte("duckdb")
+    return f"""
+    with v as ({verts}),
+    e as (
+      select a.polygon_id, a.vx as x1, a.vy as y1, b.vx as x2, b.vy as y2
+      from v a join v b on a.polygon_id = b.polygon_id and b.j = (a.j + 1) % 8
+    )
+    select polygon_id as fid, 'POLYGON' as ogr_geometry,
+           round(abs(sum(x1 * y2 - x2 * y1) / 2.0), 6) as ogr_geom_area
+    from e group by polygon_id
+"""
+
+
+QUERIES["ogr_special_fields"] = _special_fields
+ORACLES["ogr_special_fields"] = _special_fields_oracle()

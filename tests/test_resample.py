@@ -1,0 +1,135 @@
+"""Resampling kernels, mosaic/stack, proximity tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.raster import model, resample
+from gdal_spark.raster.resample import (
+    interpolate_at_points,
+    mosaic,
+    proximity,
+    reduce_2x2,
+    sample,
+    stack,
+)
+
+
+def test_sample_nearest_bilinear_exact_on_plane():
+    ys, xs = np.mgrid[0:10, 0:10]
+    arr = (3.0 * xs + 4.0 * ys).astype(np.float64)
+    sx = np.array([2.0, 2.5, 7.25])
+    sy = np.array([3.0, 3.5, 1.5])
+    # bilinear reproduces a plane exactly
+    got = sample(arr, sx, sy, "bilinear")
+    assert np.allclose(got, 3.0 * sx + 4.0 * sy, atol=1e-12)
+    n = sample(arr, sx, sy, "nearest")
+    assert np.allclose(n, 3.0 * np.round(sx) + 4.0 * np.round(sy))
+
+
+def test_sample_cubic_plane_and_weights():
+    ys, xs = np.mgrid[0:12, 0:12]
+    arr = (2.0 * xs + 5.0 * ys).astype(np.float64)
+    sx = np.array([4.5, 5.25, 6.0])
+    sy = np.array([4.5, 5.75, 6.0])
+    # Catmull-Rom interpolates linears exactly (away from edges)
+    got = sample(arr, sx, sy, "cubic")
+    assert np.allclose(got, 2.0 * sx + 5.0 * sy, atol=1e-9)
+    # weights sum to 1
+    w = resample._cubic_w(np.array([0.3]))
+    assert np.isclose(sum(x[0] for x in w), 1.0)
+
+
+def test_reduce_2x2_kernels():
+    a = np.array(
+        [[1, 2, 5, 5], [3, 4, 5, 7], [0, 0, 9, 9], [0, 8, 9, 1]], dtype=np.float64
+    )
+    assert np.allclose(reduce_2x2(a, "average"), [[2.5, 5.5], [2.0, 7.0]])
+    assert np.allclose(reduce_2x2(a, "nearest"), [[1, 5], [0, 9]])
+    assert np.allclose(reduce_2x2(a, "max"), [[4, 7], [8, 9]])
+    assert np.allclose(reduce_2x2(a, "min"), [[1, 5], [0, 1]])
+    assert np.allclose(
+        reduce_2x2(a, "rms"),
+        np.sqrt([[30 / 4, 124 / 4], [64 / 4, 244 / 4]]),
+    )
+    # mode: quad [5,5,5,7] -> 5; [0,0,0,8] -> 0; [1,2,3,4] -> 1 (tie→min)
+    assert np.allclose(reduce_2x2(a, "mode"), [[1, 5], [0, 9]])
+
+
+def test_interpolate_at_points(spark):
+    blocks = model.synth_blocks(spark, model.grad100_spec())
+    spec = model.grad100_spec()
+    # probe exact pixel centers → value equals the analytic grid
+    pts = []
+    for (x, y) in [(5, 7), (40, 60), (99, 0)]:
+        lon = spec.gt[0] + (x + 0.5) * spec.gt[1]
+        lat = spec.gt[3] + (y + 0.5) * spec.gt[5]
+        pts.append((f"p{x}_{y}", lon, lat))
+    df = spark.createDataFrame(pts, "pid string, lon double, lat double")
+    got = {
+        r.pid: r.value
+        for r in interpolate_at_points(blocks, df, band=1).collect()
+    }
+    g = model.value_grid(0, 0, 100, 100, 1)
+    # float roundoff in (lon-gt0)/gt1 puts sx within ~1e-12 of the pixel
+    # center → bilinear mixes a ~1e-10 neighbor contribution
+    assert got["p5_7"] == pytest.approx(float(g[7, 5]), abs=1e-6)
+    assert got["p40_60"] == pytest.approx(float(g[60, 40]), abs=1e-6)
+    assert got["p99_0"] == pytest.approx(float(g[0, 99]), abs=1e-6)
+    # out-of-extent point dropped
+    far = spark.createDataFrame(
+        [("far", 0.0, 0.0)], "pid string, lon double, lat double"
+    )
+    assert interpolate_at_points(blocks, far, band=1).count() == 0
+
+
+def test_mosaic_first_non_nodata(spark):
+    spec = model.GridSpec("m", 8, 8, (0, 1, 0, 0, 0, -1), block=8, bands=1)
+    rows_a, rows_b = [], []
+    a = np.zeros((8, 8)); a[:4] = 7.0           # top half data, bottom nodata
+    b = np.full((8, 8), 3.0)                     # full data
+    for name, arr, rows in (("a", a, rows_a), ("b", b, rows_b)):
+        rows.append(
+            (name, 1, 0, 0, 0, 0, 8, 8, "float64",
+             0.0, 1.0, 0.0, 0.0, 0.0, -1.0, 0.0,
+             bytearray(arr.tobytes()))
+        )
+    da = spark.createDataFrame(rows_a, model.BLOCK_SCHEMA)
+    db = spark.createDataFrame(rows_b, model.BLOCK_SCHEMA)
+    out = mosaic([da, db], nodata=0.0).collect()[0]
+    m = model.decode((out.buf, 8, 8, out.dtype))
+    assert (m[:4] == 7.0).all()   # first layer wins where it has data
+    assert (m[4:] == 3.0).all()   # second fills the nodata area
+
+
+def test_stack_band_renumber(spark):
+    b1 = model.synth_blocks(spark, model.grad100_spec())  # bands 1..3
+    b2 = model.synth_blocks(spark, model.plane_spec())    # band 1
+    s = stack([b1, b2])
+    bands = sorted(r.band for r in s.select("band").distinct().collect())
+    assert bands == [1, 2, 3, 4]
+    assert s.where("band = 4").count() == 4  # plane60: 2x2 blocks
+
+
+def test_proximity(spark):
+    spec = model.GridSpec("p", 16, 16, (0, 1, 0, 0, 0, -1), block=8, bands=1)
+    arr = np.zeros((16, 16)); arr[3, 4] = 255.0; arr[12, 12] = 255.0
+    rows = []
+    for by in range(2):
+        for bx in range(2):
+            sub = arr[by*8:(by+1)*8, bx*8:(bx+1)*8]
+            rows.append(
+                ("p", 1, bx, by, bx*8, by*8, 8, 8, "float64",
+                 0.0, 1.0, 0.0, 0.0, 0.0, -1.0, None,
+                 bytearray(np.ascontiguousarray(sub).tobytes()))
+            )
+    blocks = spark.createDataFrame(rows, model.BLOCK_SCHEMA)
+    out = proximity(blocks, 255.0)
+    full = np.zeros((16, 16))
+    for r in out.collect():
+        full[r.y0:r.y0+8, r.x0:r.x0+8] = model.decode((r.buf, 8, 8, r.dtype))
+    ys, xs = np.mgrid[0:16, 0:16]
+    want = np.minimum(
+        np.hypot(xs - 4, ys - 3), np.hypot(xs - 12, ys - 12)
+    )
+    assert np.allclose(full, want, atol=1e-12)
