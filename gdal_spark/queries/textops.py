@@ -380,3 +380,31 @@ ORACLES = {
     "dedup_simhash": SIMHASH_ORACLE,
     "simhash_dup_pairs": SIMHASH_PAIRS_ORACLE,
 }
+
+
+# --- per-row invariant (BASELINE.json input_hint): byte-identical text ---
+
+def _text_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extracted text is a byte-identical pass-through per url: decode
+    the html binary column and prove it round-trips to `text`, plus an
+    md5 fingerprint the oracle recomputes from the raw documents table."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        select url,
+               md5(text) as text_md5,
+               (decode(html, 'utf-8') = text) as html_roundtrip
+        from pages
+        """
+    )
+
+
+TEXT_PASSTHROUGH_ORACLE = """
+    select concat('https://', source, '.example/', cast(doc_id as varchar)) as url,
+           md5(text) as text_md5,
+           true as html_roundtrip
+    from documents
+"""
+
+QUERIES["text_passthrough"] = _text_passthrough
+ORACLES["text_passthrough"] = TEXT_PASSTHROUGH_ORACLE

@@ -66,10 +66,63 @@ def _tile_checksum(arr: np.ndarray) -> int:
     return int((v.ravel() % _PRIMES[gidx % 11]).sum() & 0xFFFF)
 
 
+def _source_coords_exact(tx, ty, zz, gt0, gt1, gt3, gt5):
+    """Exact per-pixel inverse transform: tile grid (3857) → lon/lat →
+    fractional source pixels (pixel-center convention)."""
+    minx, miny, maxx, maxy = tile_bounds_3857(np.array([tx]), np.array([ty]), zz)
+    res = resolution(zz)
+    px = minx[0] + (np.arange(TILE_SIZE) + 0.5) * res
+    py = maxy[0] - (np.arange(TILE_SIZE) + 0.5) * res
+    lon, lat = meters_to_lonlat(
+        np.repeat(px[None, :], TILE_SIZE, 0),
+        np.repeat(py[:, None], TILE_SIZE, 1),
+    )
+    sx = (lon - gt0) / gt1 - 0.5
+    sy = (lat - gt3) / gt5 - 0.5
+    return sx, sy
+
+
+def _source_coords_approx(tx, ty, zz, gt0, gt1, gt3, gt5, mesh: int = 16):
+    """Error-bounded approximate transform (GDALApproxTransformer parity,
+    alg/gdaltransformer.cpp:58-61,2624-2633): exact-transform only a
+    (mesh+1)² corner grid, bilinear-interpolate source coordinates for
+    the 256² pixels. Cuts transcendental calls mesh²/65536-fold; the
+    mercator→lat inverse is smooth so interpolation error ≪ 0.1 px at
+    mesh=16 (pinned by tests/test_tiles.py)."""
+    minx, miny, maxx, maxy = tile_bounds_3857(np.array([tx]), np.array([ty]), zz)
+    res = resolution(zz)
+    step = TILE_SIZE / mesh
+    # mesh sample positions in pixel space (0.5 .. 255.5 inclusive ends)
+    mpix = np.linspace(0.5, TILE_SIZE - 0.5, mesh + 1)
+    mx = minx[0] + mpix * res
+    my = maxy[0] - mpix * res
+    lon_m, lat_m = meters_to_lonlat(
+        np.repeat(mx[None, :], mesh + 1, 0),
+        np.repeat(my[:, None], mesh + 1, 1),
+    )
+    sx_m = (lon_m - gt0) / gt1 - 0.5
+    sy_m = (lat_m - gt3) / gt5 - 0.5
+    # bilinear interpolate mesh → full grid
+    t = (np.arange(TILE_SIZE) + 0.5 - 0.5) / ((TILE_SIZE - 1) / mesh)
+    i0 = np.clip(np.floor(t).astype(np.int64), 0, mesh - 1)
+    f = t - i0
+
+    def interp(m2d):
+        rows = (
+            m2d[i0, :] * (1 - f)[:, None] + m2d[i0 + 1, :] * f[:, None]
+        )
+        return rows[:, i0] * (1 - f)[None, :] + rows[:, i0 + 1] * f[None, :]
+
+    return interp(sx_m), interp(sy_m)
+
+
 def base_tiles(
-    blocks: DataFrame, z: int, resampling: str = "bilinear"
+    blocks: DataFrame, z: int, resampling: str = "bilinear", approx_mesh: int = 0
 ) -> DataFrame:
-    """Base-zoom tiles from the block table (stages 1-3 above)."""
+    """Base-zoom tiles from the block table (stages 1-3 above).
+    approx_mesh > 0 switches the coordinate transform to the mesh
+    approximation (per-tile speedup at identical output within the
+    error bound)."""
 
     def ship(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,19 +184,17 @@ def base_tiles(
                 r.x0 - x0 : r.x0 - x0 + r.width,
             ] = a
         # tile pixel centers in EPSG:3857 → lon/lat → source pixel coords
-        minx, miny, maxx, maxy = tile_bounds_3857(
-            np.array([tx]), np.array([ty]), zz
-        )
-        res = resolution(zz)
-        px = minx[0] + (np.arange(TILE_SIZE) + 0.5) * res
-        py = maxy[0] - (np.arange(TILE_SIZE) + 0.5) * res
-        lon, lat = meters_to_lonlat(
-            np.repeat(px[None, :], TILE_SIZE, 0),
-            np.repeat(py[:, None], TILE_SIZE, 1),
-        )
-        # inverse north-up affine; pixel-center convention → -0.5
-        sx = (lon - r0.gt0) / r0.gt1 - 0.5 - x0
-        sy = (lat - r0.gt3) / r0.gt5 - 0.5 - y0
+        # (exact per-pixel, or mesh-approximated per approx_mesh)
+        if approx_mesh:
+            sx, sy = _source_coords_approx(
+                tx, ty, zz, r0.gt0, r0.gt1, r0.gt3, r0.gt5, approx_mesh
+            )
+        else:
+            sx, sy = _source_coords_exact(
+                tx, ty, zz, r0.gt0, r0.gt1, r0.gt3, r0.gt5
+            )
+        sx = sx - x0
+        sy = sy - y0
         h, w = mosaic.shape
         if resampling == "nearest":
             ix = np.clip(np.round(sx).astype(np.int64), 0, w - 1)

@@ -112,3 +112,38 @@ def test_resume_filter(spark, band1):
     manifest = t.limit(3).select("band", "z", "tile_x", "tile_y")
     remaining = RT.resume_filter(t, manifest).count()
     assert remaining == all_rows - 3
+
+
+def test_approx_mesh_transform_error_bound():
+    """Mesh-approximated inverse transform stays within 0.05 px of the
+    exact transform (GDALApproxTransformer contract, error-bounded)."""
+    spec = model.grad100_spec()
+    clon = spec.gt[0] + 50 * spec.gt[1]
+    clat = spec.gt[3] + 50 * spec.gt[5]
+    tx, ty = lonlat_to_tile(np.array([clon]), np.array([clat]), Z)
+    tx, ty = int(tx[0]), int(ty[0])
+    ex = RT._source_coords_exact(tx, ty, Z, *[spec.gt[i] for i in (0, 1, 3, 5)])
+    ap = RT._source_coords_approx(
+        tx, ty, Z, *[spec.gt[i] for i in (0, 1, 3, 5)], mesh=16
+    )
+    assert np.abs(ap[0] - ex[0]).max() < 0.05
+    assert np.abs(ap[1] - ex[1]).max() < 0.05
+
+
+def test_approx_tiles_within_reference_tolerance(spark, band1):
+    """Tiles from the approx transform match exact tiles within the
+    reference's own warp tolerance (maxdiff ≤ 1, autotest/alg/warp.py:49)."""
+    exact = {
+        (r.tile_x, r.tile_y): model.decode((r.buf, 256, 256, r.dtype))
+        for r in RT.base_tiles(band1, Z, "bilinear").collect()
+    }
+    approx = {
+        (r.tile_x, r.tile_y): model.decode((r.buf, 256, 256, r.dtype))
+        for r in RT.base_tiles(band1, Z, "bilinear", approx_mesh=16).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        diff = np.abs(
+            exact[k].astype(np.int64) - approx[k].astype(np.int64)
+        ).max()
+        assert diff <= 1, k
