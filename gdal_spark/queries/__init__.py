@@ -21,6 +21,7 @@ def collect() -> tuple[
     dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
 ]:
     from gdal_spark.queries import (
+        events,
         knn,
         raster,
         relational,
@@ -30,7 +31,16 @@ def collect() -> tuple[
         vector,
     )
 
-    modules = [spatial, relational, textops, knn, similarity, vector, raster]
+    modules = [
+        spatial,
+        relational,
+        events,
+        textops,
+        knn,
+        similarity,
+        vector,
+        raster,
+    ]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in modules:

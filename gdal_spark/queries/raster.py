@@ -490,3 +490,44 @@ def _point_sample_oracle() -> str:
 
 QUERIES["raster_point_sample"] = _point_sample
 ORACLES["raster_point_sample"] = _point_sample_oracle()
+
+
+# --- polygonize / sieve / contour (rows-only; pytest-golden pinned) ---
+
+from gdal_spark.raster.contour import contour_segments  # noqa: E402
+from gdal_spark.raster.polygonize import polygonize, sieve  # noqa: E402
+
+
+def _polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected same-value plateau regions (per-block CCL + seam-edge
+    merge via distributed connected components); rows-only check —
+    region semantics pinned by tests/test_polygonize.py."""
+    blocks = model.synth_blocks(spark, model.plateau_spec())
+    return polygonize(blocks, width_full=48).orderBy("region_id")
+
+
+def _sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks = model.synth_blocks(spark, model.plateau_spec())
+    return sieve(blocks, width_full=48, threshold=70).orderBy("region_id")
+
+
+def _contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour segments of the analytic plane,
+    aggregated per level (rows-only; endpoint exactness pinned by
+    tests/test_polygonize.py)."""
+    blocks = model.synth_blocks(spark, model.plane_spec())
+    segs = contour_segments(blocks, levels=[30.0, 60.0, 120.0], width=60, height=60)
+    return segs.groupBy("level").agg(
+        F.count("*").alias("n_segments"),
+        F.round(F.min("x1"), 6).alias("min_x"),
+        F.round(F.max("x1"), 6).alias("max_x"),
+    )
+
+
+QUERIES.update(
+    {
+        "raster_polygonize": _polygonize,
+        "raster_sieve": _sieve,
+        "raster_contour": _contour,
+    }
+)

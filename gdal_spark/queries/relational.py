@@ -280,3 +280,33 @@ CONCAT_ORACLE = """
 
 QUERIES["concat_layers"] = _concat_layers
 ORACLES["concat_layers"] = CONCAT_ORACLE
+
+
+# --- gdal vector partition (apps/gdalalg_vector_partition.cpp) ---
+
+def _partition_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned dataset writer + checkpoint manifest: write
+    pages partitioned by lang, return the (lang, n_rows) manifest (the
+    per-partition lineage/metrics contract, minus run-specific fields so
+    the result is deterministic)."""
+    import tempfile
+
+    from gdal_spark.operators import checkpoint as CP
+
+    tables.register_views(spark, sf_dir)
+    pages = spark.sql("select url, text, lang from pages")
+    out = tempfile.mkdtemp(prefix="gdal_spark_partition_")
+    CP.write_partitioned(pages, out, ["lang"])
+    m = CP.read_manifest(spark, out)
+    return m.select("lang", "n_rows").orderBy("lang")
+
+
+PARTITION_WRITE_ORACLE = """
+    select lang, count(*) as n_rows
+    from documents
+    group by lang
+    order by lang
+"""
+
+QUERIES["partition_write_manifest"] = _partition_write
+ORACLES["partition_write_manifest"] = PARTITION_WRITE_ORACLE

@@ -1,0 +1,112 @@
+"""Contour — marching squares, distributed (alg/contour.cpp,
+alg/marching_squares/ parity at the segment level).
+
+Each 2×2 pixel cell is independent, so contour extraction distributes
+perfectly: blocks receive their 1-px halo (reusing the focal halo
+exchange), every interior cell classifies its 4 corners against the
+level and emits 0-2 line segments with linearly interpolated endpoints
+(grid coordinates = pixel indices). The reference merges segments into
+polylines (segment merger, alg/contour.cpp:332) — that stitch is an
+order-dependent reduce recorded as the v2 finalize; the segment soup is
+already the exact contour geometry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from gdal_spark.raster.focal import _assemble, _halo_emit
+
+SEG_SCHEMA = (
+    "dataset string, band int, level double, "
+    "x1 double, y1 double, x2 double, y2 double"
+)
+
+# marching-squares case table: for each of the 16 corner patterns the
+# crossed edge pairs. Corners: 0=TL(0,0) 1=TR(1,0) 2=BR(1,1) 3=BL(0,1);
+# edges: t=top l=left r=right b=bottom.
+_CASES: dict[int, list[tuple[str, str]]] = {
+    1: [("t", "l")], 2: [("t", "r")], 3: [("l", "r")],
+    4: [("r", "b")], 5: [("t", "l"), ("r", "b")],  # saddle: default pairing
+    6: [("t", "b")], 7: [("l", "b")],
+    8: [("l", "b")], 9: [("t", "b")],
+    10: [("t", "r"), ("l", "b")], 11: [("r", "b")],
+    12: [("l", "r")], 13: [("t", "r")], 14: [("t", "l")],
+}
+
+
+def _interp(va, vb, level):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (level - va) / (vb - va)
+    return np.clip(t, 0.0, 1.0)
+
+
+def contour_segments(
+    blocks: DataFrame, levels: list[float], width: int, height: int
+) -> DataFrame:
+    """(dataset, band, level, x1, y1, x2, y2) segment rows in grid
+    coordinates (pixel index space)."""
+    halo = _halo_emit(blocks)
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        asm = _assemble(pdf)
+        cols = [c.split()[0] for c in SEG_SCHEMA.split(", ")]
+        if asm is None:
+            return pd.DataFrame(columns=cols)
+        pad, c = asm
+        h, w = int(c.height), int(c.width)
+        x_off, y_off = int(c.x0), int(c.y0)
+        # cell corner arrays over the block + its right/bottom halo; a
+        # cell (i,j) uses pixels (j..j+1, i..i+1) in global index space.
+        tl = pad[1:-1, 1:-1][:h, :w]
+        tr = pad[1:-1, 2:][:h, :w]
+        bl = pad[2:, 1:-1][:h, :w]
+        br = pad[2:, 2:][:h, :w]
+        # valid cells: bottom/right corner pixel must exist in the raster
+        ys, xs = np.mgrid[0:h, 0:w]
+        gx = xs + x_off
+        gy = ys + y_off
+        valid = (gx + 1 < width) & (gy + 1 < height)
+        rows = []
+        for level in levels:
+            code = (
+                (tl >= level).astype(np.int64)
+                + 2 * (tr >= level).astype(np.int64)
+                + 4 * (br >= level).astype(np.int64)
+                + 8 * (bl >= level).astype(np.int64)
+            )
+            for case, pairs in _CASES.items():
+                m = (code == case) & valid
+                if not m.any():
+                    continue
+                cgx = gx[m].astype(np.float64)
+                cgy = gy[m].astype(np.float64)
+                ctl, ctr, cbl, cbr = tl[m], tr[m], bl[m], br[m]
+                pts = {
+                    "t": (cgx + _interp(ctl, ctr, level), cgy),
+                    "b": (cgx + _interp(cbl, cbr, level), cgy + 1.0),
+                    "l": (cgx, cgy + _interp(ctl, cbl, level)),
+                    "r": (cgx + 1.0, cgy + _interp(ctr, cbr, level)),
+                }
+                for ea, eb in pairs:
+                    (x1, y1), (x2, y2) = pts[ea], pts[eb]
+                    rows.append(
+                        pd.DataFrame(
+                            {
+                                "dataset": str(c.dataset),
+                                "band": int(c.band),
+                                "level": float(level),
+                                "x1": x1,
+                                "y1": y1,
+                                "x2": x2,
+                                "y2": y2,
+                            }
+                        )
+                    )
+        return pd.concat(rows) if rows else pd.DataFrame(columns=cols)
+
+    return halo.groupBy("dataset", "band", "tbx", "tby").applyInPandas(
+        fn, SEG_SCHEMA
+    )

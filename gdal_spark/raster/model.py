@@ -129,6 +129,8 @@ def synth_blocks(spark: SparkSession, spec: GridSpec) -> DataFrame:
                 x0, y0, w, h = spec.block_window(bx, by)
                 if spec.name == "plane60":
                     arr = plane_values(x0, y0, w, h)
+                elif spec.name == "plateau48":
+                    arr = plateau_values(x0, y0, w, h)
                 else:
                     arr = value_grid(x0, y0, w, h, band)
                 rows.append(
@@ -154,3 +156,21 @@ def decode(row_or_pdf_cols) -> np.ndarray:
     """buf bytes + (height,width,dtype) → 2-D array."""
     buf, h, w, dt = row_or_pdf_cols
     return np.frombuffer(bytes(buf), dtype=np.dtype(dt)).reshape(int(h), int(w))
+
+
+def plateau_spec() -> GridSpec:
+    """48×48 uint8 plateau raster for polygonize/sieve: value =
+    ((x//8)*3 + (y//8)*5) % 7 → 8×8 plateaus, some sharing values with
+    neighbors (cross-block merges at block=32)."""
+    return GridSpec(
+        "plateau48", 48, 48, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+        block=32, bands=1, dtype="uint8",
+    )
+
+
+def plateau_values(x0: int, y0: int, w: int, h: int) -> np.ndarray:
+    xs = np.arange(x0, x0 + w, dtype=np.int64)
+    ys = np.arange(y0, y0 + h, dtype=np.int64)
+    return (((xs[None, :] // 8) * 3 + (ys[:, None] // 8) * 5) % 7).astype(
+        np.uint8
+    )
