@@ -25,7 +25,15 @@ from pyspark.sql import functions as F
 
 from gdal_spark.portable import hash64
 
-H64 = lambda e: F.expr(hash64(e, "spark"))  # noqa: E731
+# Two hashers, one contract:
+# - "portable": md5-derived 60-bit hash, bit-identical in DuckDB — the
+#   correctness-gate hasher (oracle parity).
+# - "fast": xxhash64 (JVM intrinsic, ~10x cheaper than md5) — the
+#   production hasher; same pipeline, different fingerprints.
+def H64(e: str, hasher: str = "portable"):
+    if hasher == "fast":
+        return F.expr(f"xxhash64({e})")
+    return F.expr(hash64(e, "spark"))
 
 
 def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -38,39 +46,52 @@ def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
 def shingles(
     df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, shingle) — distinct k-word shingles per document."""
-    t = tokens(df, id_col, text_col)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, k)]
-    sh = t.select(
-        id_col, F.concat_ws(" ", *parts).alias("shingle"), *[
-            F.lead("w", k - 1).over(w).alias("_last")
-        ]
-    ).where(F.col("_last").isNotNull())
-    return sh.select(id_col, "shingle").distinct()
+    """(id, shingle) — distinct k-word shingles per document.
+
+    Entirely map-side: the shingle list is built with array transform +
+    slice and deduped with array_distinct BEFORE exploding, so shingling
+    adds ZERO shuffles — the first shuffle in any dedup pipeline is the
+    MinHash aggregation itself. (A window-lead formulation would cost a
+    full shuffle+sort by doc here.)"""
+    toks = f"split({text_col}, ' ')"
+    sh_arr = (
+        f"case when size({toks}) >= {k} then "
+        f"array_distinct(transform(sequence(0, size({toks}) - {k}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {k})))) "
+        f"else array() end"
+    )
+    return df.select(
+        id_col, F.explode(F.expr(sh_arr)).alias("shingle")
+    )
 
 
 def minhash(
-    sh: DataFrame, num_perm: int = 16, id_col: str = "doc_id"
+    sh: DataFrame, num_perm: int = 16, id_col: str = "doc_id",
+    hasher: str = "portable",
 ) -> DataFrame:
     """(id, perm, mh) MinHash signature rows. mh_i = min over shingles of
     hash64(i || '|' || shingle). groupBy(min) is map-side combined."""
     perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
     e = sh.select(id_col, "shingle", perms)
-    mh = H64("concat(cast(perm as string), '|', shingle)")
+    mh = H64("concat(cast(perm as string), '|', shingle)", hasher)
     return e.groupBy(id_col, "perm").agg(F.min(mh).alias("mh"))
 
 
 def band_keys(
-    mh: DataFrame, rows_per_band: int = 2, id_col: str = "doc_id"
+    mh: DataFrame, rows_per_band: int = 2, id_col: str = "doc_id",
+    hasher: str = "portable",
 ) -> DataFrame:
     """(id, band, sig) LSH band signatures. sig is an order-independent
     combine (sum of hash64(perm||':'||mh)) so it needs no sort."""
-    piece = H64("concat(cast(perm as string), ':', cast(mh as string))")
+    piece = H64("concat(cast(perm as string), ':', cast(mh as string))", hasher)
+    # order-independent combine: sum for the portable hasher (60-bit
+    # values cannot overflow), bit_xor for fast (full-range xxhash64
+    # would overflow an ANSI sum)
+    combine = F.sum(piece) if hasher == "portable" else F.bit_xor(piece)
     return (
         mh.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
-        .agg(F.sum(piece).alias("sig"))
+        .agg(combine.alias("sig"))
     )
 
 
@@ -126,11 +147,14 @@ def minhash_lsh_pairs(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hasher: str = "portable",
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → LSH bands →
     candidate pairs → exact-Jaccard verify → threshold."""
     sh = shingles(df, k, id_col, text_col)
-    bands = band_keys(minhash(sh, num_perm, id_col), rows_per_band, id_col)
+    bands = band_keys(
+        minhash(sh, num_perm, id_col, hasher), rows_per_band, id_col, hasher
+    )
     cand = candidate_pairs(bands, id_col)
     jac = jaccard_pairs(sh, cand, id_col)
     return jac.where(F.col("jaccard") >= threshold).select(

@@ -403,3 +403,90 @@ def zonal_stats(
             "vmax",
         )
     )
+
+
+def pansharpen_brovey(blocks: DataFrame, pan_band: int, rgb_bands: list[int],
+                      weights: list[float] | None = None) -> DataFrame:
+    """Brovey weighted pansharpening (alg/gdalpansharpen.cpp): each RGB
+    band scaled by pan / (Σ w_i · band_i) per pixel. Same-grid bands
+    (the reference upsamples RGB to pan resolution first — that step is
+    raster.resample.sample). One groupBy(block) band-zip kernel."""
+    weights = weights or [1.0 / len(rgb_bands)] * len(rgb_bands)
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        byband = {
+            int(r.band): model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                np.float64
+            )
+            for r in pdf.itertuples()
+        }
+        if pan_band not in byband or any(b not in byband for b in rgb_bands):
+            return pd.DataFrame(
+                columns=[c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")]
+            )
+        pan = byband[pan_band]
+        pseudo = sum(w * byband[b] for w, b in zip(weights, rgb_bands))
+        ratio = np.divide(
+            pan, pseudo, out=np.zeros_like(pan), where=pseudo != 0
+        )
+        r0 = pdf.iloc[0]
+        rows = []
+        for b in rgb_bands:
+            out = byband[b] * ratio
+            rows.append(
+                (
+                    str(r0.dataset) + "_pansharp",
+                    int(b),
+                    int(r0.bx),
+                    int(r0.by),
+                    int(r0.x0),
+                    int(r0.y0),
+                    out.shape[1],
+                    out.shape[0],
+                    "float64",
+                    r0.gt0,
+                    r0.gt1,
+                    r0.gt2,
+                    r0.gt3,
+                    r0.gt4,
+                    r0.gt5,
+                    None,
+                    np.ascontiguousarray(out).tobytes(),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=[c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")]
+        )
+
+    return blocks.groupBy("dataset", "bx", "by").applyInPandas(
+        fn, model.BLOCK_SCHEMA
+    )
+
+
+def color_map(blocks: DataFrame, breaks: list[float], colors: list[int]) -> DataFrame:
+    """color-relief / color-map: value → class color by break table
+    (apps/gdalalg_raster_color_map.cpp; gdaldem color-relief). Output
+    int32 color index per pixel (searchsorted bin)."""
+    b = np.asarray(breaks, dtype=np.float64)
+    c = np.asarray(colors, dtype=np.int32)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.float64
+                )
+                # side='left': v ≤ break maps to that class (color-relief
+                # boundary inclusion)
+                idx = np.clip(np.searchsorted(b, a, side="left"), 0, len(c) - 1)
+                res = c[idx]
+                d = r._asdict()
+                d.pop("Index", None)
+                d["dataset"] = r.dataset + "_color"
+                d["dtype"] = "int32"
+                d["buf"] = np.ascontiguousarray(res).tobytes()
+                out.append(d)
+            yield pd.DataFrame(out)
+
+    return blocks.mapInPandas(fn, model.BLOCK_SCHEMA)

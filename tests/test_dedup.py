@@ -94,3 +94,12 @@ def test_no_python_udf_in_dedup_plans(corpus):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_minhash_fast_hasher(corpus):
+    """The xxhash64 production hasher runs the same pipeline and still
+    finds the planted duplicates (fingerprints differ, semantics don't)."""
+    pairs = dedup.minhash_lsh_pairs(corpus, k=3, threshold=0.5, hasher="fast")
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got

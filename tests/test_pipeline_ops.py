@@ -124,3 +124,67 @@ def test_knn_ring_matches_bruteforce(spark):
         assert [t for _, t, _ in rows] == [t for t, _ in want]
         for (_, _, dd), (_, wd) in zip(rows, want):
             assert dd == pytest.approx(wd, rel=1e-12)
+
+
+# --- graph: shortest paths (GNM parity note) ---
+
+
+def test_shortest_paths(spark):
+    from gdal_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0),     # path 0→3 cost 3
+            (0, 3, 5.0),                                 # worse direct edge
+            (3, 4, 1.0), (0, 4, 2.5),                    # 0→4 direct wins
+            (7, 8, 1.0),                                 # unreachable island
+        ],
+        "src long, dst long, w double",
+    )
+    d = {r.node: r.dist for r in shortest_paths(edges, source=0).collect()}
+    assert d == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: 2.5}
+
+
+# --- pansharpen / color map ---
+
+
+def test_pansharpen_brovey(spark):
+    import numpy as np
+
+    from gdal_spark.raster import model
+    from gdal_spark.raster.ops import pansharpen_brovey
+
+    blocks = model.synth_blocks(spark, model.grad100_spec())
+    out = pansharpen_brovey(blocks, pan_band=3, rgb_bands=[1, 2])
+    rows = out.collect()
+    assert {r.band for r in rows} == {1, 2}
+    g1 = model.value_grid(0, 0, 100, 100, 1).astype(np.float64)
+    g2 = model.value_grid(0, 0, 100, 100, 2).astype(np.float64)
+    g3 = model.value_grid(0, 0, 100, 100, 3).astype(np.float64)
+    pseudo = 0.5 * g1 + 0.5 * g2
+    want1 = np.where(pseudo != 0, g1 * np.divide(g3, pseudo, out=np.zeros_like(g3), where=pseudo != 0), 0)
+    full = np.zeros((100, 100))
+    for r in rows:
+        if r.band != 1:
+            continue
+        a = model.decode((r.buf, r.height, r.width, r.dtype))
+        full[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
+    assert np.allclose(full, want1, atol=1e-9)
+
+
+def test_color_map(spark):
+    import numpy as np
+
+    from gdal_spark.raster import model
+    from gdal_spark.raster.ops import color_map
+
+    blocks = model.synth_blocks(spark, model.plane_spec())
+    out = color_map(blocks, breaks=[100.0, 250.0], colors=[1, 2, 3])
+    full = np.zeros((60, 60), dtype=np.int64)
+    for r in out.collect():
+        a = model.decode((r.buf, r.height, r.width, r.dtype))
+        full[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
+    ys, xs = np.mgrid[0:60, 0:60]
+    z = 3.0 * xs + 4.0 * ys
+    want = np.select([z <= 100.0, z <= 250.0], [1, 2], default=3)
+    assert np.array_equal(full, want)
