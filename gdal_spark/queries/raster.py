@@ -186,9 +186,9 @@ def _zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _zonal_oracle() -> str:
-    from gdal_spark import portable
-
+def _zonal_hits_prefix() -> str:
+    """Shared oracle CTE chain: pixel centers × zone edges → crossing
+    parity (`hits` with zone_id, lon, lat, value, crossings)."""
     gt = _gt()
     octa = tables.polygon_rings_local(0)[:-1]
     octb = tables.polygon_b_ring_local(0)
@@ -206,7 +206,6 @@ def _zonal_oracle() -> str:
             )
         return " union all ".join(rows)
 
-    _ = portable
     return f"""
     with px as ({PIXELS_CTE}),
     pts as (
@@ -224,7 +223,11 @@ def _zonal_oracle() -> str:
                     then 1 else 0 end) as crossings
         from pts p join e on true
         group by e.zone_id, p.lon, p.lat, p.value
-    )
+    )"""
+
+
+def _zonal_oracle() -> str:
+    return _zonal_hits_prefix() + """
     select zone_id, count(*) as cnt, sum(value) as vsum,
            round(avg(value), 6) as mean,
            min(value) as vmin, max(value) as vmax
@@ -531,3 +534,41 @@ QUERIES.update(
         "raster_contour": _contour,
     }
 )
+
+
+# --- zonal mode / minority / unique ---
+
+def _zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zones = [
+        (0, tables.polygon_rings_local(0)[:-1]),
+        (1, tables.polygon_b_ring_local(0)),
+    ]
+    return ops.zonal_mode_minority(_blocks(spark), zones, band=1)
+
+
+def _zonal_mode_oracle() -> str:
+    return _zonal_hits_prefix() + """,
+    h as (
+        select zone_id, value, count(*) as n
+        from hits where crossings % 2 = 1
+        group by zone_id, value
+    ),
+    m as (
+        select zone_id, value as mode
+        from h qualify row_number() over (partition by zone_id
+                                          order by n desc, value asc) = 1
+    ),
+    mi as (
+        select zone_id, value as minority
+        from h qualify row_number() over (partition by zone_id
+                                          order by n asc, value asc) = 1
+    ),
+    u as (select zone_id, count(*) as unique_values from h group by zone_id)
+    select m.zone_id, m.mode, mi.minority, u.unique_values
+    from m join mi on m.zone_id = mi.zone_id
+    join u on m.zone_id = u.zone_id
+    """
+
+
+QUERIES["raster_zonal_mode"] = _zonal_mode
+ORACLES["raster_zonal_mode"] = _zonal_mode_oracle()

@@ -490,3 +490,78 @@ def color_map(blocks: DataFrame, breaks: list[float], colors: list[int]) -> Data
             yield pd.DataFrame(out)
 
     return blocks.mapInPandas(fn, model.BLOCK_SCHEMA)
+
+
+def zonal_value_counts(
+    blocks: DataFrame,
+    zones: list[tuple[int, np.ndarray]],
+    band: int = 1,
+) -> DataFrame:
+    """(zone_id, value, n) per-zone value histogram — the partial layout
+    behind mode/minority/unique zonal statistics (alg/zonal.cpp:2085
+    stats list). Same PIP partials as zonal_stats, but keyed by value so
+    the merge stays a pure groupBy (no collect_list)."""
+    spark = blocks.sparkSession
+    bc = spark.sparkContext.broadcast(
+        [(int(z), np.asarray(r, dtype=np.float64).tolist()) for z, r in zones]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zs = [(z, np.asarray(r)) for z, r in bc.value]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.float64
+                )
+                ys, xs = np.mgrid[0 : r.height, 0 : r.width]
+                lon = r.gt0 + ((xs + r.x0).ravel() + 0.5) * r.gt1
+                lat = r.gt3 + ((ys + r.y0).ravel() + 0.5) * r.gt5
+                v = a.ravel()
+                for zid, ring in zs:
+                    inside = points_in_rings(lon, lat, [ring])
+                    if not inside.any():
+                        continue
+                    vals, cnts = np.unique(v[inside], return_counts=True)
+                    rows.extend(
+                        (zid, float(vv), int(cc)) for vv, cc in zip(vals, cnts)
+                    )
+            yield pd.DataFrame(rows, columns=["zone_id", "value", "n"])
+
+    partials = blocks.where(F.col("band") == band).mapInPandas(
+        fn, "zone_id long, value double, n long"
+    )
+    return partials.groupBy("zone_id", "value").agg(F.sum("n").alias("n"))
+
+
+def zonal_mode_minority(
+    blocks: DataFrame, zones: list[tuple[int, np.ndarray]], band: int = 1
+) -> DataFrame:
+    """(zone_id, mode, minority, unique_values) — most/least frequent
+    value per zone (ties → smallest value, GDAL convention) + distinct
+    value count. Window re-rank over the histogram."""
+    from pyspark.sql import Window
+
+    h = zonal_value_counts(blocks, zones, band)
+    wmode = Window.partitionBy("zone_id").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    wmin = Window.partitionBy("zone_id").orderBy(
+        F.col("n").asc(), F.col("value").asc()
+    )
+    ranked = h.select(
+        "zone_id",
+        "value",
+        F.row_number().over(wmode).alias("rmode"),
+        F.row_number().over(wmin).alias("rmin"),
+    )
+    mode = ranked.where("rmode = 1").select(
+        "zone_id", F.col("value").alias("mode")
+    )
+    minority = ranked.where("rmin = 1").select(
+        "zone_id", F.col("value").alias("minority")
+    )
+    uniq = h.groupBy("zone_id").agg(
+        F.count("*").alias("unique_values")
+    )
+    return mode.join(minority, "zone_id").join(uniq, "zone_id")

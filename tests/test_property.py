@@ -1,0 +1,164 @@
+"""Property-based tests (hypothesis) — randomized invariants for the
+geometry kernels the whole engine leans on. The reference's test suite
+is fixture-only (SURVEY §5 'randomized: none'); this goes beyond it."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_spark.geometry import clip as C
+from gdal_spark.geometry import wkb as W
+from gdal_spark.geometry import wkt as T
+from gdal_spark.geometry.kernels import points_in_rings, ring_area
+
+
+def convex_polygon(draw, n_min=3, n_max=10):
+    """Random convex polygon: sorted random angles + radii around a
+    random center."""
+    n = draw(st.integers(n_min, n_max))
+    angles = sorted(
+        draw(
+            st.lists(
+                st.floats(0, 2 * np.pi - 1e-6, allow_nan=False),
+                min_size=n,
+                max_size=n,
+                unique=True,
+            )
+        )
+    )
+    r = draw(st.floats(0.5, 5.0))
+    cx = draw(st.floats(-50, 50))
+    cy = draw(st.floats(-50, 50))
+    pts = np.array(
+        [(cx + r * np.cos(a), cy + r * np.sin(a)) for a in angles]
+    )
+    hull = C.convex_hull(pts)
+    return hull if len(hull) >= 3 else None
+
+
+poly_pair = st.builds(lambda: None)
+
+
+@st.composite
+def two_convex(draw):
+    a = convex_polygon(draw)
+    b = convex_polygon(draw)
+    if a is None or b is None:
+        return None
+    return a, b
+
+
+@given(two_convex())
+@settings(max_examples=60, deadline=None)
+def test_clip_area_invariants(pair):
+    if pair is None:
+        return
+    a, b = pair
+    area_a = abs(ring_area(a))
+    inter = C.clip_convex(a, b)
+    ia = abs(ring_area(inter)) if len(inter) >= 3 else 0.0
+    da = sum(abs(ring_area(p)) for p in C.difference_convex(a, b))
+    # partition: |A∩B| + |A−B| = |A|
+    assert ia + da == (
+        __import__("pytest").approx(area_a, rel=1e-7, abs=1e-9)
+    )
+    # intersection is bounded by both operands
+    assert ia <= area_a + 1e-9
+    assert ia <= abs(ring_area(b)) + 1e-9
+    # union area identity
+    ua = sum(abs(ring_area(p)) for p in C.union_convex(a, b))
+    assert ua == __import__("pytest").approx(
+        area_a + abs(ring_area(b)) - ia, rel=1e-7, abs=1e-9
+    )
+
+
+@given(two_convex())
+@settings(max_examples=40, deadline=None)
+def test_intersects_consistent_with_area(pair):
+    if pair is None:
+        return
+    a, b = pair
+    inter = C.clip_convex(a, b)
+    ia = abs(ring_area(inter)) if len(inter) >= 3 else 0.0
+    if ia > 1e-7:
+        assert C.polygons_intersect(a, b)
+    if not C.polygons_intersect(a, b):
+        assert ia < 1e-6
+
+
+@given(two_convex())
+@settings(max_examples=40, deadline=None)
+def test_pip_consistent_with_clip(pair):
+    """Points inside A∩B are inside both A and B (sampled at the clip
+    result's centroid)."""
+    if pair is None:
+        return
+    a, b = pair
+    inter = C.clip_convex(a, b)
+    if len(inter) < 3 or abs(ring_area(inter)) < 1e-7:
+        return
+    cx = inter[:, 0].mean()
+    cy = inter[:, 1].mean()  # centroid of convex region is interior
+    assert points_in_rings([cx], [cy], [a])[0]
+    assert points_in_rings([cx], [cy], [b])[0]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-1e6, 1e6, allow_nan=False),
+            st.floats(-1e6, 1e6, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_wkb_roundtrip_polygon(coords):
+    ring = np.array(coords, dtype=np.float64)
+    buf = W.polygon_to_wkb([ring])
+    t, rings = W.parse_wkb(buf)
+    assert t == W.POLYGON
+    # closed on write (unless the input was already closed); points
+    # bit-identical
+    got = rings[0]
+    if np.array_equal(ring[0], ring[-1]):
+        assert np.array_equal(got, ring)
+    else:
+        assert np.array_equal(got[:-1], ring)
+    assert np.array_equal(got[0], got[-1])
+
+
+@given(
+    st.floats(-180, 180, allow_nan=False),
+    st.floats(-85, 85, allow_nan=False),
+)
+@settings(max_examples=80, deadline=None)
+def test_wkt_point_roundtrip(x, y):
+    wkt = T.wkb_to_wkt(W.points_to_wkb([x], [y])[0])
+    back = W.parse_wkb(T.wkt_to_wkb(wkt))[1]
+    assert back[0, 0] == x and back[0, 1] == y  # repr is shortest-roundtrip
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(-100, 100), st.floats(-100, 100)),
+        min_size=3,
+        max_size=30,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_convex_hull_contains_all_points(pts):
+    arr = np.array(pts, dtype=np.float64)
+    h = C.convex_hull(arr)
+    if len(h) < 3:
+        return  # collinear degenerate input
+    # every input point is inside or on the hull: no point strictly
+    # outside any hull edge
+    hull = C._ccw(h)
+    n = len(hull)
+    for i in range(n):
+        a, b = hull[i], hull[(i + 1) % n]
+        d = b - a
+        side = d[0] * (arr[:, 1] - a[1]) - d[1] * (arr[:, 0] - a[0])
+        assert (side >= -1e-6 * max(1.0, np.abs(arr).max())).all()
