@@ -243,3 +243,85 @@ def cell_pip_join(
         cand.where(refine(F.col(lon_col), F.col(lat_col), F.col("polygon_id")))
         .drop("cell")
     )
+
+
+def cell_pip_join_shuffled(
+    df: DataFrame,
+    polygons_df: DataFrame,
+    zoom: int = 7,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Fully-shuffled cell-key strategy — NOTHING is broadcast: for
+    polygon layers too large even for a covering-table broadcast. The
+    polygon side explodes to (cell, polygon_id, geometry WKB) rows and
+    shuffles on the cell key next to the cell-keyed points; the refine
+    ray-cast runs per joined pair with the geometry carried IN the join
+    row. AQE skew-join splits hot cells. Results identical to
+    broadcast_pip_join (tests assert).
+
+    polygons_df: (polygon_id long, geometry binary WKB,
+    minx/miny/maxx/maxy double) — tables.polygons_df shape.
+    """
+    from pyspark.sql import functions as F
+
+    from gdal_spark.geometry.wkb import polygon_rings
+
+    spark = df.sparkSession
+    _ = spark
+
+    # polygon → covering cells (tile range of the bbox at `zoom`)
+    def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples():
+                tx0, ty0 = lonlat_to_tile(
+                    np.array([r.minx]), np.array([r.maxy]), zoom
+                )
+                tx1, ty1 = lonlat_to_tile(
+                    np.array([r.maxx]), np.array([r.miny]), zoom
+                )
+                xs = np.arange(tx0[0], tx1[0] + 1, dtype=np.int64)
+                ys = np.arange(ty0[0], ty1[0] + 1, dtype=np.int64)
+                gx, gy = np.meshgrid(xs, ys)
+                keys = quadkey(gx.ravel(), gy.ravel(), zoom)
+                for k in keys:
+                    outs.append((int(k), int(r.polygon_id), bytes(r.geometry)))
+            yield pd.DataFrame(
+                outs, columns=["cell", "polygon_id", "geometry"]
+            )
+
+    poly_cells = polygons_df.mapInPandas(
+        cover, "cell long, polygon_id long, geometry binary"
+    )
+
+    @F.pandas_udf("long")
+    def cell_of(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        tx, ty = lonlat_to_tile(
+            lon.to_numpy(dtype=np.float64), lat.to_numpy(dtype=np.float64), zoom
+        )
+        return pd.Series(quadkey(tx, ty, zoom))
+
+    keyed = df.withColumn("cell", cell_of(F.col(lon_col), F.col(lat_col)))
+    cand = keyed.join(poly_cells, "cell")  # shuffle join on the cell key
+
+    @F.pandas_udf("boolean")
+    def refine(lon: pd.Series, lat: pd.Series, geom: pd.Series) -> pd.Series:
+        px = lon.to_numpy(np.float64)
+        py = lat.to_numpy(np.float64)
+        ok = np.zeros(len(px), dtype=bool)
+        # group identical geometries within the batch (hot polygons
+        # repeat many times per cell) so the ray-cast vectorizes
+        idx_by_geom: dict[bytes, list[int]] = {}
+        for i, g in enumerate(geom):
+            idx_by_geom.setdefault(bytes(g), []).append(i)
+        for g, idxs in idx_by_geom.items():
+            rings = polygon_rings(g)
+            sel = np.array(idxs, dtype=np.int64)
+            ok[sel] = points_in_rings(px[sel], py[sel], rings)
+        return pd.Series(ok)
+
+    return (
+        cand.where(refine(F.col(lon_col), F.col(lat_col), F.col("geometry")))
+        .drop("cell", "geometry")
+    )

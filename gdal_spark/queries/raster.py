@@ -572,3 +572,50 @@ def _zonal_mode_oracle() -> str:
 
 QUERIES["raster_zonal_mode"] = _zonal_mode
 ORACLES["raster_zonal_mode"] = _zonal_mode_oracle()
+
+
+# --- reproject / resize (gdal raster reproject, GDALWarp affine path) ---
+
+from gdal_spark.raster.resample import reproject_grid  # noqa: E402
+
+
+def _reproject_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grad100 band 1 resampled NEAREST onto a half-offset 50×50 grid at
+    2× the pixel size; per-band stats. Nearest on the analytic fixture is
+    exactly SQL-reconstructible: dst pixel (X,Y) samples src pixel
+    (round(sx), round(sy))."""
+    src = model.grad100_spec()
+    dst = model.GridSpec(
+        "grad50",
+        50,
+        50,
+        (src.gt[0] + 0.02, 0.08, 0.0, src.gt[3] - 0.02, 0.0, -0.08),
+        block=32,
+        bands=1,
+    )
+    out = reproject_grid(
+        model.synth_blocks(spark, src).where("band = 1"), dst, "nearest", band=1
+    )
+    s = ops.band_stats(out)
+    return s.select("band", "cnt", "vmin", "vmax", "vsum")
+
+
+def _reproject_oracle() -> str:
+    # dst grid: gt0+0.02, px 0.08; src: gt0, px 0.04 →
+    # sx = ((gt0+0.02 + (X+0.5)*0.08) - gt0)/0.04 - 0.5 = 2X + 1
+    # sy likewise = 2Y + 1 → exact integers: nearest = value(2X+1, 2Y+1)
+    val = model.VALUE_SQL.format(x="(2 * x.x + 1)", y="(2 * y.y + 1)", band="1")
+    return f"""
+    with px as (
+        select cast(({val}) as double) as v
+        from (select unnest(range(50)) as x) x
+        cross join (select unnest(range(50)) as y) y
+    )
+    select 1 as band, count(*) as cnt, min(v) as vmin, max(v) as vmax,
+           sum(v) as vsum
+    from px
+"""
+
+
+QUERIES["raster_reproject_stats"] = _reproject_stats
+ORACLES["raster_reproject_stats"] = _reproject_oracle()

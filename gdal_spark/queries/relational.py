@@ -310,3 +310,18 @@ PARTITION_WRITE_ORACLE = """
 
 QUERIES["partition_write_manifest"] = _partition_write
 ORACLES["partition_write_manifest"] = PARTITION_WRITE_ORACLE
+
+
+# --- column exclusion (OGR 'SELECT * EXCLUDE (...)', swq_parser.y:76-77) ---
+
+SELECT_EXCEPT_SQL = """
+    select * except (o_orderpriority, o_orderdate)
+    from orders
+    where o_orderkey < 200
+    order by o_orderkey
+"""
+
+QUERIES["select_except_cols"] = _q(SELECT_EXCEPT_SQL)
+ORACLES["select_except_cols"] = SELECT_EXCEPT_SQL.replace(
+    "except (", "exclude ("
+)

@@ -316,3 +316,91 @@ def proximity(
     return blocks.where(F.col("band") == band).mapInPandas(
         dist, model.BLOCK_SCHEMA
     )
+
+
+def reproject_grid(
+    blocks: DataFrame,
+    dst: "model.GridSpec",
+    method: str = "nearest",
+    band: int | None = None,
+) -> DataFrame:
+    """Raster→raster reproject/resize onto a new affine grid
+    (gdal raster reproject/resize; GDALWarp with affine-only transform).
+    Per destination block: dst pixel centers → world → src fractional
+    pixels (inverse src gt) → resample kernel. Source blocks are shipped
+    to the destination blocks they feed (bbox cover join) — same shuffle
+    shape as the tile warp; here the fixture path assembles the source
+    per dst block from the broadcast mosaic (sources are small), the
+    tile.py cover-shuffle is the at-scale layout."""
+    spark = blocks.sparkSession
+    src_rows = blocks.where(
+        F.col("band") == band if band is not None else F.lit(True)
+    ).collect()
+    by_band: dict[int, np.ndarray] = {}
+    meta = src_rows[0]
+    sw = max(r.x0 + r.width for r in src_rows)
+    sh = max(r.y0 + r.height for r in src_rows)
+    for r in src_rows:
+        m = by_band.setdefault(int(r.band), np.zeros((sh, sw)))
+        m[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = model.decode(
+            (r.buf, r.height, r.width, r.dtype)
+        )
+    sgt = (meta.gt0, meta.gt1, meta.gt3, meta.gt5)
+    bc = spark.sparkContext.broadcast(
+        ({b: m.tolist() for b, m in by_band.items()}, sgt)
+    )
+    nbx, nby = dst.n_blocks()
+    targets = spark.createDataFrame(
+        [
+            (b, bx, by)
+            for b in sorted(by_band)
+            for by_ in [0]
+            for by in range(nby)
+            for bx in range(nbx)
+        ],
+        "band int, bx int, by int",
+    )
+    dgt = dst.gt
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mats, (s0, s1, s3, s5) = bc.value
+        mats = {int(b): np.asarray(m) for b, m in mats.items()}
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                x0, y0, w, h = dst.block_window(r.bx, r.by)
+                ys, xs = np.mgrid[0:h, 0:w]
+                wx = dgt[0] + (xs + x0 + 0.5) * dgt[1]
+                wy = dgt[3] + (ys + y0 + 0.5) * dgt[5]
+                sx = (wx - s0) / s1 - 0.5
+                sy = (wy - s3) / s5 - 0.5
+                m = mats[int(r.band)]
+                v = sample(m, sx.ravel(), sy.ravel(), method).reshape(h, w)
+                inb = (
+                    (sx >= -0.5)
+                    & (sx <= m.shape[1] - 0.5)
+                    & (sy >= -0.5)
+                    & (sy <= m.shape[0] - 0.5)
+                )
+                v = np.where(inb, v, 0.0)
+                out.append(
+                    (
+                        dst.name,
+                        int(r.band),
+                        int(r.bx),
+                        int(r.by),
+                        x0,
+                        y0,
+                        w,
+                        h,
+                        "float64",
+                        *[float(g) for g in dgt],
+                        None,
+                        np.ascontiguousarray(v).tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")]
+            )
+
+    return targets.mapInPandas(fn, model.BLOCK_SCHEMA)

@@ -162,3 +162,32 @@ def test_convex_hull_contains_all_points(pts):
         d = b - a
         side = d[0] * (arr[:, 1] - a[1]) - d[1] * (arr[:, 0] - a[0])
         assert (side >= -1e-6 * max(1.0, np.abs(arr).max())).all()
+
+
+# --- portable hash64 parity across engines ---
+
+
+def test_hash64_spark_duckdb_parity(spark):
+    """The portable md5-derived hash is bit-identical in Spark and
+    DuckDB for arbitrary strings — the keystone of every oracle."""
+    import duckdb
+
+    from gdal_spark.portable import hash64
+
+    samples = [
+        "", "a", "hello world", "https://src7.example/123",
+        "ünïcødé ☃", "x" * 500, "tab\tnewline\n", "0", "-1", " ",
+    ] + [f"doc-{i}-{i*i}" for i in range(50)]
+    sdf = spark.createDataFrame([(s,) for s in samples], "s string")
+    got_spark = {
+        r.s: r.h
+        for r in sdf.selectExpr("s", f"{hash64('s', 'spark')} as h").collect()
+    }
+    con = duckdb.connect()
+    rel = con.execute(
+        "select s, " + hash64("s", "duckdb") + " as h "
+        "from (select unnest($1) as s)",
+        [samples],
+    ).fetchall()
+    got_duck = {s: h for s, h in rel}
+    assert got_spark == got_duck

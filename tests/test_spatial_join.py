@@ -62,3 +62,46 @@ def test_pip_matches_sql_oracle_rowcount(spark):
     eng = broadcast_pip_join(gp, tables.polygons_local()).select("url", "polygon_id")
     assert eng.exceptAll(oracle).count() == 0
     assert oracle.exceptAll(eng).count() == 0
+
+
+def test_cell_pip_join_shuffled_matches_broadcast(spark):
+    """The no-broadcast shuffle strategy returns identical rows to the
+    broadcast R-tree strategy."""
+    from gdal_spark import tables
+    from gdal_spark.operators.spatial_join import (
+        broadcast_pip_join,
+        cell_pip_join_shuffled,
+    )
+
+    gp = tables.geo_pages(spark, "/root/testdata/sf0.001").selectExpr(
+        "url", "lat", "lon"
+    )
+    pdf = tables.polygons_df(spark, "/root/testdata/sf0.001")
+    got = {
+        (r.url, r.polygon_id)
+        for r in cell_pip_join_shuffled(gp, pdf).select("url", "polygon_id").collect()
+    }
+    want = {
+        (r.url, r.polygon_id)
+        for r in broadcast_pip_join(gp, tables.polygons_local())
+        .select("url", "polygon_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_shuffled_join_plan_is_shuffle_join(spark):
+    from gdal_spark import tables
+    from gdal_spark.operators.spatial_join import cell_pip_join_shuffled
+
+    gp = tables.geo_pages(spark, "/root/testdata/sf0.001").selectExpr(
+        "url", "lat", "lon"
+    )
+    pdf = tables.polygons_df(spark, "/root/testdata/sf0.001")
+    plan = (
+        cell_pip_join_shuffled(gp, pdf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" in plan  # genuinely shuffles — no broadcast path

