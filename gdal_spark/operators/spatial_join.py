@@ -29,7 +29,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from gdal_spark.cellindex.tile import lonlat_to_tile, quadkey
 from gdal_spark.geometry.kernels import points_in_rings
-from gdal_spark.geometry.strtree import PackedRTree
+from gdal_spark.geometry.strtree import GridIndex, PackedRTree
 
 _TREE_CACHE: dict[int, tuple] = {}
 
@@ -70,7 +70,10 @@ def broadcast_pip_join(
         if cached is None:
             payload = bc.value
             boxes = np.array([p[1] for p in payload], dtype=np.float64).reshape(-1, 4)
-            tree = PackedRTree(boxes) if len(boxes) > BRUTE_FORCE_MAX_POLYGONS else None
+            # GridIndex probe is ~20x faster than the R-tree walk for
+            # batched points (see strtree.GridIndex); PackedRTree remains
+            # for box-query workloads and as the FlatGeobuf-parity index
+            tree = GridIndex(boxes) if len(boxes) > BRUTE_FORCE_MAX_POLYGONS else None
             rings = [[np.asarray(r, dtype=np.float64) for r in p[2]] for p in payload]
             ids = np.array([p[0] for p in payload], dtype=np.int64)
             _TREE_CACHE.clear()
@@ -94,8 +97,14 @@ def broadcast_pip_join(
                 q, item = np.nonzero(m)
             hit_rows: list[np.ndarray] = []
             hit_ids: list[np.ndarray] = []
-            for gi in np.unique(item):
-                sel = q[item == gi]
+            # group candidate pairs by polygon via ONE sort (a per-polygon
+            # boolean rescan would be O(pairs × polygons))
+            order = np.argsort(item, kind="stable")
+            so_item = item[order]
+            uniq, start = np.unique(so_item, return_index=True)
+            end = np.append(start[1:], len(so_item))
+            for gi, s, e in zip(uniq, start, end):
+                sel = q[order[s:e]]
                 inside = points_in_rings(px[sel], py[sel], rings[gi])
                 rows = sel[inside]
                 if rows.size:

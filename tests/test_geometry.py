@@ -105,3 +105,33 @@ def test_rtree_box_query():
         np.array([0.9]), np.array([0.9]), np.array([1.2]), np.array([1.2])
     )
     assert set(item.tolist()) == {0, 2}
+
+
+def test_grid_index_matches_rtree_and_brute():
+    import numpy as np
+
+    from gdal_spark.geometry.strtree import GridIndex, PackedRTree
+
+    rng = np.random.default_rng(5)
+    boxes = []
+    for _ in range(300):
+        x, y = rng.uniform(-100, 100, 2)
+        w, h = rng.uniform(0.01, 3.0, 2)
+        boxes.append((x, y, x + w, y + h))
+    boxes = np.array(boxes)
+    px = rng.uniform(-105, 105, 5000)
+    py = rng.uniform(-105, 105, 5000)
+    g = GridIndex(boxes)
+    t = PackedRTree(boxes)
+    gq, gi = g.query_points(px, py)
+    tq, ti = t.query_points(px, py)
+    m = (
+        (px[:, None] >= boxes[None, :, 0])
+        & (px[:, None] <= boxes[None, :, 2])
+        & (py[:, None] >= boxes[None, :, 1])
+        & (py[:, None] <= boxes[None, :, 3])
+    )
+    bq, bi = np.nonzero(m)
+    want = set(zip(bq.tolist(), bi.tolist()))
+    assert set(zip(gq.tolist(), gi.tolist())) == want
+    assert set(zip(tq.tolist(), ti.tolist())) == want

@@ -28,8 +28,8 @@ sys.path.insert(0, "/root/repo")
 
 from gdal_spark.session import get_spark  # noqa: E402
 
-SCALING_AMPLIFY = int(os.environ.get("GDAL_SPARK_BENCH_AMPLIFY", "1024"))
-REPEATS = int(os.environ.get("GDAL_SPARK_BENCH_REPEATS", "4"))
+SCALING_AMPLIFY = int(os.environ.get("GDAL_SPARK_BENCH_AMPLIFY", "4096"))
+REPEATS = int(os.environ.get("GDAL_SPARK_BENCH_REPEATS", "3"))
 
 
 def run_at(cpus: int, sf_dir: str) -> dict:
