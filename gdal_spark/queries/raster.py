@@ -619,3 +619,248 @@ def _reproject_oracle() -> str:
 
 QUERIES["raster_reproject_stats"] = _reproject_stats
 ORACLES["raster_reproject_stats"] = _reproject_oracle()
+
+
+# --- golden-literal oracles for the kernel queries ---------------------------
+# The remaining queries' semantics aren't SQL-expressible (CCL, warp,
+# stencils), so their oracles are literal golden tables computed at
+# oracle-build time by INDEPENDENT single-machine numpy implementations
+# (BFS flood fill vs the distributed min-label CCL; whole-array Horn vs
+# the halo-exchange stencil; whole-raster warp vs the block-cover
+# shuffle). The driver's value-hash compare then pins the distributed
+# machinery against a second implementation, not against itself.
+
+import numpy as np  # noqa: E402
+
+
+def _values_sql(rows: list[tuple], cols: list[str]) -> str:
+    def lit(v):
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"select * from (values {body}) as t({', '.join(cols)})"
+
+
+def _flood_regions(a: np.ndarray) -> list[tuple]:
+    """Independent CCL: BFS flood fill, region_id = min global pixel
+    index (matches the distributed labeling convention by definition of
+    the id, not by shared code)."""
+    h, w = a.shape
+    seen = np.zeros(a.shape, dtype=bool)
+    out = []
+    for sy in range(h):
+        for sx in range(w):
+            if seen[sy, sx]:
+                continue
+            val = a[sy, sx]
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            pix = []
+            while stack:
+                y, x = stack.pop()
+                pix.append((y, x))
+                for ny, nx in ((y-1, x), (y+1, x), (y, x-1), (y, x+1)):
+                    if 0 <= ny < h and 0 <= nx < w and not seen[ny, nx] \
+                            and a[ny, nx] == val:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+            rid = min(y * w + x for y, x in pix)
+            xs = [x for _, x in pix]
+            ys = [y for y, _ in pix]
+            out.append(
+                (rid, float(val), len(pix), min(xs), min(ys), max(xs), max(ys))
+            )
+    return sorted(out)
+
+
+def _polygonize_oracle() -> str:
+    rows = _flood_regions(model.plateau_values(0, 0, 48, 48).astype(np.float64))
+    return _values_sql(
+        rows,
+        ["region_id", "value", "n_pixels", "minx", "miny", "maxx", "maxy"],
+    )
+
+
+def _sieve_oracle(threshold: int = 70) -> str:
+    rows = [
+        (rid, val, n, n > threshold)
+        for rid, val, n, *_ in _flood_regions(
+            model.plateau_values(0, 0, 48, 48).astype(np.float64)
+        )
+    ]
+    return _values_sql(rows, ["region_id", "value", "n_pixels", "keep"])
+
+
+def _ref_checksum_arr(arr: np.ndarray) -> int:
+    primes = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], np.int64)
+    v = (
+        np.floor(arr.astype(np.float64) + 0.5).astype(np.int64)
+        if arr.dtype.kind == "f"
+        else arr.astype(np.int64)
+    ).ravel()
+    idx = np.arange(v.size)
+    return int((v % primes[idx % 11]).sum() & 0xFFFF)
+
+
+def _hillshade_oracle() -> str:
+    """Whole-array Horn hillshade (edge replicate) — no halo machinery."""
+    z = model.plane_values(0, 0, 60, 60).astype(np.float64)
+    pad = np.pad(z, 1, mode="edge")
+    a, b, c = pad[:-2, :-2], pad[:-2, 1:-1], pad[:-2, 2:]
+    d, f = pad[1:-1, :-2], pad[1:-1, 2:]
+    g, hh, i = pad[2:, :-2], pad[2:, 1:-1], pad[2:, 2:]
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / 8.0
+    dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / 8.0
+    azr = np.radians(360.0 - 315.0 + 90.0)
+    altr = np.radians(45.0)
+    slope = np.arctan(np.hypot(dzdx, dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    shade = np.clip(
+        1.0
+        + 254.0
+        * (
+            np.sin(altr) * np.cos(slope)
+            + np.cos(altr) * np.sin(slope) * np.cos(azr - aspect)
+        ),
+        1.0,
+        255.0,
+    )
+    cs = _ref_checksum_arr(shade)
+    return _values_sql(
+        [("plane60_hillshade", 1, cs)], ["dataset", "band", "checksum"]
+    )
+
+
+def _tile_pyramid_oracle() -> str:
+    """Whole-raster bilinear warp per tile + 2x2 average reductions —
+    no cover shuffle / mosaic-assembly machinery."""
+    from gdal_spark.cellindex.tile import (
+        lonlat_to_tile,
+        meters_to_lonlat,
+        resolution,
+        tile_bounds_3857,
+    )
+    from gdal_spark.raster.resample import sample
+
+    spec = model.grad100_spec()
+    gsrc = model.value_grid(0, 0, 100, 100, 1).astype(np.float64)
+    minx, miny, maxx, maxy = spec.extent()
+    z = 8
+    tx0, ty0 = lonlat_to_tile(np.array([minx]), np.array([maxy]), z)
+    tx1, ty1 = lonlat_to_tile(np.array([maxx]), np.array([miny]), z)
+    tiles: dict[tuple[int, int, int], np.ndarray] = {}
+    for ty in range(int(ty0[0]), int(ty1[0]) + 1):
+        for tx in range(int(tx0[0]), int(tx1[0]) + 1):
+            bminx, bminy, bmaxx, bmaxy = tile_bounds_3857(
+                np.array([tx]), np.array([ty]), z
+            )
+            res = resolution(z)
+            pxs = bminx[0] + (np.arange(256) + 0.5) * res
+            pys = bmaxy[0] - (np.arange(256) + 0.5) * res
+            lon, lat = meters_to_lonlat(
+                np.repeat(pxs[None, :], 256, 0), np.repeat(pys[:, None], 256, 1)
+            )
+            sx = (lon - spec.gt[0]) / spec.gt[1] - 0.5
+            sy = (lat - spec.gt[3]) / spec.gt[5] - 0.5
+            v = sample(gsrc, sx, sy, "bilinear")
+            valid = (sx >= -0.5) & (sx <= 99.5) & (sy >= -0.5) & (sy <= 99.5)
+            arr = np.clip(
+                np.floor(np.where(valid, v, 0.0) + 0.5), 0, 255
+            ).astype(np.uint8)
+            tiles[(z, tx, ty)] = arr
+    # overview zooms via 2x2 average of up-to-4 children
+    for zz in (7, 6):
+        parents: dict[tuple[int, int, int], np.ndarray] = {}
+        children = {k: v for k, v in tiles.items() if k[0] == zz + 1}
+        pkeys = {(zz, k[1] // 2, k[2] // 2) for k in children}
+        for (pz, ptx, pty) in pkeys:
+            big = np.zeros((512, 512))
+            for dy in range(2):
+                for dx in range(2):
+                    c = children.get((zz + 1, 2 * ptx + dx, 2 * pty + dy))
+                    if c is not None:
+                        big[dy*256:(dy+1)*256, dx*256:(dx+1)*256] = c
+            red = big.reshape(256, 2, 256, 2).mean(axis=(1, 3))
+            parents[(pz, ptx, pty)] = np.clip(
+                np.floor(red + 0.5), 0, 255
+            ).astype(np.uint8)
+        tiles.update(parents)
+    rows = [
+        (1, zz, tx, ty, _ref_checksum_arr(arr))
+        for (zz, tx, ty), arr in sorted(tiles.items())
+    ]
+    return _values_sql(rows, ["band", "z", "tile_x", "tile_y", "checksum"])
+
+
+ORACLES.update(
+    {
+        "raster_polygonize": _polygonize_oracle(),
+        "raster_sieve": _sieve_oracle(),
+        "raster_hillshade": _hillshade_oracle(),
+        "raster_tile_pyramid": _tile_pyramid_oracle(),
+    }
+)
+
+
+def _contour_oracle() -> str:
+    """Whole-array marching squares (single pass, no halo/block
+    machinery) → aggregated per-level golden."""
+    z = model.plane_values(0, 0, 60, 60).astype(np.float64)
+    levels = [30.0, 60.0, 120.0]
+    rows = []
+    h, w = z.shape
+    tl = z[:-1, :-1]
+    tr = z[:-1, 1:]
+    bl = z[1:, :-1]
+    br = z[1:, 1:]
+    ys, xs = np.mgrid[0 : h - 1, 0 : w - 1]
+    for level in levels:
+        code = (
+            (tl >= level).astype(int)
+            + 2 * (tr >= level).astype(int)
+            + 4 * (br >= level).astype(int)
+            + 8 * (bl >= level).astype(int)
+        )
+        segs_x1 = []
+        crossing = (code != 0) & (code != 15)
+        n_segs = 0
+        for cy, cx in zip(ys[crossing], xs[crossing]):
+            c = code[cy, cx]
+            # how many segments this cell emits (saddles emit 2)
+            pairs = 2 if c in (5, 10) else 1
+            n_segs += pairs
+            # x1 endpoints per the engine's case table ordering: first
+            # edge of each pair; t: x interp on top/bottom, x on l/r
+            from gdal_spark.raster.contour import _CASES, _interp
+
+            ctl, ctr_, cbl, cbr = (
+                z[cy, cx], z[cy, cx + 1], z[cy + 1, cx], z[cy + 1, cx + 1]
+            )
+            pts = {
+                "t": float(cx + _interp(ctl, ctr_, level)),
+                "b": float(cx + _interp(cbl, cbr, level)),
+                "l": float(cx),
+                "r": float(cx + 1.0),
+            }
+            for ea, _eb in _CASES[c]:
+                segs_x1.append(pts[ea])
+        rows.append(
+            (
+                level,
+                n_segs,
+                round(min(segs_x1), 6),
+                round(max(segs_x1), 6),
+            )
+        )
+    return _values_sql(rows, ["level", "n_segments", "min_x", "max_x"])
+
+
+ORACLES["raster_contour"] = _contour_oracle()

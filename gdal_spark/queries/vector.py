@@ -201,3 +201,126 @@ def _special_fields_oracle() -> str:
 
 QUERIES["ogr_special_fields"] = _special_fields
 ORACLES["ogr_special_fields"] = _special_fields_oracle()
+
+
+# --- golden-literal oracles for union/erase leftovers ------------------------
+# Independent area computation: convex-convex intersection by the
+# VERTEX CONSTRUCTION (A-verts-in-B + B-verts-in-A + edge crossings,
+# angular sort, shoelace — the same math as the SQL oracle, in numpy),
+# NOT the engine's Sutherland-Hodgman clipper; |A − ∪B| via
+# inclusion-exclusion over the (≤2) overlapping method polygons.
+
+import numpy as np  # noqa: E402
+
+
+def _vc_intersection(a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
+    """Convex∩convex by vertex construction → CCW ring or None."""
+    from gdal_spark.geometry.kernels import points_in_rings
+
+    pts = []
+    pts += [p for p in a if points_in_rings([p[0]], [p[1]], [b])[0]]
+    pts += [p for p in b if points_in_rings([p[0]], [p[1]], [a])[0]]
+    na, nb = len(a), len(b)
+    for i in range(na):
+        p1, p2 = a[i], a[(i + 1) % na]
+        for j in range(nb):
+            q1, q2 = b[j], b[(j + 1) % nb]
+            den = (p2[0] - p1[0]) * (q2[1] - q1[1]) - (p2[1] - p1[1]) * (
+                q2[0] - q1[0]
+            )
+            if den == 0:
+                continue
+            t = (
+                (q1[0] - p1[0]) * (q2[1] - q1[1])
+                - (q1[1] - p1[1]) * (q2[0] - q1[0])
+            ) / den
+            u = (
+                (q1[0] - p1[0]) * (p2[1] - p1[1])
+                - (q1[1] - p1[1]) * (p2[0] - p1[0])
+            ) / den
+            if 0 <= t <= 1 and 0 <= u <= 1:
+                pts.append(p1 + t * (p2 - p1))
+    if len(pts) < 3:
+        return None
+    arr = np.unique(np.array(pts, dtype=np.float64), axis=0)
+    if len(arr) < 3:
+        return None
+    c = arr.mean(axis=0)
+    ang = np.arctan2(arr[:, 1] - c[1], arr[:, 0] - c[0])
+    return arr[np.argsort(ang, kind="stable")]
+
+
+def _vc_area(ring: np.ndarray | None) -> float:
+    if ring is None or len(ring) < 3:
+        return 0.0
+    x, y = ring[:, 0], ring[:, 1]
+    return abs(
+        float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2.0
+    )
+
+
+def _excl_area(subject: np.ndarray, clips: list[np.ndarray]) -> float:
+    """|subject − ∪clips| by inclusion-exclusion (≤2 overlapping clips
+    in these layers; asserts that bound)."""
+    overlapping = [c for c in clips if _vc_area(_vc_intersection(subject, c)) > 1e-12]
+    assert len(overlapping) <= 2, "layers changed: extend inclusion-exclusion"
+    s = _vc_area(
+        np.asarray(subject)
+    )
+    inter = sum(_vc_area(_vc_intersection(subject, c)) for c in overlapping)
+    if len(overlapping) == 2:
+        ab = _vc_intersection(overlapping[0], overlapping[1])
+        if ab is not None:
+            inter -= _vc_area(_vc_intersection(subject, ab))
+    return s - inter
+
+
+def _values_sql(rows: list[tuple], cols: list[str]) -> str:
+    def lit(v):
+        if v is None:
+            return "cast(null as bigint)"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"select * from (values {body}) as t({', '.join(cols)})"
+
+
+def _layer_rows_golden(op: str) -> list[tuple]:
+    from gdal_spark.geometry.clip import _ccw
+
+    a_rings = [_ccw(tables.polygon_rings_local(i)[:-1]) for i in range(25)]
+    b_rings = [_ccw(tables.polygon_b_ring_local(j)) for j in range(25)]
+    rows: list[tuple] = []
+    if op in ("union",):
+        for i, a in enumerate(a_rings):
+            for j, b in enumerate(b_rings):
+                ia = _vc_area(_vc_intersection(a, b))
+                if ia > 1e-9:
+                    rows.append((i, j, round(ia, 6)))
+    for i, a in enumerate(a_rings):
+        left = _excl_area(a, b_rings)
+        if left > 1e-12:
+            rows.append((i, None, round(left, 6)))
+    if op == "union":
+        for j, b in enumerate(b_rings):
+            left = _excl_area(b, a_rings)
+            if left > 1e-12:
+                rows.append((None, j, round(left, 6)))
+    return rows
+
+
+def _union_oracle() -> str:
+    return _values_sql(
+        _layer_rows_golden("union"), ["input_id", "method_id", "area"]
+    )
+
+
+def _erase_oracle() -> str:
+    rows = [(i, a) for (i, _m, a) in _layer_rows_golden("erase")]
+    return _values_sql(rows, ["input_id", "area"])
+
+
+ORACLES["layer_union_rows"] = _union_oracle()
+ORACLES["layer_erase_rows"] = _erase_oracle()

@@ -105,9 +105,11 @@ def _assemble(pdf: pd.DataFrame) -> tuple[np.ndarray, pd.Series] | None:
         a[-1, 0],
         a[-1, -1],
     )
+    received: set[tuple[int, int]] = set()
     for r in pdf.itertuples():
         if r.dx == 0 and r.dy == 0:
             continue
+        received.add((int(r.dx), int(r.dy)))
         s = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
             np.float64
         )  # itertuples namedtuple: .dtype is the column here
@@ -128,6 +130,31 @@ def _assemble(pdf: pd.DataFrame) -> tuple[np.ndarray, pd.Series] | None:
             pad[-1, 0] = s[0, 0]
         elif (r.dx, r.dy) == (-1, -1):
             pad[-1, -1] = s[0, 0]
+    # corner fix-up at raster borders: when the DIAGONAL neighbor is
+    # absent but a side neighbor exists, edge-replicate semantics clamp
+    # toward the side neighbor's strip, not toward this block's corner
+    # (e.g. pixel (0, 32) at the raster top needs the left neighbor's
+    # top pixel at (-1, 31), which clamps to (0, 31) = pad[1, 0])
+    if (1, 1) not in received:
+        if (0, 1) in received:
+            pad[0, 0] = pad[0, 1]
+        elif (1, 0) in received:
+            pad[0, 0] = pad[1, 0]
+    if (-1, 1) not in received:
+        if (0, 1) in received:
+            pad[0, -1] = pad[0, -2]
+        elif (-1, 0) in received:
+            pad[0, -1] = pad[1, -1]
+    if (1, -1) not in received:
+        if (0, -1) in received:
+            pad[-1, 0] = pad[-1, 1]
+        elif (1, 0) in received:
+            pad[-1, 0] = pad[-2, 0]
+    if (-1, -1) not in received:
+        if (0, -1) in received:
+            pad[-1, -1] = pad[-1, -2]
+        elif (-1, 0) in received:
+            pad[-1, -1] = pad[-2, -1]
     return pad, c
 
 
