@@ -311,3 +311,40 @@ def _buffer(buf: bytes, dist: float) -> bytes | None:
     if len(ring) < 3:
         return None
     return W.polygon_to_wkb([ring])
+
+
+def _swap_xy(buf: bytes) -> bytes:
+    """swap-xy (apps/gdalalg_vector_swap_xy.cpp): exchange coordinate
+    order in place."""
+    t, payload = W.parse_wkb(buf)
+    if t == W.POINT:
+        return W.points_to_wkb([payload[0, 1]], [payload[0, 0]])[0]
+    if t == W.LINESTRING:
+        return W.linestring_to_wkb(payload[:, ::-1])
+    if t == W.POLYGON:
+        return W.polygon_to_wkb([r[:, ::-1] for r in payload])
+    if t == W.MULTIPOLYGON:
+        return W.multipolygon_to_wkb(
+            [[r[:, ::-1] for r in rings] for (_, rings) in payload]
+        )
+    raise ValueError(f"swap_xy: unsupported type {t}")
+
+
+def register_extra_st(spark: SparkSession) -> None:
+    """Additional vector-pipeline steps: swap-xy, num-geometries."""
+    reg = spark.udf.register
+    P = F.pandas_udf
+    reg("st_swapxy", P(lambda s: _each(s, _swap_xy), BinaryType()))
+    reg("st_numgeometries", P(
+        lambda s: _each(
+            s,
+            lambda b: (
+                len(W.parse_wkb(b)[1])
+                if W.parse_wkb(b)[0]
+                in (W.MULTIPOINT, W.MULTILINESTRING, W.MULTIPOLYGON, W.COLLECTION)
+                else 1
+            ),
+            "int32",
+        ),
+        IntegerType(),
+    ))

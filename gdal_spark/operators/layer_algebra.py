@@ -226,3 +226,47 @@ def _method_side_rows(
     return spark.createDataFrame(
         rows, "input_id long, method_id long, geometry binary, area double"
     )
+
+
+def explode_collections(
+    df: DataFrame, id_col: str = "polygon_id", geom_col: str = "geometry"
+) -> DataFrame:
+    """explode-collections (apps/gdalalg_vector_explode_collections.cpp):
+    one output row per member geometry of a Multi*/Collection; simple
+    geometries pass through with part = 0."""
+    from typing import Iterator
+
+    from gdal_spark.geometry import wkb as W2
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                gid = getattr(r, id_col)
+                t, payload = W2.parse_wkb(bytes(getattr(r, geom_col)))
+                if t == W2.MULTIPOLYGON:
+                    for part, (_, rings) in enumerate(payload):
+                        rows.append(
+                            (gid, part, W2.polygon_to_wkb(rings))
+                        )
+                elif t in (W2.MULTIPOINT, W2.MULTILINESTRING, W2.COLLECTION):
+                    for part, child in enumerate(payload):
+                        ct, cp = child
+                        if ct == W2.POINT:
+                            rows.append(
+                                (gid, part,
+                                 W2.points_to_wkb([cp[0, 0]], [cp[0, 1]])[0])
+                            )
+                        elif ct == W2.LINESTRING:
+                            rows.append((gid, part, W2.linestring_to_wkb(cp)))
+                        else:
+                            rows.append((gid, part, W2.polygon_to_wkb(cp[1])))
+                else:
+                    rows.append((gid, 0, bytes(getattr(r, geom_col))))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "part", geom_col]
+            )
+
+    return df.select(id_col, geom_col).mapInPandas(
+        fn, f"{id_col} long, part int, {geom_col} binary"
+    )

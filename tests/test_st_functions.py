@@ -126,3 +126,50 @@ def test_wkt_module_roundtrip():
         "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))",
     ]:
         assert T.wkb_to_wkt(T.wkt_to_wkb(wkt)) == wkt
+
+
+def test_swap_xy_and_numgeometries(st):
+    from gdal_spark.functions.st import register_extra_st
+
+    register_extra_st(st)
+    r = st.sql(
+        "select st_astext(st_swapxy(st_geomfromtext('POINT (1 2)'))) as p, "
+        "st_numgeometries(st_geomfromtext("
+        "'MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+        "((2 2, 3 2, 3 3, 2 3, 2 2)))')) as n, "
+        "st_numgeometries(g) as n1 from shapes where id = 1"
+    ).collect()[0]
+    assert r.p == "POINT (2 1)"
+    assert r.n == 2 and r.n1 == 1
+    # swap twice = identity on a polygon
+    r2 = st.sql(
+        "select st_astext(st_swapxy(st_swapxy(g))) = st_astext(g) as same "
+        "from shapes where id = 2"
+    ).collect()[0]
+    assert r2.same
+
+
+def test_explode_collections(st):
+    import numpy as np
+
+    from gdal_spark.geometry import wkb as W2
+    from gdal_spark.operators.layer_algebra import explode_collections
+
+    mp = W2.multipolygon_to_wkb(
+        [
+            [np.array([[0.0, 0], [1, 0], [1, 1], [0, 1]])],
+            [np.array([[5.0, 5], [6, 5], [6, 6], [5, 6]])],
+        ]
+    )
+    single = W2.polygon_to_wkb([np.array([[9.0, 9], [10, 9], [10, 10]])])
+    df = st.createDataFrame(
+        [(1, bytearray(mp)), (2, bytearray(single))],
+        "polygon_id long, geometry binary",
+    )
+    rows = explode_collections(df).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.polygon_id, []).append(r)
+    assert len(by[1]) == 2 and len(by[2]) == 1
+    t0, payload = W2.parse_wkb(bytes(by[1][0].geometry))
+    assert t0 == W2.POLYGON
