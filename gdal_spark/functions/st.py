@@ -11,8 +11,9 @@ loop inside a batch is acceptable for *polygon-layer* columns (small
 relative to point tables — the hot point paths use the dedicated
 vectorized kernels in geometry.kernels / operators.spatial_join).
 
-Set-operation functions require the SECOND (method) operand to be a
-convex polygon (see geometry.clip docstring); subjects may be concave.
+Set-operation functions accept arbitrary simple polygons on both sides:
+concave second operands are ear-clipped into convex parts first
+(geometry.clip *_general).
 """
 
 from __future__ import annotations
@@ -187,20 +188,19 @@ def _pieces_to_wkb(pieces: list[np.ndarray]) -> bytes | None:
 
 
 def _intersection(a: bytes, b: bytes) -> bytes | None:
-    r = C.clip_convex(_ext(a), _ext(b))
-    return _pieces_to_wkb([r] if len(r) >= 3 else [])
+    return _pieces_to_wkb(C.clip_general(_ext(a), _ext(b)))
 
 
 def _difference(a: bytes, b: bytes) -> bytes | None:
-    return _pieces_to_wkb(C.difference_convex(_ext(a), _ext(b)))
+    return _pieces_to_wkb(C.difference_general(_ext(a), _ext(b)))
 
 
 def _union(a: bytes, b: bytes) -> bytes | None:
-    return _pieces_to_wkb(C.union_convex(_ext(a), _ext(b)))
+    return _pieces_to_wkb(C.union_general(_ext(a), _ext(b)))
 
 
 def _sym_difference(a: bytes, b: bytes) -> bytes | None:
-    return _pieces_to_wkb(C.sym_difference_convex(_ext(a), _ext(b)))
+    return _pieces_to_wkb(C.sym_difference_general(_ext(a), _ext(b)))
 
 
 def register_st_functions(spark: SparkSession) -> None:

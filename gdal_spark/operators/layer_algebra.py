@@ -14,7 +14,8 @@ refine kernel here is strategy-independent.
 
 Result schemas follow set_result_schema (ogrlayer.cpp:5093): input
 fields ++ method fields (prefixed), NULL-padded where a side is absent.
-Method geometries must be convex (geometry.clip limitation, documented).
+Concave method geometries are handled by ear-clipping decomposition
+(geometry.clip *_general); convex methods take the direct fast path.
 """
 
 from __future__ import annotations
@@ -61,13 +62,17 @@ def _bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
 
 
 def _subtract_all(subject: np.ndarray, clips: list[np.ndarray]) -> list[np.ndarray]:
-    """subject − ∪clips as disjoint pieces (each clip convex)."""
+    """subject − ∪clips as disjoint pieces (clips may be concave —
+    decomposed to convex parts first)."""
     pieces = [subject]
     for cl in clips:
-        nxt: list[np.ndarray] = []
-        for p in pieces:
-            nxt.extend(C.difference_convex(p, cl))
-        pieces = nxt
+        for part in C._convex_parts(cl):
+            nxt: list[np.ndarray] = []
+            for p in pieces:
+                nxt.extend(C.difference_convex(p, part))
+            pieces = nxt
+            if not pieces:
+                break
         if not pieces:
             break
     return pieces
@@ -82,10 +87,12 @@ def _disjoint_intersections(
     consumed: list[np.ndarray] = []
     out: list[tuple[int, list[np.ndarray]]] = []
     for mid, cl in clips:
-        inter = C.clip_convex(subject, cl)
-        if len(inter) < 3:
+        inters = C.clip_general(subject, cl)
+        if not inters:
             continue
-        pieces = _subtract_all(inter, consumed) if consumed else [inter]
+        pieces: list[np.ndarray] = []
+        for inter in inters:
+            pieces.extend(_subtract_all(inter, consumed) if consumed else [inter])
         if pieces:
             out.append((mid, pieces))
         consumed.append(cl)
@@ -176,9 +183,9 @@ def _one(
     clips = [r for _, r in methods]
     if op == "intersection" or op == "identity" or op == "union":
         for mid, cl in methods:
-            inter = C.clip_convex(subject, cl)
-            if len(inter) >= 3:
-                rows.extend(_emit(iid, mid, [inter]))
+            pieces = C.clip_general(subject, cl)
+            if pieces:
+                rows.extend(_emit(iid, mid, pieces))
     if op in ("identity", "union", "sym_difference", "erase", "update"):
         left = _subtract_all(subject, clips)
         if left:

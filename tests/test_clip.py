@@ -137,3 +137,49 @@ def test_distance():
     assert C.polygon_distance(SQ, far) == pytest.approx(3.0, abs=1e-12)
     diag = SQ + 3.0
     assert C.polygon_distance(SQ, diag) == pytest.approx(np.sqrt(2.0), abs=1e-12)
+
+
+# --- general (concave) clipping via ear-clipping decomposition ---
+
+
+def test_triangulate_partitions_area():
+    L = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3]], dtype=float)
+    tris = C.triangulate(L)
+    assert sum(area(t) for t in tris) == pytest.approx(area(L), abs=1e-12)
+    # triangles are disjoint (pairwise intersection area 0)
+    for i in range(len(tris)):
+        for j in range(i + 1, len(tris)):
+            inter = C.clip_convex(tris[i], tris[j])
+            assert len(inter) == 0 or area(inter) < 1e-12
+    # star (concave at every other vertex)
+    ang = np.linspace(0, 2 * np.pi, 10, endpoint=False)
+    rad = np.where(np.arange(10) % 2 == 0, 2.0, 0.7)
+    star = np.column_stack([rad * np.cos(ang), rad * np.sin(ang)])
+    tris2 = C.triangulate(star)
+    assert sum(area(t) for t in tris2) == pytest.approx(area(star), rel=1e-9)
+
+
+def test_general_clip_concave_clip_operand():
+    """Concave CLIP operand (the former limitation)."""
+    L = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3]], dtype=float)
+    # subject square overlapping the L's notch
+    S = np.array([[0.5, 0.5], [2.5, 0.5], [2.5, 2.5], [0.5, 2.5]])
+    inter = C.clip_general(S, L)
+    ia = pieces_area(inter)
+    # S ∩ L: bottom strip 2x0.5 + left strip 0.5x1.5 = 1.0 + 0.75
+    assert ia == pytest.approx(1.75, abs=1e-9)
+    da = pieces_area(C.difference_general(S, L))
+    assert ia + da == pytest.approx(area(S), abs=1e-9)
+    ua = pieces_area(C.union_general(S, L))
+    assert ua == pytest.approx(area(S) + area(L) - ia, abs=1e-9)
+    sa = pieces_area(C.sym_difference_general(S, L))
+    assert sa == pytest.approx(area(S) + area(L) - 2 * ia, abs=1e-9)
+
+
+def test_general_matches_convex_on_convex_inputs():
+    got = pieces_area(C.clip_general(SQ, SQ_SHIFT))
+    want = area(C.clip_convex(SQ, SQ_SHIFT))
+    assert got == pytest.approx(want, abs=1e-12)
+    assert C.is_convex(SQ)
+    L = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3]], dtype=float)
+    assert not C.is_convex(L)

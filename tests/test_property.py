@@ -191,3 +191,39 @@ def test_hash64_spark_duckdb_parity(spark):
     ).fetchall()
     got_duck = {s: h for s, h in rel}
     assert got_spark == got_duck
+
+
+# --- general clipping on randomized star (concave) polygons ---
+
+
+@st.composite
+def star_polygon(draw):
+    n = draw(st.integers(5, 12))
+    base = draw(st.floats(0.5, 3.0))
+    cx = draw(st.floats(-20, 20))
+    cy = draw(st.floats(-20, 20))
+    radii = [draw(st.floats(0.3, 1.0)) * base + 0.1 for _ in range(n)]
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ring = np.column_stack(
+        [cx + np.array(radii) * np.cos(ang), cy + np.array(radii) * np.sin(ang)]
+    )
+    return ring
+
+
+@given(star_polygon(), star_polygon())
+@settings(max_examples=40, deadline=None)
+def test_general_clip_invariants_star(a, b):
+    from gdal_spark.geometry.kernels import ring_area
+
+    area_a = abs(ring_area(a))
+    ia = sum(abs(ring_area(p)) for p in C.clip_general(a, b))
+    da = sum(abs(ring_area(p)) for p in C.difference_general(a, b))
+    ib = sum(abs(ring_area(p)) for p in C.clip_general(b, a))
+    pytest = __import__("pytest")
+    assert ia + da == pytest.approx(area_a, rel=1e-6, abs=1e-9)
+    # symmetry: |A∩B| == |B∩A| regardless of decomposition
+    assert ia == pytest.approx(ib, rel=1e-6, abs=1e-9)
+    ua = sum(abs(ring_area(p)) for p in C.union_general(a, b))
+    assert ua == pytest.approx(
+        area_a + abs(ring_area(b)) - ia, rel=1e-6, abs=1e-9
+    )
