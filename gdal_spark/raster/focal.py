@@ -188,6 +188,20 @@ def _horn_derivs(pad, ew, ns):
 def _kernel_out(op: str, pad: np.ndarray, c) -> np.ndarray:
     ew = abs(c.gt1)
     ns = abs(c.gt5)
+    if op == "fillnodata":
+        # rasterfill analog (alg/rasterfill.cpp): nodata pixels take the
+        # mean of their valid 3x3 neighbors (one ring; iterate the
+        # operator for larger gaps)
+        nd = c.nodata
+        if nd is None or pd.isna(nd):
+            return pad[1:-1, 1:-1].copy()
+        stack = np.stack(list(_w(pad).values()))
+        valid = stack != nd
+        cnt = valid.sum(0)
+        ssum = np.where(valid, stack, 0.0).sum(0)
+        center = pad[1:-1, 1:-1]
+        fill = np.where(cnt > 0, ssum / np.maximum(cnt, 1), nd)
+        return np.where(center == nd, fill, center)
     if op in ("mean", "sum", "min", "max", "stddev", "median"):
         stack = np.stack(list(_w(pad).values()))
         return {

@@ -72,3 +72,45 @@ def test_roughness(plane_blocks):
     r = assemble(focal.focal(plane_blocks, "roughness").collect())
     # max-min over 3×3 window of the plane = 7 - (-7) = 14
     assert np.allclose(r[1:-1, 1:-1], 14.0, atol=1e-9)
+
+
+def test_fillnodata(spark):
+    """rasterfill analog: punched holes refill with the 3×3 valid-mean;
+    on the linear plane the neighbor mean equals the plane value."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spec = model.plane_spec()
+    blocks = model.synth_blocks(spark, spec)
+
+    ND = -9999.0
+    holes = [(10, 10), (31, 32), (45, 7)]  # incl. a block-seam hole
+
+    def punch(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.float64
+                )
+                for (hy, hx) in holes:
+                    if r.y0 <= hy < r.y0 + r.height and r.x0 <= hx < r.x0 + r.width:
+                        a[hy - r.y0, hx - r.x0] = ND
+                d = r._asdict(); d.pop("Index", None)
+                d["dtype"] = "float64"
+                d["nodata"] = ND
+                d["buf"] = np.ascontiguousarray(a).tobytes()
+                out.append(d)
+            yield pd.DataFrame(out)
+
+    punched = blocks.mapInPandas(punch, model.BLOCK_SCHEMA)
+    filled = assemble(focal.focal(punched, "fillnodata").collect())
+    ys, xs = np.mgrid[0:60, 0:60]
+    want = 3.0 * xs + 4.0 * ys
+    for (hy, hx) in holes:
+        assert filled[hy, hx] == pytest.approx(want[hy, hx], abs=1e-9)
+    # untouched pixels pass through bit-exact
+    mask = np.ones((60, 60), dtype=bool)
+    for (hy, hx) in holes:
+        mask[hy, hx] = False
+    assert np.array_equal(filled[mask], want[mask])
