@@ -18,7 +18,8 @@ ring tracing) and sieve filter (alg/gdalsievefilter.cpp: merge regions
 4. OUTPUT — (region_id, value, n_pixels, bbox) region table; sieve
    flags regions ≤ threshold (relabel-back is a join on the label
    raster, elided at fixture scale). Ring tracing to ISO-WKB polygons
-   is the recorded v2 finalize step.
+   (exterior + holes) is the finalize step below (trace_region_rings /
+   polygonize_wkb).
 """
 
 from __future__ import annotations
@@ -256,3 +257,96 @@ def sieve(
         "n_pixels",
         (F.col("n_pixels") > threshold).alias("keep"),
     )
+
+
+# --- ring tracing finalize (region mask → WKB polygon with holes) ---
+
+_DIRS = {(1, 0): 0, (0, 1): 1, (-1, 0): 2, (0, -1): 3}
+_VECS = [(1, 0), (0, 1), (-1, 0), (0, -1)]
+
+
+def trace_region_rings(mask: np.ndarray) -> list[np.ndarray]:
+    """Boundary rings of a pixel mask in pixel-corner coordinates
+    (x right, y down). Walks the directed boundary-edge graph keeping
+    the region on the RIGHT, preferring the sharpest right turn at
+    checkerboard corners, so every cycle is simple. First ring returned
+    is the exterior (largest |area|); the rest are holes. This is the
+    finalize step of polygonize (alg/polygonize_polygonizer.cpp TwoArm
+    tracing analog)."""
+    h, w = mask.shape
+    edges: dict[tuple[int, int, int], tuple[int, int]] = {}
+    ys, xs = np.nonzero(mask)
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        if y == 0 or not mask[y - 1, x]:
+            edges[(x, y, 0)] = (x + 1, y)        # top, walk +x
+        if x == w - 1 or not mask[y, x + 1]:
+            edges[(x + 1, y, 1)] = (x + 1, y + 1)  # right, walk +y
+        if y == h - 1 or not mask[y + 1, x]:
+            edges[(x + 1, y + 1, 2)] = (x, y + 1)  # bottom, walk -x
+        if x == 0 or not mask[y, x - 1]:
+            edges[(x, y + 1, 3)] = (x, y)          # left, walk -y
+    by_start: dict[tuple[int, int], list[int]] = {}
+    for (sx, sy, d) in edges:
+        by_start.setdefault((sx, sy), []).append(d)
+    rings: list[np.ndarray] = []
+    visited: set[tuple[int, int, int]] = set()
+    for start_key in list(edges):
+        if start_key in visited:
+            continue
+        ring = []
+        key = start_key
+        while key not in visited:
+            visited.add(key)
+            sx, sy, d = key
+            ring.append((sx, sy))
+            nxt = edges[key]
+            outs = by_start.get(nxt, [])
+            # turn priority: sharp right (d-1), straight (d), left (d+1)
+            for cand in ((d - 1) % 4, d, (d + 1) % 4):
+                if cand in outs and (nxt[0], nxt[1], cand) not in visited:
+                    key = (nxt[0], nxt[1], cand)
+                    break
+            else:
+                break  # cycle closed
+        if len(ring) >= 4:
+            rings.append(np.array(ring, dtype=np.float64))
+    rings.sort(key=lambda r: -abs(
+        float(np.sum(r[:, 0] * np.roll(r[:, 1], -1)
+                     - np.roll(r[:, 0], -1) * r[:, 1])) / 2.0
+    ))
+    return rings
+
+
+def region_wkb(mask: np.ndarray) -> bytes:
+    """Region mask → WKB Polygon (exterior + holes), pixel-corner
+    coordinates. st_area(result) == mask.sum() exactly."""
+    from gdal_spark.geometry.wkb import polygon_to_wkb
+
+    rings = trace_region_rings(mask)
+    return polygon_to_wkb(rings)
+
+
+def polygonize_wkb(blocks: DataFrame, width: int, height: int, band: int = 1) -> list[tuple]:
+    """Fixture-scale finalize: (region_id, value, n_pixels, wkb) with
+    traced ring geometry. Reassembles the raster driver-side (documented:
+    at scale, tracing runs per region inside applyInPandas over
+    region-grouped masks)."""
+    rows = blocks.where(F.col("band") == band).collect()
+    full = np.zeros((height, width))
+    for r in rows:
+        full[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = model.decode(
+            (r.buf, r.height, r.width, r.dtype)
+        )
+    out = []
+    lab = _label_block(full, 0, 0, width)
+    for u in np.unique(lab):
+        mask = lab == u
+        out.append(
+            (
+                int(u),
+                float(full[mask][0]),
+                int(mask.sum()),
+                region_wkb(mask),
+            )
+        )
+    return out

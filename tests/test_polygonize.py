@@ -119,3 +119,51 @@ def test_contour_multiple_levels(spark):
     ).collect()
     lv = {s.level for s in segs}
     assert lv == {30.0, 120.0}
+
+
+# --- ring tracing (region mask → WKB polygon with holes) ---
+
+
+def test_trace_region_rings_shapes():
+    from gdal_spark.geometry.kernels import polygon_area, ring_area
+    from gdal_spark.geometry.wkb import parse_wkb
+    from gdal_spark.raster.polygonize import region_wkb, trace_region_rings
+
+    # rectangle
+    m = np.zeros((8, 8), dtype=bool)
+    m[2:5, 2:6] = True
+    rings = trace_region_rings(m)
+    assert len(rings) == 1
+    assert abs(ring_area(rings[0])) == m.sum()
+    # donut: exterior + one hole, net area exact
+    d = np.zeros((10, 10), dtype=bool)
+    d[1:8, 1:8] = True
+    d[3:5, 3:6] = False
+    t, payload = parse_wkb(region_wkb(d))
+    assert len(payload) == 2
+    assert polygon_area(payload) == d.sum()
+    # concave L traces a single simple ring
+    L = np.zeros((6, 6), dtype=bool)
+    L[0:5, 0:2] = True
+    L[3:5, 0:5] = True
+    rings = trace_region_rings(L)
+    assert len(rings) == 1
+    assert abs(ring_area(rings[0])) == L.sum()
+
+
+def test_polygonize_wkb_matches_region_table(spark):
+    from gdal_spark.geometry.kernels import polygon_area
+    from gdal_spark.geometry.wkb import parse_wkb
+    from gdal_spark.raster.polygonize import polygonize_wkb
+
+    blocks = _blocks_from_array(spark, model.plateau_values(0, 0, 48, 48), block=32)
+    wkb_rows = {r[0]: r for r in polygonize_wkb(blocks, 48, 48)}
+    table_rows = {
+        r.region_id: r for r in polygonize(blocks, width_full=48).collect()
+    }
+    assert set(wkb_rows) == set(table_rows)
+    for rid, (_, val, n, wkb) in wkb_rows.items():
+        assert table_rows[rid].n_pixels == n
+        assert table_rows[rid].value == val
+        _, payload = parse_wkb(wkb)
+        assert polygon_area(payload) == n  # traced area == pixel count
