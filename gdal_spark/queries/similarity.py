@@ -102,7 +102,8 @@ ANN_LSH_ORACLE = f"""
         group by vec_id, j
     )
     select vec_id,
-           sum(case when s > 0 then cast(1 << j as bigint) else 0 end) as sig
+           cast(sum(case when s > 0 then cast(1 << j as bigint) else 0 end)
+                as bigint) as sig
     from bits group by vec_id
 """
 

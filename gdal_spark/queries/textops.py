@@ -334,7 +334,8 @@ SIMHASH_ORACLE = f"""
         group by doc_id, b
     )
     select doc_id,
-           sum(case when v > 0 then cast(1 << b as bigint) else 0 end) as simhash
+           cast(sum(case when v > 0 then cast(1 << b as bigint) else 0 end)
+                as bigint) as simhash
     from bits group by doc_id
 """
 

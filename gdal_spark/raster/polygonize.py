@@ -326,27 +326,103 @@ def region_wkb(mask: np.ndarray) -> bytes:
     return polygon_to_wkb(rings)
 
 
-def polygonize_wkb(blocks: DataFrame, width: int, height: int, band: int = 1) -> list[tuple]:
-    """Fixture-scale finalize: (region_id, value, n_pixels, wkb) with
-    traced ring geometry. Reassembles the raster driver-side (documented:
-    at scale, tracing runs per region inside applyInPandas over
-    region-grouped masks)."""
-    rows = blocks.where(F.col("band") == band).collect()
-    full = np.zeros((height, width))
-    for r in rows:
-        full[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = model.decode(
-            (r.buf, r.height, r.width, r.dtype)
-        )
-    out = []
-    lab = _label_block(full, 0, 0, width)
-    for u in np.unique(lab):
-        mask = lab == u
-        out.append(
-            (
-                int(u),
-                float(full[mask][0]),
-                int(mask.sum()),
-                region_wkb(mask),
+MASK_SCHEMA = (
+    "label long, value double, x0 long, y0 long, h long, w long, mask binary"
+)
+
+
+def region_masks(blocks: DataFrame, width_full: int, band: int = 1) -> DataFrame:
+    """Per-block packed sub-masks, one row per (block, provisional label):
+    the region's pixels inside this block, bit-packed over the label's
+    block-local bounding box. The shuffle payload for the distributed
+    ring-tracing finalize — 1 bit/pixel, bounded by block size."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.float64
+                )
+                lab = _label_block(a, r.x0, r.y0, width_full)
+                for u in np.unique(lab):
+                    m = lab == u
+                    ys, xs = np.nonzero(m)
+                    y0, y1 = int(ys.min()), int(ys.max()) + 1
+                    x0, x1 = int(xs.min()), int(xs.max()) + 1
+                    sub = m[y0:y1, x0:x1]
+                    rows.append(
+                        (
+                            int(u),
+                            float(a[ys[0], xs[0]]),
+                            int(r.x0 + x0),
+                            int(r.y0 + y0),
+                            int(sub.shape[0]),
+                            int(sub.shape[1]),
+                            np.packbits(sub).tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["label", "value", "x0", "y0", "h", "w", "mask"]
             )
+
+    return blocks.where(F.col("band") == band).mapInPandas(fn, MASK_SCHEMA)
+
+
+def polygonize_wkb(blocks: DataFrame, width: int, height: int, band: int = 1) -> DataFrame:
+    """Distributed finalize: (region_id, value, n_pixels, wkb) with traced
+    ring geometry. Blocks emit per-label packed sub-masks (region_masks);
+    the global label mapping joins them to region ids; ONE shuffle keyed by
+    region_id groups each region's sub-masks into an applyInPandas task
+    that reassembles only that region's bounding box and traces its rings
+    (alg/polygonize.cpp finalize analog). No row data touches the driver;
+    memory per task is one region's bbox, the same bound the reference's
+    per-polygon ring builder has."""
+    _, strips = block_regions(blocks, width_full=width, band=band)
+    mapping = connected_components(seam_edges(strips))
+    masks = region_masks(blocks, width_full=width, band=band)
+    joined = (
+        masks.alias("x")
+        .join(mapping.alias("m"), F.col("x.label") == F.col("m.label"), "left")
+        .select(
+            F.coalesce(F.col("m.root"), F.col("x.label")).alias("region_id"),
+            "value",
+            "x0",
+            "y0",
+            "h",
+            "w",
+            "mask",
         )
-    return out
+    )
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rid = int(key[0])
+        minx, miny = int(pdf["x0"].min()), int(pdf["y0"].min())
+        maxx = int((pdf["x0"] + pdf["w"]).max())
+        maxy = int((pdf["y0"] + pdf["h"]).max())
+        canvas = np.zeros((maxy - miny, maxx - minx), dtype=bool)
+        for r in pdf.itertuples():
+            sub = np.unpackbits(
+                np.frombuffer(r.mask, dtype=np.uint8), count=r.h * r.w
+            ).reshape(r.h, r.w).astype(bool)
+            canvas[
+                r.y0 - miny : r.y0 - miny + r.h, r.x0 - minx : r.x0 - minx + r.w
+            ] |= sub
+        rings = [r + np.array([minx, miny]) for r in trace_region_rings(canvas)]
+        from gdal_spark.geometry.wkb import polygon_to_wkb
+
+        return pd.DataFrame(
+            [
+                (
+                    rid,
+                    float(pdf["value"].iloc[0]),
+                    int(canvas.sum()),
+                    polygon_to_wkb(rings),
+                )
+            ],
+            columns=["region_id", "value", "n_pixels", "wkb"],
+        )
+
+    return joined.groupBy("region_id").applyInPandas(
+        assemble, "region_id long, value double, n_pixels long, wkb binary"
+    )

@@ -140,47 +140,125 @@ def interpolate_at_points(
     lon_col: str = "lon",
     lat_col: str = "lat",
 ) -> DataFrame:
-    """(id, value) band values at point locations. Points are bucketed to
-    the block that CONTAINS them; each (block × its points) group runs
-    one vectorized gather. Bilinear support crossing block edges uses the
-    1-px halo shipped with each block row (same trick as raster.focal).
-    Fixture-scale implementation: blocks collected to a broadcast dict
-    (the survey-documented scale path keys both sides by (bx, by))."""
+    """(id, value) band values at point locations — distributed.
+
+    Stage 1 (map-only): every source block ships itself to its own
+    (bx, by) key plus radius-2 edge strips to the 8 neighbor keys, all
+    with ABSOLUTE pixel coords, so any kernel support up to cubic (4×4)
+    is present in the owning block's group.  Stage 2: points are keyed to
+    the block containing their rounded source pixel by pure Catalyst
+    column math, then ONE cogrouped applyInPandas per (bx, by) assembles
+    the local canvas and runs the vectorized gather.  Only the 6-number
+    geotransform + block size cross the driver (bounded metadata);
+    clamping at canvas edges coincides with raster-border clamping
+    because no strips exist beyond the raster."""
     spark = blocks.sparkSession
-    rows = blocks.where(F.col("band") == band).collect()
-    full: dict[tuple[int, int], np.ndarray] = {}
-    meta = rows[0]
-    # fixture rasters are small: assemble once, broadcast the mosaic
-    ww = max(r.x0 + r.width for r in rows)
-    hh = max(r.y0 + r.height for r in rows)
-    mosaic = np.zeros((hh, ww), dtype=np.float64)
-    for r in rows:
-        mosaic[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = model.decode(
-            (r.buf, r.height, r.width, r.dtype)
-        )
-    gt = (meta.gt0, meta.gt1, meta.gt2, meta.gt3, meta.gt4, meta.gt5)
-    bc = spark.sparkContext.broadcast((mosaic, gt))
-    _ = full
+    src = blocks.where(F.col("band") == band)
+    meta = (
+        src.where((F.col("bx") == 0) & (F.col("by") == 0))
+        .select("gt0", "gt1", "gt3", "gt5", "width")
+        .first()
+    )
+    dims = src.agg(
+        F.max(F.col("x0") + F.col("width")).alias("w"),
+        F.max(F.col("y0") + F.col("height")).alias("h"),
+    ).first()
+    g0, g1, g3, g5 = meta.gt0, meta.gt1, meta.gt3, meta.gt5
+    bs = int(meta.width)
+    W_full, H_full = int(dims.w), int(dims.h)
+    R = 2  # strip radius: covers cubic's 4×4 support
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        m, g = bc.value
+    strip_schema = "bx int, by int, x0 int, y0 int, w int, h int, buf binary"
+
+    def ship(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            lon = pdf[lon_col].to_numpy(np.float64)
-            lat = pdf[lat_col].to_numpy(np.float64)
-            sx = (lon - g[0]) / g[1] - 0.5
-            sy = (lat - g[3]) / g[5] - 0.5
-            v = sample(np.asarray(m), sx, sy, method)
-            inb = (
-                (sx >= -0.5)
-                & (sx <= m.shape[1] - 0.5)
-                & (sy >= -0.5)
-                & (sy <= m.shape[0] - 0.5)
+            out = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.float64
+                )
+                h, w = a.shape
+                rx, ry = min(R, w), min(R, h)  # edge blocks may be < R wide
+                parts = {
+                    (0, 0): (a, r.x0, r.y0),
+                    (-1, 0): (a[:, :rx], r.x0, r.y0),
+                    (1, 0): (a[:, w - rx :], r.x0 + w - rx, r.y0),
+                    (0, -1): (a[:ry, :], r.x0, r.y0),
+                    (0, 1): (a[h - ry :, :], r.x0, r.y0 + h - ry),
+                    (-1, -1): (a[:ry, :rx], r.x0, r.y0),
+                    (1, -1): (a[:ry, w - rx :], r.x0 + w - rx, r.y0),
+                    (-1, 1): (a[h - ry :, :rx], r.x0, r.y0 + h - ry),
+                    (1, 1): (
+                        a[h - ry :, w - rx :],
+                        r.x0 + w - rx,
+                        r.y0 + h - ry,
+                    ),
+                }
+                for (dx, dy), (s, sx0, sy0) in parts.items():
+                    out.append(
+                        (
+                            r.bx + dx,
+                            r.by + dy,
+                            int(sx0),
+                            int(sy0),
+                            int(s.shape[1]),
+                            int(s.shape[0]),
+                            np.ascontiguousarray(s).tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["bx", "by", "x0", "y0", "w", "h", "buf"]
             )
-            out = pd.DataFrame({id_col: pdf[id_col], "value": v})
-            yield out[inb]
 
-    return points.select(id_col, lon_col, lat_col).mapInPandas(
-        fn, f"{id_col} string, value double"
+    strips = src.mapInPandas(ship, strip_schema)
+
+    sx_e = (F.col(lon_col) - F.lit(g0)) / F.lit(g1) - F.lit(0.5)
+    sy_e = (F.col(lat_col) - F.lit(g3)) / F.lit(g5) - F.lit(0.5)
+    ipx = F.least(
+        F.greatest(F.floor(sx_e + F.lit(0.5)), F.lit(0)), F.lit(W_full - 1)
+    )
+    ipy = F.least(
+        F.greatest(F.floor(sy_e + F.lit(0.5)), F.lit(0)), F.lit(H_full - 1)
+    )
+    pts = points.select(
+        id_col,
+        lon_col,
+        lat_col,
+        (ipx / F.lit(bs)).cast("int").alias("bx"),
+        (ipy / F.lit(bs)).cast("int").alias("by"),
+    )
+
+    def gather(pts_pdf: pd.DataFrame, strips_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pts_pdf) == 0 or len(strips_pdf) == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype=object),
+                                 "value": pd.Series(dtype=np.float64)})
+        cx0 = int(strips_pdf["x0"].min())
+        cy0 = int(strips_pdf["y0"].min())
+        cx1 = int((strips_pdf["x0"] + strips_pdf["w"]).max())
+        cy1 = int((strips_pdf["y0"] + strips_pdf["h"]).max())
+        canvas = np.full((cy1 - cy0, cx1 - cx0), np.nan, dtype=np.float64)
+        for r in strips_pdf.itertuples():
+            canvas[
+                r.y0 - cy0 : r.y0 - cy0 + r.h, r.x0 - cx0 : r.x0 - cx0 + r.w
+            ] = np.frombuffer(r.buf, dtype=np.float64).reshape(r.h, r.w)
+        lon = pts_pdf[lon_col].to_numpy(np.float64)
+        lat = pts_pdf[lat_col].to_numpy(np.float64)
+        sx = (lon - g0) / g1 - 0.5
+        sy = (lat - g3) / g5 - 0.5
+        v = sample(canvas, sx - cx0, sy - cy0, method)
+        inb = (
+            (sx >= -0.5)
+            & (sx <= W_full - 0.5)
+            & (sy >= -0.5)
+            & (sy <= H_full - 0.5)
+            & np.isfinite(v)
+        )
+        return pd.DataFrame({id_col: pts_pdf[id_col], "value": v})[inb]
+
+    return (
+        pts.groupBy("bx", "by")
+        .cogroup(strips.groupBy("bx", "by"))
+        .applyInPandas(gather, f"{id_col} string, value double")
     )
 
 
@@ -247,7 +325,7 @@ def stack(blocks_list: list[DataFrame]) -> DataFrame:
     out = None
     band_off = 0
     for b in blocks_list:
-        nb = b.select(F.max("band")).collect()[0][0]
+        nb = b.select(F.max("band")).collect()[0][0]  # bounded-metadata: scalar
         shifted = b.withColumn("band", F.col("band") + F.lit(band_off))
         out = shifted if out is None else out.unionByName(shifted)
         band_off += int(nb)
@@ -282,9 +360,15 @@ def proximity(
     targets = (
         blocks.where(F.col("band") == band)
         .mapInPandas(find, "tx long, ty long")
-        .limit(max_targets)
-        .collect()
+        .limit(max_targets + 1)
+        .collect()  # bounded-metadata: sparse target set, raises past cap
     )
+    if len(targets) > max_targets:
+        raise ValueError(
+            f"proximity: >{max_targets} target pixels — the broadcast-target "
+            "strategy assumes sparse targets; raise max_targets or use a "
+            "coarse-to-fine (block-level distance bound) pass"
+        )
     t = np.array([(r.tx, r.ty) for r in targets], dtype=np.float64).reshape(-1, 2)
     bc = spark.sparkContext.broadcast(t.tolist())
 
@@ -326,81 +410,142 @@ def reproject_grid(
 ) -> DataFrame:
     """Raster→raster reproject/resize onto a new affine grid
     (gdal raster reproject/resize; GDALWarp with affine-only transform).
-    Per destination block: dst pixel centers → world → src fractional
-    pixels (inverse src gt) → resample kernel. Source blocks are shipped
-    to the destination blocks they feed (bbox cover join) — same shuffle
-    shape as the tile warp; here the fixture path assembles the source
-    per dst block from the broadcast mosaic (sources are small), the
-    tile.py cover-shuffle is the at-scale layout."""
+    Distributed cover shuffle (same layout as the tile warp,
+    raster.tile.base_tiles): each SOURCE block computes, from its own
+    world bbox (+3-px kernel margin), the destination block windows it
+    can feed, and ships itself to those (band, bx, by) keys — a map-only
+    stage.  ONE groupBy per dst block assembles the local source canvas
+    at absolute coords and runs the resample kernel.  Dst blocks with no
+    source cover are emitted as zero blocks via a left join against the
+    enumerated dst block grid.  Only the source raster dims (2 ints) and
+    geotransform cross the driver."""
     spark = blocks.sparkSession
-    src_rows = blocks.where(
+    src = blocks.where(
         F.col("band") == band if band is not None else F.lit(True)
-    ).collect()
-    by_band: dict[int, np.ndarray] = {}
-    meta = src_rows[0]
-    sw = max(r.x0 + r.width for r in src_rows)
-    sh = max(r.y0 + r.height for r in src_rows)
-    for r in src_rows:
-        m = by_band.setdefault(int(r.band), np.zeros((sh, sw)))
-        m[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = model.decode(
-            (r.buf, r.height, r.width, r.dtype)
-        )
-    sgt = (meta.gt0, meta.gt1, meta.gt3, meta.gt5)
-    bc = spark.sparkContext.broadcast(
-        ({b: m.tolist() for b, m in by_band.items()}, sgt)
     )
-    nbx, nby = dst.n_blocks()
-    targets = spark.createDataFrame(
-        [
-            (b, bx, by)
-            for b in sorted(by_band)
-            for by_ in [0]
-            for by in range(nby)
-            for bx in range(nbx)
-        ],
-        "band int, bx int, by int",
-    )
+    meta = src.select("gt0", "gt1", "gt3", "gt5").first()
+    dims = src.agg(
+        F.max(F.col("x0") + F.col("width")).alias("w"),
+        F.max(F.col("y0") + F.col("height")).alias("h"),
+    ).first()
+    # bounded-metadata: band ids
+    _band_rows = src.select("band").distinct().collect()  # bounded-metadata
+    bands = [int(r.band) for r in _band_rows]
+    s0, s1, s3, s5 = meta.gt0, meta.gt1, meta.gt3, meta.gt5
+    sw, sh = int(dims.w), int(dims.h)
     dgt = dst.gt
+    nbx, nby = dst.n_blocks()
+    dbs = dst.block
+    MARGIN = 3  # covers cubic's 4×4 support
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mats, (s0, s1, s3, s5) = bc.value
-        mats = {int(b): np.asarray(m) for b, m in mats.items()}
+    ship_schema = (
+        "band int, bx int, by int, x0 long, y0 long, w long, h long, buf binary"
+    )
+
+    def ship(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                x0, y0, w, h = dst.block_window(r.bx, r.by)
-                ys, xs = np.mgrid[0:h, 0:w]
-                wx = dgt[0] + (xs + x0 + 0.5) * dgt[1]
-                wy = dgt[3] + (ys + y0 + 0.5) * dgt[5]
-                sx = (wx - s0) / s1 - 0.5
-                sy = (wy - s3) / s5 - 0.5
-                m = mats[int(r.band)]
-                v = sample(m, sx.ravel(), sy.ravel(), method).reshape(h, w)
-                inb = (
-                    (sx >= -0.5)
-                    & (sx <= m.shape[1] - 0.5)
-                    & (sy >= -0.5)
-                    & (sy <= m.shape[0] - 0.5)
+                a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.float64
                 )
-                v = np.where(inb, v, 0.0)
-                out.append(
-                    (
-                        dst.name,
-                        int(r.band),
-                        int(r.bx),
-                        int(r.by),
-                        x0,
-                        y0,
-                        w,
-                        h,
-                        "float64",
-                        *[float(g) for g in dgt],
-                        None,
-                        np.ascontiguousarray(v).tobytes(),
-                    )
-                )
+                # src block pixel range (+margin) → world → dst pixel range
+                wxs = [
+                    s0 + (r.x0 - MARGIN) * s1,
+                    s0 + (r.x0 + r.width + MARGIN) * s1,
+                ]
+                wys = [
+                    s3 + (r.y0 - MARGIN) * s5,
+                    s3 + (r.y0 + r.height + MARGIN) * s5,
+                ]
+                dxs = sorted((wx - dgt[0]) / dgt[1] for wx in wxs)
+                dys = sorted((wy - dgt[3]) / dgt[5] for wy in wys)
+                bx0 = max(0, int(np.floor(dxs[0] / dbs)))
+                bx1 = min(nbx - 1, int(np.floor(dxs[1] / dbs)))
+                by0 = max(0, int(np.floor(dys[0] / dbs)))
+                by1 = min(nby - 1, int(np.floor(dys[1] / dbs)))
+                payload = np.ascontiguousarray(a).tobytes()
+                for tby in range(by0, by1 + 1):
+                    for tbx in range(bx0, bx1 + 1):
+                        out.append(
+                            (
+                                int(r.band),
+                                tbx,
+                                tby,
+                                int(r.x0),
+                                int(r.y0),
+                                int(r.width),
+                                int(r.height),
+                                payload,
+                            )
+                        )
             yield pd.DataFrame(
-                out, columns=[c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")]
+                out,
+                columns=["band", "bx", "by", "x0", "y0", "w", "h", "buf"],
             )
 
-    return targets.mapInPandas(fn, model.BLOCK_SCHEMA)
+    shipped = src.mapInPandas(ship, ship_schema)
+    targets = spark.createDataFrame(
+        [(b, bx, by) for b in sorted(bands) for by in range(nby) for bx in range(nbx)],
+        "band int, bx int, by int",
+    )
+    joined = targets.join(shipped, ["band", "bx", "by"], "left")
+
+    out_cols = [c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")]
+
+    def warp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b, bx, by = int(key[0]), int(key[1]), int(key[2])
+        x0, y0, w, h = dst.block_window(bx, by)
+        got = pdf[pdf["buf"].notna()]
+        if len(got) == 0:
+            v = np.zeros((h, w), dtype=np.float64)
+        else:
+            cx0 = int(got["x0"].min())
+            cy0 = int(got["y0"].min())
+            cx1 = int((got["x0"] + got["w"]).max())
+            cy1 = int((got["y0"] + got["h"]).max())
+            canvas = np.full((cy1 - cy0, cx1 - cx0), np.nan, dtype=np.float64)
+            for r in got.itertuples():
+                canvas[
+                    r.y0 - cy0 : r.y0 - cy0 + r.h,
+                    r.x0 - cx0 : r.x0 - cx0 + r.w,
+                ] = np.frombuffer(r.buf, dtype=np.float64).reshape(r.h, r.w)
+            ys, xs = np.mgrid[0:h, 0:w]
+            wx = dgt[0] + (xs + x0 + 0.5) * dgt[1]
+            wy = dgt[3] + (ys + y0 + 0.5) * dgt[5]
+            sx = (wx - s0) / s1 - 0.5
+            sy = (wy - s3) / s5 - 0.5
+            v = sample(
+                canvas, sx.ravel() - cx0, sy.ravel() - cy0, method
+            ).reshape(h, w)
+            inb = (
+                (sx >= -0.5)
+                & (sx <= sw - 0.5)
+                & (sy >= -0.5)
+                & (sy <= sh - 0.5)
+                & np.isfinite(v)
+            )
+            v = np.where(inb, v, 0.0)
+        return pd.DataFrame(
+            [
+                (
+                    dst.name,
+                    b,
+                    bx,
+                    by,
+                    x0,
+                    y0,
+                    w,
+                    h,
+                    "float64",
+                    *[float(g) for g in dgt],
+                    None,
+                    np.ascontiguousarray(v).tobytes(),
+                )
+            ],
+            columns=out_cols,
+        )
+
+    return joined.groupBy("band", "bx", "by").applyInPandas(
+        warp, model.BLOCK_SCHEMA
+    )

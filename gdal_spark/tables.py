@@ -98,7 +98,7 @@ def polygons_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     names = {
         int(r["n_nationkey"]): r["n_name"]
-        for r in spark.table("nation").collect()
+        for r in spark.table("nation").collect()  # bounded-metadata: 25-row dim
     }
     rows = []
     for nk in sorted(names):

@@ -93,3 +93,22 @@ def test_no_rowwise_python_udfs_registered():
         if re.search(r"(?<![a-z_])udf\(", src.replace("pandas_udf(", "")):
             bad.append(str(f))
     assert not bad, f"row-wise udf( found in {bad}"
+
+
+def test_no_unbounded_driver_collects():
+    """Lint: `.collect()` inside the engine (gdal_spark/, excluding the
+    queries/ harness layer) is allowed only for bounded metadata — each
+    site must carry a `# bounded-metadata:` annotation stating the bound.
+    Row-data collects (geometries, pixels, documents) are scale-killers
+    and must use broadcast / cover-shuffle / cogroup instead."""
+    import pathlib
+
+    root = pathlib.Path("/root/repo/gdal_spark")
+    bad = []
+    for f in root.rglob("*.py"):
+        if "queries" in f.parts:
+            continue
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if ".collect()" in line and "bounded-metadata" not in line:
+                bad.append(f"{f}:{i}")
+    assert not bad, f"unannotated .collect() found: {bad}"

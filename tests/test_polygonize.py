@@ -157,7 +157,7 @@ def test_polygonize_wkb_matches_region_table(spark):
     from gdal_spark.raster.polygonize import polygonize_wkb
 
     blocks = _blocks_from_array(spark, model.plateau_values(0, 0, 48, 48), block=32)
-    wkb_rows = {r[0]: r for r in polygonize_wkb(blocks, 48, 48)}
+    wkb_rows = {r[0]: r for r in polygonize_wkb(blocks, 48, 48).collect()}
     table_rows = {
         r.region_id: r for r in polygonize(blocks, width_full=48).collect()
     }

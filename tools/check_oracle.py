@@ -38,6 +38,15 @@ def compare(sdf, odf) -> tuple[bool, str]:
     o = odf[scols].sort_values(scols).reset_index(drop=True)
     for c in scols:
         sv, ov = s[c], o[c]
+        # The driver hashes exact value reprs: an int column on one side and a
+        # float (or HUGEINT->object) column on the other hash-mismatches even
+        # when numerically equal. Fail here so it can't hide behind tolerance.
+        kinds = {sv.dtype.kind, ov.dtype.kind}
+        if kinds == {"i", "f"} or kinds == {"i", "O"} or kinds == {"f", "O"}:
+            return False, (
+                f"col {c} dtype-class mismatch: spark={sv.dtype} "
+                f"oracle={ov.dtype} (driver hash would differ)"
+            )
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             import numpy as np
 
