@@ -153,6 +153,24 @@ def _npoints_part(parsed) -> int:
     return 0
 
 
+def _bbox4(buf: bytes) -> tuple[float, float, float, float]:
+    t, payload = W.parse_wkb(buf)
+    if t == W.POINT:
+        x, y = float(payload[0, 0]), float(payload[0, 1])
+        return (x, y, x, y)
+    if t == W.POLYGON:
+        return bbox_of_rings(payload)
+    if t == W.MULTIPOLYGON:
+        return bbox_of_rings([r for (_, rs) in payload for r in rs])
+    c = payload if t == W.LINESTRING else np.vstack([p for (_, p) in payload])
+    return (
+        float(c[:, 0].min()),
+        float(c[:, 1].min()),
+        float(c[:, 0].max()),
+        float(c[:, 1].max()),
+    )
+
+
 def _is_valid(buf: bytes) -> bool:
     """Basic validity: ≥3 distinct vertices per ring, finite coords,
     non-zero area (full GEOS-grade validity is out of scope)."""
@@ -203,6 +221,142 @@ def _sym_difference(a: bytes, b: bytes) -> bytes | None:
     return _pieces_to_wkb(C.sym_difference_general(_ext(a), _ext(b)))
 
 
+def _as_rings_or_line(buf: bytes):
+    """(kind, payload): ('point', (x, y)) | ('line', coords) |
+    ('poly', [rings…]) — MultiPolygon flattened to its ring sets."""
+    t, payload = W.parse_wkb(buf)
+    if t == W.POINT:
+        return "point", (float(payload[0, 0]), float(payload[0, 1]))
+    if t == W.LINESTRING:
+        return "line", payload
+    if t == W.POLYGON:
+        return "poly", [payload]
+    if t == W.MULTIPOLYGON:
+        return "poly", [rings for (_, rings) in payload]
+    raise ValueError(f"predicate: unsupported geometry type {t}")
+
+
+def _predicate(name: str, a: bytes, b: bytes) -> bool:
+    """Hole-aware OGC predicate dispatch (ogr/ogrgeometry.cpp:569-599
+    Intersects/Contains/Within/Touches/Crosses/Overlaps/Equals semantics;
+    even-odd interior rings — a point in a hole is OUTSIDE).
+    MultiPolygons: any-part for intersects/touches/crosses/overlaps,
+    all-parts-covered for contains."""
+    ka, pa = _as_rings_or_line(a)
+    kb, pb = _as_rings_or_line(b)
+
+    if name == "disjoint":
+        return not _predicate("intersects", a, b)
+    if name == "within":
+        return _predicate("contains", b, a)
+
+    if ka == "point" and kb == "point":
+        same = pa == pb
+        return same if name in ("intersects", "equals", "contains") else False
+    if ka == "point" or kb == "point":
+        pt, other_k, other = (
+            (pa, kb, pb) if ka == "point" else (pb, ka, pa)
+        )
+        px, py = np.array([pt[0]]), np.array([pt[1]])
+        if other_k == "line":
+            eps = 1e-9 * max(1.0, abs(pt[0]), abs(pt[1]))
+            on = bool(C.on_boundary(px, py, [other], eps)[0])
+            if name == "intersects":
+                return on
+            if name == "touches":  # line boundary = endpoints
+                return bool(
+                    np.allclose(pt, other[0]) or np.allclose(pt, other[-1])
+                )
+            if name == "contains":
+                return on if kb == "point" else False
+            return False
+        hits = [
+            (
+                bool(C.inside_or_on(px, py, rings, C._rel_eps(rings, rings))[0]),
+                bool(C.on_boundary(px, py, rings, C._rel_eps(rings, rings))[0]),
+            )
+            for rings in other
+        ]
+        inside_any = any(h[0] for h in hits)
+        on_any = any(h[1] for h in hits)
+        if name == "intersects":
+            return inside_any
+        if name == "touches":
+            return on_any and not any(h[0] and not h[1] for h in hits)
+        if name == "contains":  # polygon contains point: interior only
+            if ka == "point":
+                return False
+            return any(h[0] and not h[1] for h in hits)
+        return False
+
+    if ka == "line" and kb == "line":
+        if name == "crosses":
+            return C.lines_cross(pa, pb)
+        if name == "intersects":
+            return C.lines_cross(pa, pb) or C.boundaries_touch(
+                [pa], [pb], 1e-9 * max(1.0, float(np.abs(pa).max()))
+            )
+        if name == "equals":
+            return np.array_equal(pa, pb) or np.array_equal(pa, pb[::-1])
+        return False
+    if ka == "line" or kb == "line":
+        line, polys = (pa, pb) if ka == "line" else (pb, pa)
+        if name == "crosses":
+            return any(C.line_crosses_polygon(line, rings) for rings in polys)
+        if name == "intersects":
+            eps = 1e-9 * max(1.0, float(np.abs(line).max()))
+            return any(
+                C.boundaries_touch([line], rings, eps)
+                or C.strictly_inside(
+                    line[:, 0], line[:, 1], rings, eps
+                ).any()
+                for rings in polys
+            )
+        if name == "contains" and kb == "line":
+            eps = 1e-9 * max(1.0, float(np.abs(line).max()))
+            mids = (line[:-1] + line[1:]) / 2.0
+            probe = np.vstack([line, mids])
+            return any(
+                C.inside_or_on(probe[:, 0], probe[:, 1], rings, eps).all()
+                and not C.edges_cross_properly(rings, [line])
+                for rings in polys
+            )
+        return False
+
+    # polygon × polygon (each side possibly multi-part)
+    if name == "intersects":
+        return any(
+            C.poly_intersects_full(ra, rb) for ra in pa for rb in pb
+        )
+    if name == "touches":
+        any_touch = any(C.poly_touches(ra, rb) for ra in pa for rb in pb)
+        any_int = any(
+            C.poly_interiors_intersect(ra, rb) for ra in pa for rb in pb
+        )
+        return any_touch and not any_int
+    if name == "contains":
+        return all(
+            any(C.poly_contains_full(ra, rb) for ra in pa) for rb in pb
+        )
+    if name == "overlaps":
+        return (
+            any(C.poly_interiors_intersect(ra, rb) for ra in pa for rb in pb)
+            and not _predicate("contains", a, b)
+            and not _predicate("contains", b, a)
+        )
+    if name == "equals":
+        if len(pa) == 1 and len(pb) == 1:
+            return C.poly_equals(pa[0], pb[0])
+        return sorted(
+            tuple(sorted(C._norm_ring(r) for r in rings)) for rings in pa
+        ) == sorted(
+            tuple(sorted(C._norm_ring(r) for r in rings)) for rings in pb
+        )
+    if name == "crosses":
+        return False  # area × area: OGC Crosses is false by definition
+    raise ValueError(f"unknown predicate {name}")
+
+
 def register_st_functions(spark: SparkSession) -> None:
     """Register the ST_ registry on a session (idempotent)."""
     reg = spark.udf.register
@@ -231,6 +385,20 @@ def register_st_functions(spark: SparkSession) -> None:
     ))
     reg("st_centroid", P(lambda s: _each(s, _centroid), BinaryType()))
     reg("st_envelope", P(lambda s: _each(s, _envelope), BinaryType()))
+    # envelope accessors (OGREnvelope MinX/MinY/MaxX/MaxY) — feed the
+    # cell-key bbox prefilter joins
+    for nm, idx in (
+        ("st_xmin", 0),
+        ("st_ymin", 1),
+        ("st_xmax", 2),
+        ("st_ymax", 3),
+    ):
+        reg(nm, P(
+            (lambda i: lambda s: _each(
+                s, lambda b: float(_bbox4(b)[i]), "float64"
+            ))(idx),
+            DoubleType(),
+        ))
     reg("st_numpoints", P(lambda s: _each(s, _npoints, "int32"), IntegerType()))
     reg("st_isvalid", P(lambda s: _each(s, _is_valid, "boolean"), BooleanType()))
     reg("st_srid", P(lambda s: _each(s, lambda b: 4326, "int32"), IntegerType()))
@@ -261,32 +429,25 @@ def register_st_functions(spark: SparkSession) -> None:
         BinaryType(),
     ))
 
-    reg("st_intersects", P(
-        lambda a, b: _each2(
-            a, b, lambda x, y: C.polygons_intersect(_ext(x), _ext(y)), "boolean"
-        ),
-        BooleanType(),
-    ))
-    reg("st_disjoint", P(
-        lambda a, b: _each2(
-            a, b,
-            lambda x, y: not C.polygons_intersect(_ext(x), _ext(y)),
-            "boolean",
-        ),
-        BooleanType(),
-    ))
-    reg("st_contains", P(
-        lambda a, b: _each2(
-            a, b, lambda x, y: C.polygon_contains(_ext(x), _ext(y)), "boolean"
-        ),
-        BooleanType(),
-    ))
-    reg("st_within", P(
-        lambda a, b: _each2(
-            a, b, lambda x, y: C.polygon_contains(_ext(y), _ext(x)), "boolean"
-        ),
-        BooleanType(),
-    ))
+    for name in (
+        "intersects",
+        "disjoint",
+        "contains",
+        "within",
+        "touches",
+        "crosses",
+        "overlaps",
+        "equals",
+    ):
+        reg(
+            f"st_{name}",
+            P(
+                (lambda nm: lambda a, b: _each2(
+                    a, b, lambda x, y: _predicate(nm, x, y), "boolean"
+                ))(name),
+                BooleanType(),
+            ),
+        )
     reg("st_distance", P(
         lambda a, b: _each2(
             a, b,

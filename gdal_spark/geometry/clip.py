@@ -439,3 +439,259 @@ def union_general(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
 
 def sym_difference_general(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
     return difference_general(a, b) + difference_general(b, a)
+
+
+# --- multi-ring (hole-aware) DE-9IM-style predicates ---------------------
+# OGRGeometry::Intersects/Contains/Within/Touches/Crosses/Overlaps/Equals
+# semantics (ogr/ogrgeometry.cpp:569-599, delegated to GEOS there) over
+# full polygons = exterior + interior rings, even-odd containment.
+# A "polygon" here is a list of open/closed rings; holes flip parity.
+
+
+def segments_cross_strict(p1, p2, q1, q2) -> bool:
+    """Transversal interior crossing only: shared endpoints / collinear
+    touches do NOT count (used by the OGC proper-crossing tests)."""
+    d1 = float(np.cross(q2 - q1, p1 - q1))
+    d2 = float(np.cross(q2 - q1, p2 - q1))
+    d3 = float(np.cross(p2 - p1, q1 - p1))
+    d4 = float(np.cross(p2 - p1, q2 - p1))
+    return d1 * d2 < 0 and d3 * d4 < 0
+
+
+def _all_edges(rings) -> list[tuple[np.ndarray, np.ndarray]]:
+    out = []
+    for ring in rings:
+        r = _open(ring)
+        n = len(r)
+        for i in range(n):
+            out.append((r[i], r[(i + 1) % n]))
+    return out
+
+
+def _poly_bbox(rings) -> tuple[float, float, float, float]:
+    c = np.vstack([_open(r) for r in rings])
+    return (
+        float(c[:, 0].min()),
+        float(c[:, 1].min()),
+        float(c[:, 0].max()),
+        float(c[:, 1].max()),
+    )
+
+
+def _bbox_disjoint(A, B) -> bool:
+    a, b = _poly_bbox(A), _poly_bbox(B)
+    return a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1]
+
+
+def _rel_eps(A, B) -> float:
+    a, b = _poly_bbox(A), _poly_bbox(B)
+    span = max(a[2] - a[0], a[3] - a[1], b[2] - b[0], b[3] - b[1], 1.0)
+    return 1e-9 * span
+
+
+def on_boundary(px: np.ndarray, py: np.ndarray, rings, eps: float) -> np.ndarray:
+    """True where (px, py) lies within eps of any ring edge."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    hit = np.zeros(px.shape, dtype=bool)
+    for p, q in _all_edges(rings):
+        hit |= point_segment_dist(px, py, p, q) <= eps
+    return hit
+
+
+def strictly_inside(px: np.ndarray, py: np.ndarray, rings, eps: float) -> np.ndarray:
+    from gdal_spark.geometry.kernels import points_in_rings
+
+    return points_in_rings(px, py, rings) & ~on_boundary(px, py, rings, eps)
+
+
+def inside_or_on(px: np.ndarray, py: np.ndarray, rings, eps: float) -> np.ndarray:
+    from gdal_spark.geometry.kernels import points_in_rings
+
+    return points_in_rings(px, py, rings) | on_boundary(px, py, rings, eps)
+
+
+def _seg_seg_dist(p1, p2, q1, q2) -> float:
+    if segments_intersect(p1, p2, q1, q2):
+        return 0.0
+    return float(
+        min(
+            point_segment_dist(np.array([p1[0]]), np.array([p1[1]]), q1, q2)[0],
+            point_segment_dist(np.array([p2[0]]), np.array([p2[1]]), q1, q2)[0],
+            point_segment_dist(np.array([q1[0]]), np.array([q1[1]]), p1, p2)[0],
+            point_segment_dist(np.array([q2[0]]), np.array([q2[1]]), p1, p2)[0],
+        )
+    )
+
+
+def edges_cross_properly(A, B) -> bool:
+    """Any transversal (interior-to-interior) edge crossing between the
+    boundary of A and the boundary of B."""
+    eb = _all_edges(B)
+    for p1, p2 in _all_edges(A):
+        for q1, q2 in eb:
+            if segments_cross_strict(p1, p2, q1, q2):
+                return True
+    return False
+
+
+def boundaries_touch(A, B, eps: float) -> bool:
+    """Boundaries share at least one point (endpoint touch, collinear
+    overlap, or proper crossing)."""
+    eb = _all_edges(B)
+    for p1, p2 in _all_edges(A):
+        for q1, q2 in eb:
+            if _seg_seg_dist(p1, p2, q1, q2) <= eps:
+                return True
+    return False
+
+
+def interior_point(rings) -> np.ndarray | None:
+    """A point strictly inside the polygon (outside its holes): first
+    ear-clip triangle centroid that passes the even-odd + off-boundary
+    test."""
+    eps = 1e-9 * max(
+        1.0,
+        float(np.abs(np.vstack([_open(r) for r in rings])).max()),
+    )
+    for tri in triangulate(rings[0]):
+        c = tri.mean(axis=0)
+        # centroid may land in a hole — also probe toward each vertex
+        cands = [c] + [
+            (1 - t) * v + t * c for v in tri for t in (0.1, 0.5, 0.9)
+        ]
+        for cand in cands:
+            if strictly_inside(
+                np.array([cand[0]]), np.array([cand[1]]), rings, eps
+            )[0]:
+                return cand
+    return None
+
+
+def poly_interiors_intersect(A, B) -> bool:
+    if _bbox_disjoint(A, B):
+        return False
+    if edges_cross_properly(A, B):
+        return True
+    eps = _rel_eps(A, B)
+    ip = interior_point(A)
+    if ip is not None and strictly_inside(
+        np.array([ip[0]]), np.array([ip[1]]), B, eps
+    )[0]:
+        return True
+    ip = interior_point(B)
+    if ip is not None and strictly_inside(
+        np.array([ip[0]]), np.array([ip[1]]), A, eps
+    )[0]:
+        return True
+    # partial overlap whose boundary contact is vertex-on-edge only:
+    # check vertices and edge midpoints of each against the other
+    for X, Y in ((A, B), (B, A)):
+        for ring in X:
+            r = _open(ring)
+            mids = (r + np.roll(r, -1, axis=0)) / 2.0
+            pts = np.vstack([r, mids])
+            if strictly_inside(pts[:, 0], pts[:, 1], Y, eps).any():
+                return True
+    return False
+
+
+def poly_intersects_full(A, B) -> bool:
+    """Hole-aware Intersects: interiors or boundaries share a point."""
+    if _bbox_disjoint(A, B):
+        return False
+    eps = _rel_eps(A, B)
+    return boundaries_touch(A, B, eps) or poly_interiors_intersect(A, B)
+
+
+def poly_touches(A, B) -> bool:
+    """Boundaries meet, interiors do not (OGC Touches)."""
+    if _bbox_disjoint(A, B):
+        return False
+    eps = _rel_eps(A, B)
+    return boundaries_touch(A, B, eps) and not poly_interiors_intersect(A, B)
+
+
+def poly_contains_full(A, B) -> bool:
+    """A contains B (hole-aware): every B vertex/edge-midpoint inside-or-on
+    A, no transversal boundary crossings, no hole of A swallowed by B, and
+    B's interior actually inside A's."""
+    if _bbox_disjoint(A, B):
+        return False
+    eps = _rel_eps(A, B)
+    for ring in B:
+        r = _open(ring)
+        mids = (r + np.roll(r, -1, axis=0)) / 2.0
+        pts = np.vstack([r, mids])
+        if not inside_or_on(pts[:, 0], pts[:, 1], A, eps).all():
+            return False
+    if edges_cross_properly(A, B):
+        return False
+    # a hole of A strictly inside B would carve B's interior out of A
+    for hole in A[1:]:
+        h = _open(hole)
+        if strictly_inside(h[:, 0], h[:, 1], B, eps).any():
+            return False
+    ip = interior_point(B)
+    if ip is None:
+        return False
+    from gdal_spark.geometry.kernels import points_in_rings
+
+    return bool(
+        points_in_rings(np.array([ip[0]]), np.array([ip[1]]), A)[0]
+        or on_boundary(np.array([ip[0]]), np.array([ip[1]]), A, eps)[0]
+    )
+
+
+def poly_overlaps(A, B) -> bool:
+    """Interiors intersect but neither contains the other (OGC Overlaps,
+    same-dimension operands)."""
+    return (
+        poly_interiors_intersect(A, B)
+        and not poly_contains_full(A, B)
+        and not poly_contains_full(B, A)
+    )
+
+
+def _norm_ring(ring: np.ndarray) -> tuple:
+    """Orientation- and rotation-invariant canonical vertex tuple."""
+    r = _ccw(ring)
+    k = int(np.lexsort((r[:, 1], r[:, 0]))[0])
+    r = np.roll(r, -k, axis=0)
+    return tuple(map(tuple, r))
+
+
+def poly_equals(A, B) -> bool:
+    """Exact geometric equality modulo ring rotation/orientation."""
+    if len(A) != len(B):
+        return False
+    sa = sorted(_norm_ring(r) for r in A)
+    sb = sorted(_norm_ring(r) for r in B)
+    return sa == sb
+
+
+def line_crosses_polygon(line: np.ndarray, rings) -> bool:
+    """OGC Crosses for line × polygon: the line has points in the
+    polygon's interior AND points in its exterior."""
+    pts = np.asarray(line, dtype=np.float64)
+    eps = 1e-9 * max(1.0, float(np.abs(pts).max()))
+    mids = (pts[:-1] + pts[1:]) / 2.0
+    probe = np.vstack([pts, mids])
+    inside = strictly_inside(probe[:, 0], probe[:, 1], rings, eps)
+    from gdal_spark.geometry.kernels import points_in_rings
+
+    outside = ~points_in_rings(probe[:, 0], probe[:, 1], rings) & ~on_boundary(
+        probe[:, 0], probe[:, 1], rings, eps
+    )
+    return bool(inside.any() and outside.any())
+
+
+def lines_cross(a: np.ndarray, b: np.ndarray) -> bool:
+    """OGC Crosses for line × line: a transversal interior crossing."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    for i in range(len(a) - 1):
+        for j in range(len(b) - 1):
+            if segments_cross_strict(a[i], a[i + 1], b[j], b[j + 1]):
+                return True
+    return False

@@ -104,15 +104,67 @@ def _point_roundtrip_oracle() -> str:
     """
 
 
+_CELL = 24.0  # bbox-prefilter cell size (≈ octagon diameter)
+
+_CELLS_EXPR = """
+flatten(transform(
+  sequence(cast(floor(_x0 / {c}) as int), cast(floor(_x1 / {c}) as int)),
+  cx -> transform(
+    sequence(cast(floor(_y0 / {c}) as int), cast(floor(_y1 / {c}) as int)),
+    cy -> struct(cx, cy))))
+""".format(c=_CELL)
+
+
+def _with_cells(df, geom: str):
+    """Explode the bbox cell cover (UDF bbox → plain columns first; HOF
+    lambdas can't call Python UDFs)."""
+    e = df.select(
+        "*",
+        F.expr(f"st_xmin({geom})").alias("_x0"),
+        F.expr(f"st_xmax({geom})").alias("_x1"),
+        F.expr(f"st_ymin({geom})").alias("_y0"),
+        F.expr(f"st_ymax({geom})").alias("_y1"),
+    )
+    return e.select(
+        df.columns + [F.explode(F.expr(_CELLS_EXPR)).alias("cell")]
+    )
+
+
 def _predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full intersects matrix WITHOUT a cross/nested-loop join: both
+    layers explode their bbox cell cover, candidates come from the cell
+    equi-join (the engine's 3-stage contract, operators/spatial_join.py),
+    the exact predicate runs only on candidates, and non-candidates are
+    restored as false via a left join from the id matrix (ids are dims,
+    so that join broadcasts)."""
     register_st_functions(spark)
     a = tables.polygons_a_df(spark, sf_dir)
     b = tables.polygons_b_df(spark, sf_dir)
-    pairs = a.crossJoin(b.withColumnRenamed("geometry", "geometry_b"))
-    return pairs.select(
+    ac = _with_cells(a.select("polygon_id", "geometry"), "geometry")
+    bc = _with_cells(
+        b.withColumnRenamed("geometry", "geometry_b").select(
+            "b_id", "geometry_b"
+        ),
+        "geometry_b",
+    )
+    cand = (
+        ac.join(bc, "cell")
+        .groupBy("polygon_id", "b_id")
+        .agg(
+            F.first("geometry").alias("geometry"),
+            F.first("geometry_b").alias("geometry_b"),
+        )
+        .select(
+            "polygon_id",
+            "b_id",
+            F.expr("st_intersects(geometry, geometry_b)").alias("hit"),
+        )
+    )
+    ids = a.select("polygon_id").crossJoin(b.select("b_id"))
+    return ids.join(cand, ["polygon_id", "b_id"], "left").select(
         "polygon_id",
         "b_id",
-        F.expr("st_intersects(geometry, geometry_b)").alias("intersects"),
+        F.coalesce("hit", F.lit(False)).alias("intersects"),
     )
 
 
@@ -324,3 +376,99 @@ def _erase_oracle() -> str:
 
 ORACLES["layer_union_rows"] = _union_oracle()
 ORACLES["layer_erase_rows"] = _erase_oracle()
+
+
+# --- full predicate surface (hole-aware; ogr/ogrgeometry.cpp:569-599) -------
+# Fixture: per nation n, a DONUT (20×20 outer, 8×8 hole) plus 9 probe
+# squares in analytically-known relationships. The oracle is the analytic
+# truth table — independent of the engine's ray-cast/edge kernels, so the
+# hash gate pins Intersects/Touches/Contains/Within/Overlaps/Equals
+# including the point-in-hole semantics the exterior-ring-only round-1
+# kernels got wrong.
+
+_PRED_TRUTH = {
+    # type: (intersects, touches, contains, within, overlaps, equals)
+    0: (False, False, False, False, False, False),  # strictly inside hole
+    1: (True, False, True, False, False, False),    # in ring zone
+    2: (True, True, False, False, False, False),    # shares outer edge
+    3: (True, False, False, False, True, False),    # overlaps outer corner
+    4: (True, False, False, True, False, False),    # equals the outer shell
+    5: (False, False, False, False, False, False),  # disjoint
+    6: (True, False, False, False, True, False),    # straddles hole edge
+    7: (True, False, False, True, False, False),    # covers whole donut
+    8: (True, False, True, True, False, True),      # exact copy of donut
+}
+
+
+def _pred_full_rows():
+    import numpy as np
+
+    from gdal_spark.geometry import wkb as W
+
+    def sq(x0, y0, s):
+        return np.array(
+            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]],
+            dtype=np.float64,
+        )
+
+    rows = []
+    for n in range(25):
+        ox, oy = float((n % 5) * 30), float((n // 5) * 30)
+        donut = W.polygon_to_wkb([sq(ox, oy, 20), sq(ox + 6, oy + 6, 8)])
+        probes = {
+            0: W.polygon_to_wkb([sq(ox + 8, oy + 8, 4)]),
+            1: W.polygon_to_wkb([sq(ox + 1, oy + 1, 3)]),
+            2: W.polygon_to_wkb([sq(ox + 20, oy + 4, 5)]),
+            3: W.polygon_to_wkb([sq(ox + 18, oy + 18, 6)]),
+            4: W.polygon_to_wkb([sq(ox, oy, 20)]),
+            5: W.polygon_to_wkb([sq(ox + 24, oy + 24, 3)]),
+            6: W.polygon_to_wkb([sq(ox + 4, oy + 4, 4)]),
+            7: W.polygon_to_wkb([sq(ox - 2, oy - 2, 24)]),
+            8: W.polygon_to_wkb([sq(ox, oy, 20), sq(ox + 6, oy + 6, 8)]),
+        }
+        for t, probe in probes.items():
+            rows.append((n, t, donut, probe))
+    return rows
+
+
+def _predicates_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_st_functions(spark)
+    df = spark.createDataFrame(
+        _pred_full_rows(),
+        "polygon_id long, probe_type int, geom_a binary, geom_b binary",
+    )
+    df.createOrReplaceTempView("pred_pairs")
+    return spark.sql(
+        """
+        select polygon_id, probe_type,
+               st_intersects(geom_a, geom_b) as p_intersects,
+               st_touches(geom_a, geom_b) as p_touches,
+               st_contains(geom_a, geom_b) as p_contains,
+               st_within(geom_a, geom_b) as p_within,
+               st_overlaps(geom_a, geom_b) as p_overlaps,
+               st_equals(geom_a, geom_b) as p_equals
+        from pred_pairs
+        """
+    )
+
+
+def _predicates_full_oracle() -> str:
+    vals = ",\n        ".join(
+        f"({t}, {i}, {to}, {c}, {w}, {o}, {e})".lower()
+        for t, (i, to, c, w, o, e) in sorted(_PRED_TRUTH.items())
+    )
+    return f"""
+    with truth(probe_type, p_intersects, p_touches, p_contains, p_within,
+               p_overlaps, p_equals) as (
+      values
+        {vals}
+    ),
+    n as (select cast(n_nationkey as bigint) as polygon_id from nation)
+    select n.polygon_id, t.probe_type, t.p_intersects, t.p_touches,
+           t.p_contains, t.p_within, t.p_overlaps, t.p_equals
+    from n cross join truth t
+    """
+
+
+QUERIES["st_predicates_full"] = _predicates_full
+ORACLES["st_predicates_full"] = _predicates_full_oracle()

@@ -173,3 +173,62 @@ def test_explode_collections(st):
     assert len(by[1]) == 2 and len(by[2]) == 1
     t0, payload = W2.parse_wkb(bytes(by[1][0].geometry))
     assert t0 == W2.POLYGON
+
+
+def _sq(x0, y0, s):
+    import numpy as np
+
+    return np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], dtype=float
+    )
+
+
+def test_hole_aware_predicates():
+    """ogr/ogrgeometry.cpp:569-599 semantics: interior rings flip
+    containment — a geometry inside a hole does NOT intersect."""
+    import numpy as np
+
+    from gdal_spark.functions.st import _predicate
+    from gdal_spark.geometry import wkb as W
+
+    donut = W.polygon_to_wkb([_sq(0, 0, 10), _sq(3, 3, 4)])
+    pt_in_hole = W.points_to_wkb([5.0], [5.0])[0]
+    pt_in_ring = W.points_to_wkb([1.0], [1.0])[0]
+    poly_in_hole = W.polygon_to_wkb([_sq(4, 4, 2)])
+    straddler = W.polygon_to_wkb([_sq(2, 2, 3)])
+    assert not _predicate("intersects", donut, pt_in_hole)
+    assert _predicate("intersects", donut, pt_in_ring)
+    assert _predicate("contains", donut, pt_in_ring)
+    assert not _predicate("contains", donut, pt_in_hole)
+    assert not _predicate("intersects", donut, poly_in_hole)
+    assert _predicate("disjoint", donut, poly_in_hole)
+    assert _predicate("overlaps", donut, straddler)
+    assert not _predicate("contains", donut, straddler)
+
+
+def test_touches_crosses_overlaps_equals():
+    import numpy as np
+
+    from gdal_spark.functions.st import _predicate
+    from gdal_spark.geometry import wkb as W
+
+    plain = W.polygon_to_wkb([_sq(0, 0, 10)])
+    adj = W.polygon_to_wkb([_sq(10, 0, 5)])  # shares the x=10 edge
+    corner = W.polygon_to_wkb([_sq(10, 10, 5)])  # shares one vertex
+    overl = W.polygon_to_wkb([_sq(8, 8, 5)])
+    rot = W.polygon_to_wkb(
+        [np.array([[10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)]
+    )
+    line = W.linestring_to_wkb(np.array([[-1, 5], [11, 5]], dtype=float))
+    line_touch = W.linestring_to_wkb(np.array([[10, 2], [15, 2]], dtype=float))
+    assert _predicate("touches", plain, adj)
+    assert _predicate("touches", plain, corner)
+    assert not _predicate("overlaps", plain, adj)
+    assert _predicate("overlaps", plain, overl)
+    assert not _predicate("touches", plain, overl)
+    assert _predicate("equals", plain, rot)
+    assert _predicate("contains", plain, rot)
+    assert _predicate("within", plain, rot)
+    assert _predicate("crosses", line, plain)
+    assert not _predicate("crosses", line_touch, plain)
+    assert not _predicate("crosses", plain, overl)  # area×area: false
