@@ -1,0 +1,121 @@
+"""Numpy map projections — the engine's analog of the reference's PROJ
+transformer chain (alg/gdaltransformer.cpp:96-280 GenImgProj: src GT ∘
+SRS op ∘ dst GT⁻¹; ogr/ogrct.cpp:665 OGRCreateCoordinateTransformation).
+
+pyproj is not available in this environment; the workhorse projections
+are implemented from the published formulas:
+
+- Transverse Mercator: Krüger series in conformal latitude, 6th-order
+  alpha/beta coefficients (Karney 2011, "Transverse Mercator with an
+  accuracy of a few nanometers" — the same series PROJ's tmerc/etmerc
+  uses).  Sub-millimeter accuracy within ±10° of the central meridian.
+- UTM: TM with k0 = 0.9996, false easting 500 km, zone central meridian.
+- Web Mercator (EPSG:3857) lives in raster/tile.py (spherical formulas).
+
+All functions are vectorized numpy over coordinate arrays — they run
+inside Arrow batches on executors, no per-point Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# WGS84
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_N = _F / (2.0 - _F)
+
+# Krüger series coefficients in n = f/(2-f) (Karney 2011, eqs. 35-36)
+_N2, _N3, _N4, _N5, _N6 = _N**2, _N**3, _N**4, _N**5, _N**6
+
+_ALPHA = (
+    _N / 2 - 2 * _N2 / 3 + 5 * _N3 / 16 + 41 * _N4 / 180 - 127 * _N5 / 288
+    + 7891 * _N6 / 37800,
+    13 * _N2 / 48 - 3 * _N3 / 5 + 557 * _N4 / 1440 + 281 * _N5 / 630
+    - 1983433 * _N6 / 1935360,
+    61 * _N3 / 240 - 103 * _N4 / 140 + 15061 * _N5 / 26880
+    + 167603 * _N6 / 181440,
+    49561 * _N4 / 161280 - 179 * _N5 / 168 + 6601661 * _N6 / 7257600,
+    34729 * _N5 / 80640 - 3418889 * _N6 / 1995840,
+    212378941 * _N6 / 319334400,
+)
+
+_BETA = (
+    _N / 2 - 2 * _N2 / 3 + 37 * _N3 / 96 - _N4 / 360 - 81 * _N5 / 512
+    + 96199 * _N6 / 604800,
+    _N2 / 48 + _N3 / 15 - 437 * _N4 / 1440 + 46 * _N5 / 105
+    - 1118711 * _N6 / 3870720,
+    17 * _N3 / 480 - 37 * _N4 / 840 - 209 * _N5 / 4480 + 5569 * _N6 / 90720,
+    4397 * _N4 / 161280 - 11 * _N5 / 504 - 830251 * _N6 / 7257600,
+    4583 * _N5 / 161280 - 108847 * _N6 / 3991680,
+    20648693 * _N6 / 638668800,
+)
+
+# rectifying radius A1 = a/(1+n) * (1 + n²/4 + n⁴/64 + n⁶/256)
+_A1 = _A / (1 + _N) * (1 + _N2 / 4 + _N4 / 64 + _N6 / 256)
+
+_E = np.sqrt(_F * (2 - _F))  # first eccentricity
+
+
+def tm_forward(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    lon0: float,
+    k0: float = 0.9996,
+    fe: float = 500000.0,
+    fn: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Transverse Mercator forward: (lon, lat) degrees → (easting,
+    northing) meters."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    # conformal latitude (Karney eq. 7-9)
+    t = np.sinh(
+        np.arctanh(np.sin(phi)) - _E * np.arctanh(_E * np.sin(phi))
+    )
+    xip = np.arctan2(t, np.cos(lam))
+    etp = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+    xi = xip.copy()
+    eta = etp.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi = xi + a * np.sin(2 * j * xip) * np.cosh(2 * j * etp)
+        eta = eta + a * np.cos(2 * j * xip) * np.sinh(2 * j * etp)
+    return fe + k0 * _A1 * eta, fn + k0 * _A1 * xi
+
+
+def tm_inverse(
+    e: np.ndarray,
+    n: np.ndarray,
+    lon0: float,
+    k0: float = 0.9996,
+    fe: float = 500000.0,
+    fn: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Transverse Mercator inverse: (easting, northing) meters →
+    (lon, lat) degrees."""
+    xi = (np.asarray(n, dtype=np.float64) - fn) / (k0 * _A1)
+    eta = (np.asarray(e, dtype=np.float64) - fe) / (k0 * _A1)
+    xip = xi.copy()
+    etp = eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xip = xip - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        etp = etp - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    lam = np.arctan2(np.sinh(etp), np.cos(xip))
+    chi = np.arcsin(np.sin(xip) / np.cosh(etp))  # conformal latitude
+    # invert the conformal latitude by the classic fixed-point iteration
+    # on the isometric form: phi = asin(tanh(atanh(sin chi)
+    # + e*atanh(e*sin phi))) — converges to <1e-12 rad in ~8 rounds for
+    # WGS84 eccentricity (no second coefficient table needed)
+    psi = np.arctanh(np.sin(chi))
+    phi = chi.copy()
+    for _ in range(10):
+        phi = np.arcsin(np.tanh(psi + _E * np.arctanh(_E * np.sin(phi))))
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+def utm_zone(lon: float) -> int:
+    return int((lon + 180.0) // 6.0) + 1
+
+
+def utm_lon0(zone: int) -> float:
+    return -183.0 + 6.0 * zone

@@ -865,3 +865,304 @@ def _contour_oracle() -> str:
 
 
 ORACLES["raster_contour"] = _contour_oracle()
+
+
+# --- full warp kernel family (alg/gdalwarper.h:35-67, dispatch ---------------
+# alg/gdalwarpkernel.cpp:170-196): area kernels average/sum/rms/min/max/
+# med/q1/q3/mode on an aligned 2x downsample (every dst pixel reduces an
+# exact 2x2 source window -> pure-SQL oracle), and the pointwise
+# cubicspline/lanczos kernels on a quarter-offset grid (constant
+# fractional phase 0.75 -> literal-weight oracle, weights derived from
+# the published B-spline / windowed-sinc formulas with math.sin,
+# independent of the numpy engine path).
+
+from gdal_spark.raster.resample import AREA_METHODS as _AREA_KERNELS  # noqa: E402
+
+
+def _int_src_spec() -> model.GridSpec:
+    # binary-exact geotransform so kernel phases are exact (0.25/0.75)
+    return model.GridSpec(
+        "g100i", 100, 100, (0.0, 1.0, 0.0, 100.0, 0.0, -1.0), block=32, bands=1
+    )
+
+
+def _warp_area_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.resample import reproject_grid as _rg
+
+    src = _int_src_spec()
+    dst = model.GridSpec(
+        "g50a", 50, 50, (0.0, 2.0, 0.0, 100.0, 0.0, -2.0), block=32, bands=1
+    )
+    blocks = model.synth_blocks(spark, src).where("band = 1")
+    out = None
+    for m in _AREA_KERNELS:
+        o = _rg(blocks, dst, m, band=1)
+        f = ops.as_features(o).select(
+            F.lit(m).alias("kernel"),
+            "x",
+            "y",
+            F.round("value", 6).alias("value"),
+        )
+        out = f if out is None else out.unionByName(f)
+    return out
+
+
+def _warp_area_oracle() -> str:
+    def val(dx, dy):
+        return (
+            "cast(("
+            + model.VALUE_SQL.format(
+                x=f"(2 * x.x + {dx})", y=f"(2 * y.y + {dy})", band="1"
+            )
+            + ") as double)"
+        )
+
+    a, b, c, d = val(0, 0), val(1, 0), val(0, 1), val(1, 1)
+    return f"""
+    with q as (
+      select x.x, y.y, {a} as a, {b} as b, {c} as c, {d} as d
+      from (select unnest(range(50)) as x) x
+      cross join (select unnest(range(50)) as y) y
+    ),
+    s as (
+      select x, y, a, b, c, d,
+             least(a, b, c, d) as v1,
+             least(greatest(a, b), greatest(a, c), greatest(a, d),
+                   greatest(b, c), greatest(b, d), greatest(c, d)) as v2,
+             greatest(least(a, b), least(a, c), least(a, d),
+                      least(b, c), least(b, d), least(c, d)) as v3,
+             greatest(a, b, c, d) as v4
+      from q
+    ),
+    k as (
+      select x, y,
+             (a + b + c + d) / 4.0 as average,
+             (a + b + c + d) as vsum,
+             sqrt((a * a + b * b + c * c + d * d) / 4.0) as rms,
+             v1 as vmin, v4 as vmax,
+             (v2 + v3) / 2.0 as med,
+             v1 + 0.75 * (v2 - v1) as q1,
+             v3 + 0.25 * (v4 - v3) as q3,
+             case when v1 = v2 and v2 = v3 then v1
+                  when v2 = v3 and v3 = v4 then v2
+                  when v1 = v2 then v1
+                  when v2 = v3 then v2
+                  when v3 = v4 then v3
+                  else v1 end as vmode
+      from s
+    )
+    select kernel, x, y, round(v, 6) as value from (
+      select 'average' as kernel, x, y, average as v from k
+      union all select 'sum', x, y, vsum from k
+      union all select 'rms', x, y, rms from k
+      union all select 'min', x, y, vmin from k
+      union all select 'max', x, y, vmax from k
+      union all select 'med', x, y, med from k
+      union all select 'q1', x, y, q1 from k
+      union all select 'q3', x, y, q3 from k
+      union all select 'mode', x, y, vmode from k
+    )
+    """
+
+
+QUERIES["raster_warp_area_kernels"] = _warp_area_kernels
+ORACLES["raster_warp_area_kernels"] = _warp_area_oracle()
+
+
+def _warp_spline_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.resample import reproject_grid as _rg
+
+    src = _int_src_spec()
+    dst = model.GridSpec(
+        "g50s", 50, 50, (0.25, 2.0, 0.0, 99.75, 0.0, -2.0), block=32, bands=1
+    )
+    blocks = model.synth_blocks(spark, src).where("band = 1")
+    out = None
+    for m in ("cubicspline", "lanczos"):
+        o = _rg(blocks, dst, m, band=1)
+        f = (
+            ops.as_features(o)
+            .where("x between 1 and 48 and y between 1 and 48")
+            .select(
+                F.lit(m).alias("kernel"),
+                "x",
+                "y",
+                F.round("value", 6).alias("value"),
+            )
+        )
+        out = f if out is None else out.unionByName(f)
+    return out
+
+
+def _spline_w075() -> list[tuple[int, float]]:
+    # cubic B-spline weights at phase t = 0.75, offsets -1..2:
+    # w(|t - i|) with w(x) = (4 - 6x^2 + 3x^3)/6 for x<1, (2-x)^3/6 for x<2
+    out = []
+    for i in (-1, 0, 1, 2):
+        x = abs(0.75 - i)
+        w = (4 - 6 * x * x + 3 * x**3) / 6 if x < 1 else (2 - x) ** 3 / 6
+        out.append((i, w))
+    return out
+
+
+def _lanczos_w075() -> list[tuple[int, float]]:
+    import math
+
+    r = 3
+    ws = []
+    for i in range(-r + 1, r + 1):
+        x = 0.75 - i
+        ws.append(
+            (
+                i,
+                r
+                * math.sin(math.pi * x)
+                * math.sin(math.pi * x / r)
+                / (math.pi**2 * x**2),
+            )
+        )
+    tot = ws[0][1]
+    for _, w in ws[1:]:
+        tot = tot + w
+    return [(i, w / tot) for i, w in ws]
+
+
+def _sep_kernel_sql(name: str, weights: list[tuple[int, float]]) -> str:
+    def val(dx, dy):
+        return (
+            "cast(("
+            + model.VALUE_SQL.format(
+                x=f"(2 * x.x + {dx})", y=f"(2 * y.y + {dy})", band="1"
+            )
+            + ") as double)"
+        )
+
+    # mirror the engine's separable accumulation order exactly:
+    # out = sum_j wj * (sum_i wi * v(x0+i, y0+j)), left-assoc
+    rows = []
+    for j, wj in weights:
+        inner = " + ".join(f"{wi!r} * {val(i, j)}" for i, wi in weights)
+        rows.append(f"{wj!r} * ({inner})")
+    expr = " + ".join(rows)
+    return f"""
+      select '{name}' as kernel, x.x as x, y.y as y,
+             round({expr}, 6) as value
+      from (select unnest(range(1, 49)) as x) x
+      cross join (select unnest(range(1, 49)) as y) y
+    """
+
+
+def _warp_spline_oracle() -> str:
+    return (
+        _sep_kernel_sql("cubicspline", _spline_w075())
+        + " union all "
+        + _sep_kernel_sql("lanczos", _lanczos_w075())
+    )
+
+
+QUERIES["raster_warp_spline_lanczos"] = _warp_spline_lanczos
+ORACLES["raster_warp_spline_lanczos"] = _warp_spline_oracle()
+
+
+# --- arbitrary-CRS reprojection: UTM zone 18N (alg/gdaltransformer.cpp:96 ---
+# chain analog; ogr/ogrct.cpp:665). Engine path: Krüger-series transverse
+# mercator (geometry/proj.py) inside the reproject cover shuffle. Oracle:
+# golden literal computed with the INDEPENDENT Snyder 1987 series
+# (Working Manual eqs. 8-17..8-25 inverse) — two different published
+# formulations agreeing through NEAREST quantization (src px 0.04° ≈
+# 4.4 km vs inter-series delta < 1 mm).
+
+_UTM_DST = (340000.0, 8000.0, 0.0, 4680000.0, 0.0, -8000.0)
+_UTM_W = _UTM_H = 40
+
+
+def _reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    from gdal_spark.geometry.proj import tm_forward, tm_inverse
+    from gdal_spark.raster.resample import reproject_grid as _rg
+
+    src = model.grad100_spec()
+    dst = model.GridSpec(
+        "utm18", _UTM_W, _UTM_H, _UTM_DST, block=32, bands=1
+    )
+    out = _rg(
+        model.synth_blocks(spark, src).where("band = 1"),
+        dst,
+        "nearest",
+        band=1,
+        world_to_dst=functools.partial(tm_forward, lon0=-75.0),
+        dst_to_world=functools.partial(tm_inverse, lon0=-75.0),
+    )
+    return ops.as_features(out).select("x", "y", "value")
+
+
+def _snyder_tm_inverse(E, N, lon0):
+    """Snyder 1987 TM inverse (eqs. 8-17..8-25), WGS84 — independent of
+    the engine's Krüger series."""
+    import numpy as np
+
+    a = 6378137.0
+    f = 1 / 298.257223563
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    k0 = 0.9996
+    x = np.asarray(E, dtype=np.float64) - 500000.0
+    M = np.asarray(N, dtype=np.float64) / k0
+    mu = M / (a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+        + (151 * e1**3 / 96) * np.sin(6 * mu)
+        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+    )
+    C1 = ep2 * np.cos(phi1) ** 2
+    T1 = np.tan(phi1) ** 2
+    N1 = a / np.sqrt(1 - e2 * np.sin(phi1) ** 2)
+    R1 = a * (1 - e2) / (1 - e2 * np.sin(phi1) ** 2) ** 1.5
+    D = x / (N1 * k0)
+    phi = phi1 - (N1 * np.tan(phi1) / R1) * (
+        D**2 / 2
+        - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * ep2 - 3 * C1**2)
+        * D**6
+        / 720
+    )
+    lam = (
+        D
+        - (1 + 2 * T1 + C1) * D**3 / 6
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * ep2 + 24 * T1**2)
+        * D**5
+        / 120
+    ) / np.cos(phi1)
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+def _reproject_utm_oracle() -> str:
+    import numpy as np
+
+    src = model.grad100_spec()
+    g = src.gt
+    ys, xs = np.mgrid[0:_UTM_H, 0:_UTM_W]
+    E = _UTM_DST[0] + (xs + 0.5) * _UTM_DST[1]
+    N = _UTM_DST[3] + (ys + 0.5) * _UTM_DST[5]
+    lon, lat = _snyder_tm_inverse(E, N, -75.0)
+    sx = (lon - g[0]) / g[1] - 0.5
+    sy = (lat - g[3]) / g[5] - 0.5
+    ix = np.round(np.clip(sx, 0, 99)).astype(np.int64)
+    iy = np.round(np.clip(sy, 0, 99)).astype(np.int64)
+    val = ((ix * 7 + iy * 13 + 1 * 17) % 256).astype(np.float64)
+    inb = (sx >= -0.5) & (sx <= 99.5) & (sy >= -0.5) & (sy <= 99.5)
+    val = np.where(inb, val, 0.0)
+    rows = [
+        (int(x), int(y), float(v))
+        for x, y, v in zip(xs.ravel(), ys.ravel(), val.ravel())
+    ]
+    return _values_sql(rows, ["x", "y", "value"]) + """
+    """
+
+
+QUERIES["raster_reproject_utm"] = _reproject_utm
+ORACLES["raster_reproject_utm"] = _reproject_utm_oracle()

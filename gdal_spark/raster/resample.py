@@ -46,12 +46,76 @@ def _cubic_w(t: np.ndarray, a: float = -0.5) -> tuple[np.ndarray, ...]:
     return tuple(w)
 
 
+def _bspline_w(t: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Cubic B-spline weights for offsets (-1, 0, 1, 2) — GDAL
+    GRA_CubicSpline (alg/gdalwarpkernel.cpp BSpline): smoothing kernel,
+    weights (1/6)·B³ pieces, sum to 1, does NOT interpolate exactly."""
+    w = []
+    for i in (-1, 0, 1, 2):
+        x = np.abs(t - i)
+        w.append(
+            np.where(
+                x < 1,
+                (4.0 - 6.0 * x**2 + 3.0 * x**3) / 6.0,
+                np.where(x < 2, (2.0 - x) ** 3 / 6.0, 0.0),
+            )
+        )
+    return tuple(w)
+
+
+_LANCZOS_R = 3
+
+
+def _lanczos_w(t: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Lanczos windowed-sinc weights, radius 3 (GDAL GRA_Lanczos,
+    alg/gdalwarpkernel.cpp:84-107 radius table), offsets -2..3 around
+    floor(t); normalized so the taps sum to 1."""
+    ws = []
+    for i in range(-_LANCZOS_R + 1, _LANCZOS_R + 1):
+        x = t - i
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = (
+                _LANCZOS_R
+                * np.sin(np.pi * x)
+                * np.sin(np.pi * x / _LANCZOS_R)
+                / (np.pi**2 * x**2)
+            )
+        ws.append(np.where(np.abs(x) < 1e-12, 1.0, np.where(np.abs(x) < _LANCZOS_R, v, 0.0)))
+    tot = ws[0]
+    for w in ws[1:]:  # left-assoc, mirrored exactly by the SQL oracle
+        tot = tot + w
+    return tuple(w / tot for w in ws)
+
+
 def sample(
     arr: np.ndarray, sx: np.ndarray, sy: np.ndarray, method: str = "bilinear"
 ) -> np.ndarray:
     """Sample `arr` at fractional pixel coords (sx, sy) (pixel-center
     convention: integer coord = pixel center). Edge clamp."""
     h, w = arr.shape
+    if method in ("cubicspline", "lanczos"):
+        wfn = _bspline_w if method == "cubicspline" else _lanczos_w
+        offs = (
+            (-1, 0, 1, 2)
+            if method == "cubicspline"
+            else tuple(range(-_LANCZOS_R + 1, _LANCZOS_R + 1))
+        )
+        fx = np.clip(sx, 0, w - 1)
+        fy = np.clip(sy, 0, h - 1)
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        wxs = wfn(fx - x0)
+        wys = wfn(fy - y0)
+        a = arr.astype(np.float64)
+        out = np.zeros_like(fx, dtype=np.float64)
+        for iy, wy in zip(offs, wys):
+            yy = np.clip(y0 + iy, 0, h - 1)
+            row = np.zeros_like(out)
+            for ix, wx in zip(offs, wxs):
+                xx = np.clip(x0 + ix, 0, w - 1)
+                row += a[yy, xx] * wx
+            out += row * wy
+        return out
     fx = np.clip(sx, 0, w - 1)
     fy = np.clip(sy, 0, h - 1)
     if method == "nearest":
@@ -90,6 +154,73 @@ def sample(
             out += row * wy
         return out
     raise ValueError(f"unknown sampling method {method}")
+
+
+AREA_METHODS = (
+    "average",
+    "sum",
+    "rms",
+    "min",
+    "max",
+    "med",
+    "q1",
+    "q3",
+    "mode",
+)
+
+
+def area_reduce(
+    arr: np.ndarray,
+    ix0: np.ndarray,
+    iy0: np.ndarray,
+    kx: int,
+    ky: int,
+    method: str,
+) -> np.ndarray:
+    """GDAL area resampling kernels (alg/gdalwarper.h:35-67 GRA_Average/
+    Sum/RMS/Min/Max/Med/Q1/Q3/Mode): reduce the kx×ky source window
+    anchored at integer (ix0, iy0) per output pixel — vectorized as
+    kx·ky gathered planes + one reduce, no per-pixel loop.
+    Quantiles use linear interpolation (numpy default); mode ties break
+    toward the smallest value (first in sorted order)."""
+    h, w = arr.shape
+    a = arr.astype(np.float64)
+    planes = []
+    for dy in range(ky):
+        for dx in range(kx):
+            xx = np.clip(ix0 + dx, 0, w - 1)
+            yy = np.clip(iy0 + dy, 0, h - 1)
+            planes.append(a[yy, xx])
+    s = np.stack(planes, axis=-1)
+    if method == "average":
+        return s.mean(axis=-1)
+    if method == "sum":
+        return s.sum(axis=-1)
+    if method == "rms":
+        return np.sqrt((s**2).mean(axis=-1))
+    if method == "min":
+        return s.min(axis=-1)
+    if method == "max":
+        return s.max(axis=-1)
+    if method == "med":
+        return np.median(s, axis=-1)
+    if method == "q1":
+        return np.quantile(s, 0.25, axis=-1)
+    if method == "q3":
+        return np.quantile(s, 0.75, axis=-1)
+    if method == "mode":
+        sv = np.sort(s, axis=-1)
+        best = sv[..., 0]
+        bestc = np.ones(best.shape)
+        c = np.ones(best.shape)
+        for k in range(1, sv.shape[-1]):
+            same = sv[..., k] == sv[..., k - 1]
+            c = np.where(same, c + 1, 1)
+            better = c > bestc
+            best = np.where(better, sv[..., k], best)
+            bestc = np.where(better, c, bestc)
+        return best
+    raise ValueError(f"unknown area method {method}")
 
 
 def reduce_2x2(arr: np.ndarray, method: str = "average") -> np.ndarray:
@@ -407,6 +538,8 @@ def reproject_grid(
     dst: "model.GridSpec",
     method: str = "nearest",
     band: int | None = None,
+    world_to_dst=None,
+    dst_to_world=None,
 ) -> DataFrame:
     """Raster→raster reproject/resize onto a new affine grid
     (gdal raster reproject/resize; GDALWarp with affine-only transform).
@@ -418,7 +551,16 @@ def reproject_grid(
     at absolute coords and runs the resample kernel.  Dst blocks with no
     source cover are emitted as zero blocks via a left join against the
     enumerated dst block grid.  Only the source raster dims (2 ints) and
-    geotransform cross the driver."""
+    geotransform cross the driver.
+
+    world_to_dst / dst_to_world: optional vectorized (x, y) → (x', y')
+    coordinate-operation pair (e.g. geometry.proj.tm_forward/tm_inverse
+    partials) inserted between the two geotransforms — the engine's
+    analog of the reference's GenImgProj transformer chain
+    (alg/gdaltransformer.cpp:96: dstGT⁻¹ ∘ SRS-op ∘ srcGT).  The ship
+    stage maps a boundary lattice of each src block through world_to_dst
+    to bound the dst cover under curvature; area kernels require the
+    affine path."""
     spark = blocks.sparkSession
     src = blocks.where(
         F.col("band") == band if band is not None else F.lit(True)
@@ -436,7 +578,24 @@ def reproject_grid(
     dgt = dst.gt
     nbx, nby = dst.n_blocks()
     dbs = dst.block
-    MARGIN = 3  # covers cubic's 4×4 support
+    if method in AREA_METHODS:
+        # area kernels reduce the dst pixel's source footprint; the
+        # footprint must be an integer pixel window on an aligned grid
+        # (overview-style downsample — GDAL's own fast path)
+        kx = dgt[1] / s1
+        ky = dgt[5] / s5
+        if abs(kx - round(kx)) > 1e-9 or abs(ky - round(ky)) > 1e-9:
+            raise ValueError(
+                f"area method {method} needs integer scale factors, "
+                f"got ({kx}, {ky})"
+            )
+        kx, ky = int(round(kx)), int(round(ky))
+        MARGIN = max(kx, ky) + 1
+    else:
+        kx = ky = 0
+        MARGIN = _LANCZOS_R if method == "lanczos" else 3
+    if method in AREA_METHODS and world_to_dst is not None:
+        raise ValueError("area kernels require an affine (no-op) transform")
 
     ship_schema = (
         "band int, bx int, by int, x0 long, y0 long, w long, h long, buf binary"
@@ -450,20 +609,41 @@ def reproject_grid(
                     np.float64
                 )
                 # src block pixel range (+margin) → world → dst pixel range
-                wxs = [
-                    s0 + (r.x0 - MARGIN) * s1,
-                    s0 + (r.x0 + r.width + MARGIN) * s1,
-                ]
-                wys = [
-                    s3 + (r.y0 - MARGIN) * s5,
-                    s3 + (r.y0 + r.height + MARGIN) * s5,
-                ]
-                dxs = sorted((wx - dgt[0]) / dgt[1] for wx in wxs)
-                dys = sorted((wy - dgt[3]) / dgt[5] for wy in wys)
-                bx0 = max(0, int(np.floor(dxs[0] / dbs)))
-                bx1 = min(nbx - 1, int(np.floor(dxs[1] / dbs)))
-                by0 = max(0, int(np.floor(dys[0] / dbs)))
-                by1 = min(nby - 1, int(np.floor(dys[1] / dbs)))
+                if world_to_dst is None:
+                    wxs = np.array([
+                        s0 + (r.x0 - MARGIN) * s1,
+                        s0 + (r.x0 + r.width + MARGIN) * s1,
+                    ])
+                    wys = np.array([
+                        s3 + (r.y0 - MARGIN) * s5,
+                        s3 + (r.y0 + r.height + MARGIN) * s5,
+                    ])
+                else:
+                    # boundary lattice through the projection — 5×5
+                    # samples bound the curved image of the block bbox
+                    pxs = np.linspace(r.x0 - MARGIN, r.x0 + r.width + MARGIN, 5)
+                    pys = np.linspace(
+                        r.y0 - MARGIN, r.y0 + r.height + MARGIN, 5
+                    )
+                    gx, gy = np.meshgrid(s0 + pxs * s1, s3 + pys * s5)
+                    wxs, wys = world_to_dst(gx.ravel(), gy.ravel())
+                dxs = sorted(
+                    [
+                        float(((wxs.min() if hasattr(wxs, "min") else min(wxs)) - dgt[0]) / dgt[1]),
+                        float(((wxs.max() if hasattr(wxs, "max") else max(wxs)) - dgt[0]) / dgt[1]),
+                    ]
+                )
+                dys = sorted(
+                    [
+                        float(((wys.min() if hasattr(wys, "min") else min(wys)) - dgt[3]) / dgt[5]),
+                        float(((wys.max() if hasattr(wys, "max") else max(wys)) - dgt[3]) / dgt[5]),
+                    ]
+                )
+                pad = 0 if world_to_dst is None else 1  # curvature slack
+                bx0 = max(0, int(np.floor(dxs[0] / dbs)) - pad)
+                bx1 = min(nbx - 1, int(np.floor(dxs[1] / dbs)) + pad)
+                by0 = max(0, int(np.floor(dys[0] / dbs)) - pad)
+                by1 = min(nby - 1, int(np.floor(dys[1] / dbs)) + pad)
                 payload = np.ascontiguousarray(a).tobytes()
                 for tby in range(by0, by1 + 1):
                     for tbx in range(bx0, bx1 + 1):
@@ -511,21 +691,40 @@ def reproject_grid(
                     r.x0 - cx0 : r.x0 - cx0 + r.w,
                 ] = np.frombuffer(r.buf, dtype=np.float64).reshape(r.h, r.w)
             ys, xs = np.mgrid[0:h, 0:w]
-            wx = dgt[0] + (xs + x0 + 0.5) * dgt[1]
-            wy = dgt[3] + (ys + y0 + 0.5) * dgt[5]
-            sx = (wx - s0) / s1 - 0.5
-            sy = (wy - s3) / s5 - 0.5
-            v = sample(
-                canvas, sx.ravel() - cx0, sy.ravel() - cy0, method
-            ).reshape(h, w)
-            inb = (
-                (sx >= -0.5)
-                & (sx <= sw - 0.5)
-                & (sy >= -0.5)
-                & (sy <= sh - 0.5)
-                & np.isfinite(v)
-            )
-            v = np.where(inb, v, 0.0)
+            if method in AREA_METHODS:
+                # window anchor: src pixel-EDGE coordinate of the dst
+                # pixel's left/top edge
+                ex = (dgt[0] + (xs + x0) * dgt[1] - s0) / s1
+                ey = (dgt[3] + (ys + y0) * dgt[5] - s3) / s5
+                ix0 = np.round(ex).astype(np.int64)
+                iy0 = np.round(ey).astype(np.int64)
+                v = area_reduce(canvas, ix0 - cx0, iy0 - cy0, kx, ky, method)
+                inb = (
+                    (ix0 >= 0)
+                    & (ix0 + kx <= sw)
+                    & (iy0 >= 0)
+                    & (iy0 + ky <= sh)
+                    & np.isfinite(v)
+                )
+                v = np.where(inb, v, 0.0)
+            else:
+                wx = dgt[0] + (xs + x0 + 0.5) * dgt[1]
+                wy = dgt[3] + (ys + y0 + 0.5) * dgt[5]
+                if dst_to_world is not None:
+                    wx, wy = dst_to_world(wx, wy)
+                sx = (wx - s0) / s1 - 0.5
+                sy = (wy - s3) / s5 - 0.5
+                v = sample(
+                    canvas, sx.ravel() - cx0, sy.ravel() - cy0, method
+                ).reshape(h, w)
+                inb = (
+                    (sx >= -0.5)
+                    & (sx <= sw - 0.5)
+                    & (sy >= -0.5)
+                    & (sy <= sh - 0.5)
+                    & np.isfinite(v)
+                )
+                v = np.where(inb, v, 0.0)
         return pd.DataFrame(
             [
                 (

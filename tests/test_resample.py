@@ -133,3 +133,64 @@ def test_proximity(spark):
         np.hypot(xs - 4, ys - 3), np.hypot(xs - 12, ys - 12)
     )
     assert np.allclose(full, want, atol=1e-12)
+
+
+def test_tm_roundtrip_and_independent_series():
+    """Krüger-series TM (geometry/proj.py) round-trips to machine
+    precision and agrees with the Snyder-1987 series (independent
+    published formulation) to < 1 mm over a ±2° extent."""
+    import numpy as np
+
+    from gdal_spark.geometry.proj import tm_forward, tm_inverse
+    from gdal_spark.queries.raster import _snyder_tm_inverse
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-76.7, -72.7, 500)
+    lat = rng.uniform(38.7, 42.7, 500)
+    E, N = tm_forward(lon, lat, -75.0)
+    lo2, la2 = tm_inverse(E, N, -75.0)
+    assert np.abs(lo2 - lon).max() < 1e-12
+    assert np.abs(la2 - lat).max() < 1e-12
+    lo3, la3 = _snyder_tm_inverse(E, N, -75.0)
+    # < 1 mm in degrees at these latitudes
+    assert np.abs(lo3 - lon).max() < 2e-8
+    assert np.abs(la3 - lat).max() < 2e-8
+
+
+def test_full_kernel_set_properties():
+    """alg/gdalwarper.h:35-67 kernels: partition-of-unity weights,
+    constant-field preservation, area-kernel exactness on a 2×2 block."""
+    import numpy as np
+
+    from gdal_spark.raster.resample import (
+        _bspline_w,
+        _lanczos_w,
+        area_reduce,
+        sample,
+    )
+
+    t = np.linspace(0, 1, 11)
+    assert np.allclose(np.sum(_bspline_w(t), axis=0), 1.0)
+    assert np.allclose(np.sum(_lanczos_w(t), axis=0), 1.0)
+    const = np.full((12, 12), 7.5)
+    sx = np.linspace(2, 9, 30)
+    for m in ("nearest", "bilinear", "cubic", "cubicspline", "lanczos"):
+        assert np.allclose(sample(const, sx, sx, m), 7.5), m
+    # lanczos/cubic interpolate exactly at integer coords; cubicspline
+    # smooths (B-spline does NOT interpolate)
+    grid = np.arange(144, dtype=np.float64).reshape(12, 12)
+    ix = np.array([5.0])
+    assert np.allclose(sample(grid, ix, ix, "lanczos"), grid[5, 5])
+    assert np.allclose(sample(grid, ix, ix, "cubic"), grid[5, 5])
+    a = np.array([[1.0, 2.0], [3.0, 4.0]])
+    z = np.array([0])
+    assert area_reduce(a, z, z, 2, 2, "average")[0] == 2.5
+    assert area_reduce(a, z, z, 2, 2, "sum")[0] == 10.0
+    assert area_reduce(a, z, z, 2, 2, "min")[0] == 1.0
+    assert area_reduce(a, z, z, 2, 2, "max")[0] == 4.0
+    assert area_reduce(a, z, z, 2, 2, "med")[0] == 2.5
+    assert area_reduce(a, z, z, 2, 2, "q1")[0] == 1.75
+    assert area_reduce(a, z, z, 2, 2, "q3")[0] == 3.25
+    assert np.isclose(area_reduce(a, z, z, 2, 2, "rms")[0], np.sqrt(7.5))
+    b = np.array([[5.0, 5.0], [3.0, 4.0]])
+    assert area_reduce(b, z, z, 2, 2, "mode")[0] == 5.0
