@@ -1166,3 +1166,247 @@ def _reproject_utm_oracle() -> str:
 
 QUERIES["raster_reproject_utm"] = _reproject_utm
 ORACLES["raster_reproject_utm"] = _reproject_utm_oracle()
+
+
+# --- expression dialect + completed pixel-function registry ------------------
+# raster_calc_expression: free-form muparser-analog expression
+# (apps/gdalalg_raster_calc.cpp:904-911) parsed by gdal_spark.raster.calc
+# (no python eval), evaluated per block; oracle = the SAME arithmetic
+# written directly in SQL over the analytic band formulas.
+# raster_pixel_functions: 8 of the newly-completed registry names
+# (frmts/vrt/pixelfunctions.cpp:4370-4457) on a 30x30 window, per-pixel
+# rows, SQL oracle (integer-exact fixtures).
+
+_CALC_EXPR = "(b1 + 2*b2 + b3) % 256 + where(b1 > b2, 1, 0) + sqrt(b1)"
+
+
+def _calc_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.calc import calc
+
+    out = calc(_blocks(spark), _CALC_EXPR)
+    return (
+        ops.as_features(out)
+        .where("x < 40 and y < 40")
+        .select("x", "y", F.round("value", 6).alias("value"))
+    )
+
+
+def _calc_expression_oracle() -> str:
+    def val(b):
+        return (
+            "cast(("
+            + model.VALUE_SQL.format(x="x.x", y="y.y", band=str(b))
+            + ") as double)"
+        )
+
+    v1, v2, v3 = val(1), val(2), val(3)
+    return f"""
+    select x.x as x, y.y as y,
+           round(({v1} + 2 * {v2} + {v3}) % 256
+                 + (case when {v1} > {v2} then 1 else 0 end)
+                 + sqrt({v1}), 6) as value
+    from (select unnest(range(40)) as x) x
+    cross join (select unnest(range(40)) as y) y
+    """
+
+
+QUERIES["raster_calc_expression"] = _calc_expression
+ORACLES["raster_calc_expression"] = _calc_expression_oracle()
+
+
+_PF_CASES = [
+    ("median", {}),
+    ("argmin", {}),
+    ("argmax", {}),
+    ("mode", {}),
+    ("quantile", {"q": 0.25}),
+    ("pow", {"power": 2.0}),
+    ("scale", {"scale": 2.0, "offset": 1.0}),
+    ("interpolate_linear", {"t": 0.25, "t0": 0.0, "t1": 1.0}),
+]
+
+
+def _pixel_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    blocks = _blocks(spark)
+    for name, params in _PF_CASES:
+        o = ops.pixel_function(blocks, name, params)
+        f = (
+            ops.as_features(o)
+            .where("x < 30 and y < 30")
+            .select(
+                F.lit(name).alias("func"),
+                "x",
+                "y",
+                F.round("value", 6).alias("value"),
+            )
+        )
+        out = f if out is None else out.unionByName(f)
+    return out
+
+
+def _pixel_functions_oracle() -> str:
+    def val(b):
+        return (
+            "cast(("
+            + model.VALUE_SQL.format(x="x.x", y="y.y", band=str(b))
+            + ") as double)"
+        )
+
+    v1, v2, v3 = val(1), val(2), val(3)
+    return f"""
+    with q as (
+      select x.x as x, y.y as y, {v1} as v1, {v2} as v2, {v3} as v3
+      from (select unnest(range(30)) as x) x
+      cross join (select unnest(range(30)) as y) y
+    ),
+    s as (
+      select x, y, v1, v2, v3,
+             least(v1, v2, v3) as s1,
+             v1 + v2 + v3 - least(v1, v2, v3) - greatest(v1, v2, v3) as s2,
+             greatest(v1, v2, v3) as s3
+      from q
+    )
+    select func, x, y, round(v, 6) as value from (
+      select 'median' as func, x, y, s2 as v from s
+      union all
+      select 'argmin', x, y,
+             case when v1 <= v2 and v1 <= v3 then 1.0
+                  when v2 <= v3 then 2.0 else 3.0 end from s
+      union all
+      select 'argmax', x, y,
+             case when v1 >= v2 and v1 >= v3 then 1.0
+                  when v2 >= v3 then 2.0 else 3.0 end from s
+      union all
+      select 'mode', x, y,
+             case when s1 = s2 then s1 when s2 = s3 then s2 else s1 end
+      from s
+      union all
+      select 'quantile', x, y, s1 + 0.5 * (s2 - s1) from s
+      union all
+      select 'pow', x, y, v1 * v1 from s
+      union all
+      select 'scale', x, y, v1 * 2.0 + 1.0 from s
+      union all
+      select 'interpolate_linear', x, y, v1 + (v2 - v1) * 0.25 from s
+    )
+    """
+
+
+QUERIES["raster_pixel_functions"] = _pixel_functions
+ORACLES["raster_pixel_functions"] = _pixel_functions_oracle()
+
+
+# --- zonal inclusion modes + weighted stats + argmin/argmax ------------------
+# (alg/zonal.cpp:2079-2110). Fixture zones are axis-aligned rects with
+# FRACTIONAL-pixel edges, so DEFAULT / ALL_TOUCHED membership and the
+# exact coverage fraction are interval arithmetic in SQL, while the
+# engine computes them geometrically (ray-cast + Sutherland-Hodgman
+# pixel clips) in world coordinates — two independent constructions.
+
+_ZONES_PX = [
+    # zone_id, x0, x1, y0, y1 (pixel units, never .0/.5 edges)
+    (1, 10.3, 25.7, 40.2, 55.8),
+    (2, 60.25, 80.75, 10.6, 30.4),
+    (3, 5.45, 9.55, 70.25, 90.75),
+]
+
+
+def _zonal_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from gdal_spark.raster.ops import zonal_stats_ext
+
+    g = _gt()
+    zones = []
+    for zid, x0, x1, y0, y1 in _ZONES_PX:
+        wx0, wx1 = g[0] + x0 * g[1], g[0] + x1 * g[1]
+        wy0, wy1 = g[3] + y0 * g[5], g[3] + y1 * g[5]
+        ring = np.array(
+            [[wx0, wy0], [wx1, wy0], [wx1, wy1], [wx0, wy1]], dtype=np.float64
+        )
+        zones.append((zid, ring))
+    out = None
+    for mode in ("default", "all_touched", "fractional"):
+        s = zonal_stats_ext(_blocks(spark), zones, band=1, inclusion=mode)
+        s = s.select(
+            F.lit(mode).alias("mode"),
+            "zone_id",
+            F.round("cnt", 4).alias("cnt"),
+            F.round("vsum", 4).alias("vsum"),
+            F.round("mean", 4).alias("mean"),
+            "vmin",
+            "vmax",
+            "argmin_x",
+            "argmin_y",
+            "argmax_x",
+            "argmax_y",
+        )
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
+def _zonal_ext_oracle() -> str:
+    val = model.VALUE_SQL.format(x="x.x", y="y.y", band="1")
+    zvals = ",\n      ".join(
+        f"({zid}, {x0!r}, {x1!r}, {y0!r}, {y1!r})"
+        for zid, x0, x1, y0, y1 in _ZONES_PX
+    )
+    return f"""
+    with px as (
+      select x.x as x, y.y as y, cast(({val}) as double) as v
+      from (select unnest(range(100)) as x) x
+      cross join (select unnest(range(100)) as y) y
+    ),
+    z(zone_id, zx0, zx1, zy0, zy1) as (values
+      {zvals}
+    ),
+    m(mode) as (values ('default'), ('all_touched'), ('fractional')),
+    w as (
+      select m.mode, z.zone_id, p.x, p.y, p.v,
+        case m.mode
+          when 'default' then
+            case when p.x + 0.5 > z.zx0 and p.x + 0.5 < z.zx1
+                  and p.y + 0.5 > z.zy0 and p.y + 0.5 < z.zy1
+                 then 1.0 else 0.0 end
+          when 'all_touched' then
+            case when p.x + 1 > z.zx0 and p.x < z.zx1
+                  and p.y + 1 > z.zy0 and p.y < z.zy1
+                 then 1.0 else 0.0 end
+          else
+            greatest(0.0, least(p.x + 1.0, z.zx1) - greatest(cast(p.x as double), z.zx0))
+            * greatest(0.0, least(p.y + 1.0, z.zy1) - greatest(cast(p.y as double), z.zy0))
+        end as wgt
+      from px p cross join z cross join m
+    ),
+    inc as (select * from w where wgt > 0),
+    agg as (
+      select mode, zone_id,
+             round(sum(wgt), 4) as cnt,
+             round(sum(wgt * v), 4) as vsum,
+             round(sum(wgt * v) / sum(wgt), 4) as mean,
+             min(v) as vmin, max(v) as vmax
+      from inc group by mode, zone_id
+    ),
+    amin as (
+      select mode, zone_id, x as argmin_x, y as argmin_y
+      from (select *, row_number() over (partition by mode, zone_id
+                                         order by v, y, x) as rn from inc)
+      where rn = 1
+    ),
+    amax as (
+      select mode, zone_id, x as argmax_x, y as argmax_y
+      from (select *, row_number() over (partition by mode, zone_id
+                                         order by v desc, y, x) as rn from inc)
+      where rn = 1
+    )
+    select a.mode, a.zone_id, a.cnt, a.vsum, a.mean, a.vmin, a.vmax,
+           n.argmin_x, n.argmin_y, x.argmax_x, x.argmax_y
+    from agg a
+    join amin n on n.mode = a.mode and n.zone_id = a.zone_id
+    join amax x on x.mode = a.mode and x.zone_id = a.zone_id
+    """
+
+
+QUERIES["raster_zonal_ext"] = _zonal_ext
+ORACLES["raster_zonal_ext"] = _zonal_ext_oracle()

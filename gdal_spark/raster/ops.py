@@ -247,16 +247,121 @@ _PIXFUNCS = {
         where=(bands[0] + bands[1]) != 0,
     ),
     "intensity": lambda bands: np.mean(bands, axis=0),
+    # --- round-2 completion of the registry (pixelfunctions.cpp names).
+    # The block model is real-valued; the complex-domain functions take
+    # their real-degenerate forms (imag≡0), as the reference does for
+    # real inputs.
+    "real": lambda bands: bands[0],
+    "imag": lambda bands: np.zeros_like(bands[0]),
+    "conj": lambda bands: bands[0],
+    "mod": lambda bands: np.abs(bands[0]),
+    "phase": lambda bands: np.where(bands[0] < 0, np.pi, 0.0),
+    "complex": lambda bands: bands[0],  # re + 0j
+    "polar": lambda bands: bands[0],  # amplitude with phase 0
+    "inv": lambda bands, **kw: np.divide(
+        float(kw.get("k", 1.0)),
+        bands[0],
+        out=np.zeros_like(bands[0]),
+        where=bands[0] != 0,
+    ),
+    "pow": lambda bands, **kw: np.power(bands[0], float(kw["power"])),
+    "dB": lambda bands: 20.0
+    * np.log10(np.maximum(np.abs(bands[0]), 1e-300)),
+    "dB2amp": lambda bands: np.power(10.0, bands[0] / 20.0),
+    "dB2pow": lambda bands: np.power(10.0, bands[0] / 10.0),
+    "scale": lambda bands, **kw: bands[0] * float(kw.get("scale", 1.0))
+    + float(kw.get("offset", 0.0)),
+    "nan": lambda bands, **kw: np.where(
+        bands[0] == float(kw.get("to_nan", 0.0)), np.nan, bands[0]
+    ),
+    "replace_nodata": lambda bands, **kw: np.where(
+        np.isnan(bands[0]), float(kw.get("to", 0.0)), bands[0]
+    ),
+    "geometric_mean": lambda bands: np.exp(
+        np.mean(np.log(np.maximum(np.abs(bands), 1e-300)), axis=0)
+    ),
+    "harmonic_mean": lambda bands: np.divide(
+        float(len(bands)),
+        np.sum(
+            np.divide(
+                1.0,
+                bands,
+                out=np.zeros_like(np.asarray(bands, dtype=np.float64)),
+                where=np.asarray(bands) != 0,
+            ),
+            axis=0,
+        ),
+        out=np.zeros_like(bands[0]),
+        where=np.sum(
+            np.divide(
+                1.0,
+                bands,
+                out=np.zeros_like(np.asarray(bands, dtype=np.float64)),
+                where=np.asarray(bands) != 0,
+            ),
+            axis=0,
+        )
+        != 0,
+    ),
+    "median": lambda bands: np.median(bands, axis=0),
+    "mode": lambda bands: _stack_mode(np.asarray(bands)),
+    "argmin": lambda bands: np.argmin(bands, axis=0).astype(np.float64)
+    + 1.0,  # 1-based band index like the reference
+    "argmax": lambda bands: np.argmax(bands, axis=0).astype(np.float64)
+    + 1.0,
+    "quantile": lambda bands, **kw: np.quantile(
+        bands, float(kw.get("q", 0.5)), axis=0
+    ),
+    "interpolate_linear": lambda bands, **kw: bands[0]
+    + (bands[1] - bands[0])
+    * (float(kw.get("t", 0.5)) - float(kw.get("t0", 0.0)))
+    / max(float(kw.get("t1", 1.0)) - float(kw.get("t0", 0.0)), 1e-300),
+    "interpolate_exp": lambda bands, **kw: bands[0]
+    * np.power(
+        np.divide(
+            bands[1],
+            bands[0],
+            out=np.ones_like(bands[0]),
+            where=bands[0] != 0,
+        ),
+        (float(kw.get("t", 0.5)) - float(kw.get("t0", 0.0)))
+        / max(float(kw.get("t1", 1.0)) - float(kw.get("t0", 0.0)), 1e-300),
+    ),
 }
 
 
-def pixel_function(blocks: DataFrame, func: str) -> DataFrame:
+def _stack_mode(s: np.ndarray) -> np.ndarray:
+    """Per-pixel mode across the band axis; ties → smallest value."""
+    sv = np.sort(s, axis=0)
+    best = sv[0]
+    bestc = np.ones(best.shape)
+    c = np.ones(best.shape)
+    for k in range(1, sv.shape[0]):
+        same = sv[k] == sv[k - 1]
+        c = np.where(same, c + 1, 1)
+        better = c > bestc
+        best = np.where(better, sv[k], best)
+        bestc = np.where(better, c, bestc)
+    return best
+
+
+def pixel_function(
+    blocks: DataFrame, func: str, params: dict | None = None
+) -> DataFrame:
     """Derived band = func(all bands of a block), float64 output —
     the VRT derived-band contract (in: ndarray stack, out: ndarray;
-    frmts/vrt/vrtderivedrasterband.cpp:446-520)."""
+    frmts/vrt/vrtderivedrasterband.cpp:446-520). `params` carries the
+    function's VRT PixelFunctionArguments (scale/offset/power/q/t…)."""
     if func not in _PIXFUNCS:
         raise ValueError(f"unknown pixel function {func}")
     kern = _PIXFUNCS[func]
+    params = params or {}
+    import inspect
+
+    takes_kw = any(
+        p.kind == inspect.Parameter.VAR_KEYWORD
+        for p in inspect.signature(kern).parameters.values()
+    )
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("band")
@@ -268,7 +373,7 @@ def pixel_function(blocks: DataFrame, func: str) -> DataFrame:
                 for r in pdf.itertuples()
             ]
         )
-        out = kern(stack)
+        out = kern(stack, **params) if takes_kw else kern(stack)
         r0 = pdf.iloc[0]
         return pd.DataFrame(
             [
@@ -565,3 +670,194 @@ def zonal_mode_minority(
         F.count("*").alias("unique_values")
     )
     return mode.join(minority, "zone_id").join(uniq, "zone_id")
+
+
+def zonal_stats_ext(
+    blocks: DataFrame,
+    zones: list[tuple[int, np.ndarray]],
+    band: int = 1,
+    inclusion: str = "default",
+) -> DataFrame:
+    """Zonal stats with the reference's pixel-inclusion strategies
+    (alg/zonal.cpp:2079-2082 DEFAULT / ALL_TOUCHED / FRACTIONAL) plus
+    weighted aggregates and argmin/argmax (alg/zonal.cpp:2085-2110).
+
+    - default: pixel CENTER inside the zone (weight 1).
+    - all_touched: any pixel touched by the zone's interior or boundary
+      (center / corner containment ∪ boundary line walk), weight 1.
+    - fractional: weight = fraction of the pixel covered by the zone —
+      interior pixels weight 1 (corner-lattice test, vectorized),
+      boundary pixels get an exact Sutherland–Hodgman pixel-clip area;
+      the per-pixel loop runs only on the O(perimeter) boundary set,
+      the same work the reference does.
+
+    Output: (zone_id, cnt[Σw], vsum[Σwv], mean, vmin, vmax,
+    argmin_x/y, argmax_x/y); min/max/arg over pixels with w > 0, ties
+    broken by (value, y, x) scan order. Partials per block × zone merge
+    in one groupBy — zones broadcast, no driver row data."""
+    if inclusion not in ("default", "all_touched", "fractional"):
+        raise ValueError(f"unknown inclusion {inclusion}")
+    spark = blocks.sparkSession
+    bc = spark.sparkContext.broadcast(
+        [(int(z), np.asarray(r, dtype=np.float64).tolist()) for z, r in zones]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.geometry import clip as C
+
+        zs = [(z, np.asarray(r)) for z, r in bc.value]
+        zboxes = [
+            (r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max())
+            for _, r in zs
+        ]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.float64
+                )
+                h, w = a.shape
+                px = abs(r.gt1)
+                # pixel corner lattice in world coords
+                cxs = r.gt0 + (np.arange(w + 1) + r.x0) * r.gt1
+                cys = r.gt3 + (np.arange(h + 1) + r.y0) * r.gt5
+                lon_c = r.gt0 + (np.arange(w) + r.x0 + 0.5) * r.gt1
+                lat_c = r.gt3 + (np.arange(h) + r.y0 + 0.5) * r.gt5
+                bminx, bmaxx = min(cxs[0], cxs[-1]), max(cxs[0], cxs[-1])
+                bminy, bmaxy = min(cys[0], cys[-1]), max(cys[0], cys[-1])
+                LON, LAT = np.meshgrid(lon_c, lat_c)
+                for (zid, ring), (zx0, zy0, zx1, zy1) in zip(zs, zboxes):
+                    if bminx > zx1 or bmaxx < zx0 or bminy > zy1 or bmaxy < zy0:
+                        continue
+                    center_in = points_in_rings(
+                        LON.ravel(), LAT.ravel(), [ring]
+                    ).reshape(h, w)
+                    if inclusion == "default":
+                        wgt = center_in.astype(np.float64)
+                    else:
+                        CX, CY = np.meshgrid(cxs, cys)
+                        corner_in = points_in_rings(
+                            CX.ravel(), CY.ravel(), [ring]
+                        ).reshape(h + 1, w + 1)
+                        c4 = (
+                            corner_in[:-1, :-1].astype(np.int8)
+                            + corner_in[:-1, 1:]
+                            + corner_in[1:, :-1]
+                            + corner_in[1:, 1:]
+                        )
+                        # pixels traversed by boundary edges (line walk)
+                        edge_hit = np.zeros((h, w), dtype=bool)
+                        rv = ring if not np.array_equal(ring[0], ring[-1]) else ring[:-1]
+                        n = len(rv)
+                        for i in range(n):
+                            p, q = rv[i], rv[(i + 1) % n]
+                            steps = max(
+                                2, int(np.hypot(*(q - p)) / (px * 0.25)) + 1
+                            )
+                            ts = np.linspace(0.0, 1.0, steps)
+                            ex = p[0] + ts * (q[0] - p[0])
+                            ey = p[1] + ts * (q[1] - p[1])
+                            ix = np.floor((ex - r.gt0) / r.gt1).astype(
+                                np.int64
+                            ) - r.x0
+                            iy = np.floor((ey - r.gt3) / r.gt5).astype(
+                                np.int64
+                            ) - r.y0
+                            ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+                            edge_hit[iy[ok], ix[ok]] = True
+                        if inclusion == "all_touched":
+                            wgt = (
+                                center_in | (c4 > 0) | edge_hit
+                            ).astype(np.float64)
+                        else:  # fractional
+                            wgt = np.zeros((h, w), dtype=np.float64)
+                            wgt[c4 == 4] = 1.0
+                            bys, bxs = np.nonzero(
+                                ((c4 > 0) & (c4 < 4)) | edge_hit
+                            )
+                            zring = C._ccw(ring)
+                            for yy, xx in zip(bys.tolist(), bxs.tolist()):
+                                rect = np.array(
+                                    [
+                                        [cxs[xx], cys[yy]],
+                                        [cxs[xx + 1], cys[yy]],
+                                        [cxs[xx + 1], cys[yy + 1]],
+                                        [cxs[xx], cys[yy + 1]],
+                                    ]
+                                )
+                                inter = C.clip_convex(zring, rect)
+                                area = (
+                                    abs(C.ring_area(inter))
+                                    if len(inter) >= 3
+                                    else 0.0
+                                )
+                                wgt[yy, xx] = area / (px * px)
+                    sel = wgt > 0
+                    if not sel.any():
+                        continue
+                    vals = a[sel]
+                    ws = wgt[sel]
+                    ys, xs = np.nonzero(sel)
+                    order = np.lexsort(
+                        (xs + r.x0, ys + r.y0, vals)
+                    )  # (value, y, x)
+                    lo, hi = order[0], None
+                    order_mx = np.lexsort((xs + r.x0, ys + r.y0, -vals))
+                    hi = order_mx[0]
+                    rows.append(
+                        (
+                            zid,
+                            float(ws.sum()),
+                            float((ws * vals).sum()),
+                            float(vals.min()),
+                            float(vals.max()),
+                            float(vals[lo]),
+                            int(ys[lo] + r.y0),
+                            int(xs[lo] + r.x0),
+                            float(vals[hi]),
+                            int(ys[hi] + r.y0),
+                            int(xs[hi] + r.x0),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "zone_id", "n", "s", "mn", "mx",
+                    "amin_v", "amin_y", "amin_x",
+                    "amax_v", "amax_y", "amax_x",
+                ],
+            )
+
+    partials = blocks.where(F.col("band") == band).mapInPandas(
+        fn,
+        "zone_id long, n double, s double, mn double, mx double, "
+        "amin_v double, amin_y long, amin_x long, "
+        "amax_v double, amax_y long, amax_x long",
+    )
+    agg = (
+        partials.groupBy("zone_id")
+        .agg(
+            F.sum("n").alias("cnt"),
+            F.sum("s").alias("vsum"),
+            F.min("mn").alias("vmin"),
+            F.max("mx").alias("vmax"),
+            F.min(F.struct("amin_v", "amin_y", "amin_x")).alias("_amin"),
+            F.min(
+                F.struct(
+                    (-F.col("amax_v")).alias("neg"), "amax_y", "amax_x"
+                )
+            ).alias("_amax"),
+        )
+    )
+    return agg.select(
+        "zone_id",
+        "cnt",
+        "vsum",
+        (F.col("vsum") / F.col("cnt")).alias("mean"),
+        "vmin",
+        "vmax",
+        F.col("_amin.amin_x").alias("argmin_x"),
+        F.col("_amin.amin_y").alias("argmin_y"),
+        F.col("_amax.amax_x").alias("argmax_x"),
+        F.col("_amax.amax_y").alias("argmax_y"),
+    )

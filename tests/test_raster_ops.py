@@ -135,3 +135,77 @@ def test_as_features_coords(blocks):
     assert f.lon == spec.gt[0] + 0.5 * spec.gt[1]
     assert f.lat == spec.gt[3] + 0.5 * spec.gt[5]
     assert f.value == float(full_grid(1)[0, 0])
+
+
+def test_pixel_function_registry_complete():
+    """Round-2 registry completion (frmts/vrt/pixelfunctions.cpp names):
+    numpy-golden checks for the functions not covered by the SQL-oracle
+    driver query (complex-degenerate set, dB family, means)."""
+    import numpy as np
+
+    from gdal_spark.raster.ops import _PIXFUNCS
+
+    s = np.stack(
+        [
+            np.array([[1.0, 4.0], [9.0, 16.0]]),
+            np.array([[2.0, 2.0], [3.0, 5.0]]),
+            np.array([[4.0, 8.0], [3.0, 1.0]]),
+        ]
+    )
+    assert np.allclose(_PIXFUNCS["real"](s), s[0])
+    assert np.allclose(_PIXFUNCS["imag"](s), 0.0)
+    assert np.allclose(_PIXFUNCS["conj"](s), s[0])
+    assert np.allclose(_PIXFUNCS["mod"](s), np.abs(s[0]))
+    assert np.allclose(_PIXFUNCS["phase"](-s), np.pi)
+    assert np.allclose(_PIXFUNCS["dB"](s), 20 * np.log10(s[0]))
+    assert np.allclose(_PIXFUNCS["dB2amp"](s), 10 ** (s[0] / 20))
+    assert np.allclose(_PIXFUNCS["dB2pow"](s), 10 ** (s[0] / 10))
+    assert np.allclose(
+        _PIXFUNCS["geometric_mean"](s), np.exp(np.mean(np.log(s), axis=0))
+    )
+    assert np.allclose(
+        _PIXFUNCS["harmonic_mean"](s), 3.0 / np.sum(1.0 / s, axis=0)
+    )
+    assert np.allclose(_PIXFUNCS["inv"](s), 1.0 / s[0])
+    n = _PIXFUNCS["nan"](np.stack([np.array([[0.0, 2.0]])]), to_nan=0.0)
+    assert np.isnan(n[0, 0]) and n[0, 1] == 2.0
+    r = _PIXFUNCS["replace_nodata"](np.stack([n]), to=7.0)
+    assert r[0, 0] == 7.0
+    assert np.allclose(
+        _PIXFUNCS["interpolate_exp"](s, t=0.5, t0=0.0, t1=1.0),
+        s[0] * np.power(s[1] / s[0], 0.5),
+    )
+    assert len(_PIXFUNCS) >= 36
+
+
+def test_calc_expression_dialect():
+    """muparser-analog parser: precedence, right-assoc ^, comparisons as
+    1/0, ternary-via-where, safe failure on unknown names — no eval()."""
+    import numpy as np
+    import pytest
+
+    from gdal_spark.raster.calc import eval_expr, parse_expr
+
+    a = np.array([1.0, 4.0, 9.0])
+    b = np.array([2.0, 2.0, 2.0])
+    env = {"b1": a, "b2": b}
+
+    def run(src):
+        return eval_expr(parse_expr(src), env)
+
+    assert np.allclose(run("b1 + b2 * 2"), a + b * 2)
+    assert np.allclose(run("2 ^ 3 ^ 2"), 512.0)  # right-assoc
+    assert np.allclose(run("-b1 ^ 2"), -(a**2))  # unary binds looser
+    assert np.allclose(run("(b1 > 2) * 5"), (a > 2) * 5.0)
+    assert np.allclose(run("where(b1 >= 4, b1, b2)"), np.where(a >= 4, a, b))
+    assert np.allclose(run("min(b1, b2) + max(b1, 3)"), np.minimum(a, b) + np.maximum(a, 3))
+    assert np.allclose(run("sqrt(b1) % 2"), np.sqrt(a) % 2)
+    assert np.allclose(run("b1 / b2"), a / b)
+    assert np.allclose(run("(b1 < 5) && (b2 == 2)"), ((a < 5) & (b == 2)).astype(float))
+    assert np.allclose(run("!(b1 > 3)"), (~(a > 3)).astype(float))
+    with pytest.raises(ValueError):
+        run("__import__('os')")
+    with pytest.raises(ValueError):
+        run("b3 + 1")
+    with pytest.raises(ValueError):
+        parse_expr("1 +")
