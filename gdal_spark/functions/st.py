@@ -55,6 +55,60 @@ def _each(series: pd.Series, fn, dtype=object) -> pd.Series:
     )
 
 
+def _uniform_coords(series: pd.Series) -> np.ndarray | None:
+    """Batch fast path: (N, npts, 2) when the whole Arrow batch is a
+    homogeneous single-ring polygon column (W.uniform_polygon_coords) —
+    one frombuffer, no per-row Python. None → per-geometry fallback."""
+    if any(b is None for b in series):
+        return None
+    return W.uniform_polygon_coords([bytes(b) for b in series])
+
+
+def _batch_area(series: pd.Series) -> pd.Series:
+    c = _uniform_coords(series)
+    if c is None:
+        return _each(series, _area, "float64")
+    x, y = c[..., 0], c[..., 1]  # rings stored closed: wrap term is 0
+    area = 0.5 * np.abs(
+        np.sum(x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y, axis=1)
+    )
+    return pd.Series(area, dtype="float64")
+
+
+def _batch_length(series: pd.Series) -> pd.Series:
+    c = _uniform_coords(series)
+    if c is None:
+        return _each(series, _length, "float64")
+    d = np.diff(c, axis=1)
+    return pd.Series(
+        np.hypot(d[..., 0], d[..., 1]).sum(axis=1), dtype="float64"
+    )
+
+
+def _batch_centroid(series: pd.Series) -> pd.Series:
+    c = _uniform_coords(series)
+    if c is None:
+        return _each(series, _centroid)
+    r = c[:, :-1, :]  # drop the closing vertex, like ring_centroid
+    x, y = r[..., 0], r[..., 1]
+    xn, yn = np.roll(x, -1, axis=1), np.roll(y, -1, axis=1)
+    cross = x * yn - xn * y
+    a = 0.5 * np.sum(cross, axis=1)
+    cx = np.sum((x + xn) * cross, axis=1) / (6.0 * a)
+    cy = np.sum((y + yn) * cross, axis=1) / (6.0 * a)
+    return pd.Series(W.points_to_wkb(cx, cy))
+
+
+def _batch_xy(series: pd.Series, idx: int) -> pd.Series:
+    ok = all(b is not None and len(b) == 21 and b[0] == 1 for b in series)
+    if ok and len(series):
+        x, y = W.wkb_points_to_xy([bytes(b) for b in series])
+        return pd.Series(x if idx == 0 else y, dtype="float64")
+    return _each(
+        series, lambda b: float(W.parse_wkb(b)[1][0, idx]), "float64"
+    )
+
+
 def _each2(sa: pd.Series, sb: pd.Series, fn, dtype=object) -> pd.Series:
     return pd.Series(
         [
@@ -362,28 +416,22 @@ def register_st_functions(spark: SparkSession) -> None:
     reg = spark.udf.register
     P = F.pandas_udf
 
-    reg("st_area", P(lambda s: _each(s, _area, "float64"), DoubleType()))
-    reg("st_length", P(lambda s: _each(s, _length, "float64"), DoubleType()))
+    reg("st_area", P(_batch_area, DoubleType()))
+    reg("st_length", P(_batch_length, DoubleType()))
     reg("st_astext", P(lambda s: _each(s, T.wkb_to_wkt), StringType()))
     reg("st_geomfromtext", P(
         lambda s: pd.Series([None if v is None else T.wkt_to_wkb(v) for v in s]),
         BinaryType(),
     ))
-    reg("st_x", P(
-        lambda s: _each(s, lambda b: float(W.parse_wkb(b)[1][0, 0]), "float64"),
-        DoubleType(),
-    ))
-    reg("st_y", P(
-        lambda s: _each(s, lambda b: float(W.parse_wkb(b)[1][0, 1]), "float64"),
-        DoubleType(),
-    ))
+    reg("st_x", P(lambda s: _batch_xy(s, 0), DoubleType()))
+    reg("st_y", P(lambda s: _batch_xy(s, 1), DoubleType()))
     reg("st_makepoint", P(
         lambda x, y: pd.Series(
             W.points_to_wkb(x.to_numpy("float64"), y.to_numpy("float64"))
         ),
         BinaryType(),
     ))
-    reg("st_centroid", P(lambda s: _each(s, _centroid), BinaryType()))
+    reg("st_centroid", P(_batch_centroid, BinaryType()))
     reg("st_envelope", P(lambda s: _each(s, _envelope), BinaryType()))
     # envelope accessors (OGREnvelope MinX/MinY/MaxX/MaxY) — feed the
     # cell-key bbox prefilter joins

@@ -135,3 +135,36 @@ def polygon_rings(buf: bytes) -> list[np.ndarray]:
             rings.extend(rs)
         return rings
     raise ValueError(f"expected (Multi)Polygon, got type {t}")
+
+
+def uniform_polygon_coords(wkbs) -> np.ndarray | None:
+    """Batch decode: (N, npts, 2) float64 if EVERY buffer is a
+    little-endian single-ring POLYGON with the same vertex count (the
+    common shape of a homogeneous polygon column), else None — callers
+    fall back to the per-geometry parser. One frombuffer pass, no
+    per-row Python."""
+    import struct
+
+    if len(wkbs) == 0:
+        return None
+    first = wkbs[0]
+    size = len(first)
+    if size < 13:
+        return None
+    try:
+        gtype, nrings = struct.unpack_from("<II", first, 1)
+        npts = struct.unpack_from("<I", first, 9)[0]
+    except struct.error:
+        return None
+    if first[0] != 1 or gtype != POLYGON or nrings != 1:
+        return None
+    if size != 13 + npts * 16:
+        return None
+    blob = b"".join(wkbs)
+    if len(blob) != len(wkbs) * size:
+        return None
+    a = np.frombuffer(blob, dtype=np.uint8).reshape(len(wkbs), size)
+    hdr = np.frombuffer(first[:13], dtype=np.uint8)
+    if not (a[:, :13] == hdr).all():
+        return None
+    return a[:, 13:].copy().view("<f8").reshape(len(wkbs), npts, 2)

@@ -57,6 +57,10 @@ def collect() -> tuple[
     # are demoted past the window — they stay covered by tools/check_oracle.py
     # and pytest.
     demoted = [
+        "raster_norm_diff_stats",  # subsumed by raster_pixel_functions
+        "raster_reproject_stats",  # subsumed by warp-kernel + UTM queries
+        "where_like",  # LIKE subset of the WHERE operator family
+        "embedding_label_centroids",  # plain groupBy agg
         "spatial_join_cells",  # variant of spatial_join_pip/_tiles
         "spatial_join_sql",  # pure-Catalyst verification variant
         "simhash_dup_pairs",  # derived from dedup_simhash
