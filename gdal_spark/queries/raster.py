@@ -1833,3 +1833,153 @@ def _zonal_ext_oracle() -> str:
 
 QUERIES["raster_zonal_ext"] = _zonal_ext
 ORACLES["raster_zonal_ext"] = _zonal_ext_oracle()
+
+
+# --- footprint (apps/gdal_footprint_lib.cpp) --------------------------------
+# Valid-data mask outline via binarize -> distributed CCL -> per-region
+# ring tracing. Fixture: 16x16 data/nodata checkerboard -> five separate
+# data regions whose ids (min global pixel index), pixel counts and
+# traced areas are knowable in closed form -> exact SQL oracle; traced
+# polygon area must equal the pixel count exactly.
+
+from gdal_spark.raster.polygonize import footprint  # noqa: E402
+
+
+def _footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.geometry.kernels import polygon_area
+    from gdal_spark.geometry.wkb import parse_wkb
+
+    blocks = model.synth_blocks(spark, model.checker_spec())
+    fp = footprint(blocks, width=48, height=48, band=1, nodata=0.0)
+
+    import pandas as pd
+
+    wkb_area = F.pandas_udf(
+        lambda s: pd.Series(
+            [float(polygon_area(parse_wkb(bytes(b))[1])) for b in s]
+        ),
+        "double",
+    )
+
+    return fp.select(
+        "region_id",
+        "n_pixels",
+        F.round(wkb_area("wkb"), 6).alias("area"),
+    ).orderBy("region_id")
+
+
+def _footprint_oracle() -> str:
+    # data tiles (tx, ty) with (tx+ty) even; region id = 16*ty*48 + 16*tx
+    rows = []
+    for ty in range(3):
+        for tx in range(3):
+            if (tx + ty) % 2 == 0:
+                rows.append((16 * ty * 48 + 16 * tx, 256, 256.0))
+    return _values_sql(rows, ["region_id", "n_pixels", "area"])
+
+
+QUERIES["raster_footprint"] = _footprint
+ORACLES["raster_footprint"] = _footprint_oracle()
+
+
+# --- gridding variants: invdistnn + full data metrics ------------------------
+# (alg/gdalgrid.h:60, 67-87). Same point set and cell grid as
+# vector_grid_idw; the SQL oracle reproduces the window-capped IDW via
+# row_number() and the pairwise metric via a rn-keyed self-join.
+
+
+def _grid_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.grid import grid_data_metrics, grid_points_nn
+
+    g = CellGrid(
+        GRID["minx"],
+        GRID["miny"],
+        GRID["minx"] + GRID["ncols"] * GRID["cell"],
+        GRID["miny"] + GRID["nrows"] * GRID["cell"],
+        GRID["ncols"],
+        GRID["nrows"],
+    )
+    pts = (
+        tables.geo_pages(spark, sf_dir)
+        .selectExpr("lon", "lat", "cast(length(text) as double) as value")
+        .where(
+            f"lon >= {g.minx - GRID_RADIUS} and lon <= {g.maxx + GRID_RADIUS} "
+            f"and lat >= {g.miny - GRID_RADIUS} and lat <= {g.maxy + GRID_RADIUS}"
+        )
+    )
+    nn = grid_points_nn(pts, g, GRID_RADIUS, n_neighbors=4)
+    dm = grid_data_metrics(pts, g, GRID_RADIUS)
+    return nn.join(dm, ["col", "row"]).select(
+        "col",
+        "row",
+        "n_used",
+        F.round("idwnn", 6).alias("idwnn"),
+        "cnt",
+        "minimum",
+        "maximum",
+        "vrange",
+        F.round("average_distance", 6).alias("avg_dist"),
+        F.round("average_distance_pts", 6).alias("avg_dist_pts"),
+    )
+
+
+def _grid_variants_oracle() -> str:
+    from gdal_spark import portable as P
+
+    g = GRID
+    return f"""
+    with pts as (
+        select lon, lat, cast(length(text) as double) as value
+        from ({P.geo_pages_cte('duckdb')})
+    ),
+    cells as (
+        select c.col, r.row,
+               {g['minx']!r} + (c.col + 0.5) * {g['cell']!r} as cx,
+               {g['miny']!r} + (r.row + 0.5) * {g['cell']!r} as cy
+        from (select unnest(range({g['ncols']})) as col) c
+        cross join (select unnest(range({g['nrows']})) as row) r
+    ),
+    contrib as (
+        select cells.col, cells.row, pts.value as v, lon, lat,
+               (cx - lon) * (cx - lon) + (cy - lat) * (cy - lat) as d2
+        from cells join pts
+          on (cx - lon) * (cx - lon) + (cy - lat) * (cy - lat)
+             <= {GRID_RADIUS * GRID_RADIUS!r}
+    ),
+    ranked as (
+        select *, row_number() over (partition by col, row
+                                     order by d2, v) as rn
+        from contrib
+    ),
+    nn as (
+        select col, row, count(*) as n_used,
+               round(sum(v / (d2 + {IDW_SMOOTH!r}))
+                     / sum(1.0 / (d2 + {IDW_SMOOTH!r})), 6) as idwnn
+        from ranked where rn <= 4 group by col, row
+    ),
+    dm as (
+        select col, row, count(*) as cnt,
+               min(v) as minimum, max(v) as maximum,
+               max(v) - min(v) as vrange,
+               round(avg(sqrt(d2)), 6) as avg_dist
+        from contrib group by col, row
+    ),
+    adp as (
+        select a.col, a.row,
+               round(coalesce(avg(sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                              + (a.lat - b.lat) * (a.lat - b.lat))), 0.0), 6)
+                 as avg_dist_pts
+        from ranked a left join ranked b
+          on a.col = b.col and a.row = b.row and a.rn < b.rn
+        group by a.col, a.row
+    )
+    select nn.col, nn.row, nn.n_used, nn.idwnn, dm.cnt, dm.minimum,
+           dm.maximum, dm.vrange, dm.avg_dist, adp.avg_dist_pts
+    from nn
+    join dm on dm.col = nn.col and dm.row = nn.row
+    join adp on adp.col = nn.col and adp.row = nn.row
+    """
+
+
+QUERIES["vector_grid_variants"] = _grid_variants
+ORACLES["vector_grid_variants"] = _grid_variants_oracle()

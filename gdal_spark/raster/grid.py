@@ -49,7 +49,7 @@ class CellGrid:
         return cx, cy
 
 
-def grid_points(
+def scatter_contributions(
     points: DataFrame,
     grid: CellGrid,
     radius: float,
@@ -57,8 +57,9 @@ def grid_points(
     y_col: str = "lat",
     v_col: str = "value",
 ) -> DataFrame:
-    """(col, row, n, vmin, vmax, mean, idw) gridding aggregates per
-    output cell (cells with ≥1 neighbor point only)."""
+    """(col, row, v, d2, px, py) — every (point × cell-in-radius)
+    contribution; the shared scatter stage of all gridding algorithms
+    (alg/gdalgrid.h:50-87), bounded fan-out (radius/cell)² per point."""
     g = grid
 
     def scatter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -96,16 +97,31 @@ def grid_points(
                             "row": rr[m],
                             "v": pv[i],
                             "d2": d2[m],
+                            "px": px[i],
+                            "py": py[i],
                         }
                     )
                 )
             yield pd.concat(outs) if outs else pd.DataFrame(
-                {"col": [], "row": [], "v": [], "d2": []}
+                {"col": [], "row": [], "v": [], "d2": [], "px": [], "py": []}
             )
 
-    contrib = points.select(x_col, y_col, v_col).mapInPandas(
-        scatter, "col long, row long, v double, d2 double"
+    return points.select(x_col, y_col, v_col).mapInPandas(
+        scatter, "col long, row long, v double, d2 double, px double, py double"
     )
+
+
+def grid_points(
+    points: DataFrame,
+    grid: CellGrid,
+    radius: float,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    v_col: str = "value",
+) -> DataFrame:
+    """(col, row, n, vmin, vmax, mean, idw, nearest) gridding aggregates
+    per output cell (cells with ≥1 neighbor point only)."""
+    contrib = scatter_contributions(points, grid, radius, x_col, y_col, v_col)
     w = 1.0 / (F.col("d2") + F.lit(IDW_SMOOTH))
     return (
         contrib.groupBy("col", "row")
@@ -178,3 +194,87 @@ def rasterize(
             yield pd.DataFrame(out)
 
     return blocks.where(F.col("band") == 1).mapInPandas(fn, model.BLOCK_SCHEMA)
+
+
+def grid_points_nn(
+    points: DataFrame,
+    grid: CellGrid,
+    radius: float,
+    n_neighbors: int = 8,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    v_col: str = "value",
+) -> DataFrame:
+    """invdistnn (GDALGridInverseDistanceToAPowerNearestNeighbor,
+    alg/gdalgrid.h:60): IDW restricted to the N nearest neighbors inside
+    the search radius. Same scatter stage; the per-cell nearest-N select
+    is a Catalyst window (row_number over d2), deterministic tie-break
+    (d2, v). Returns (col, row, n_used, idwnn)."""
+    from pyspark.sql.window import Window
+
+    contrib = scatter_contributions(points, grid, radius, x_col, y_col, v_col)
+    wnd = Window.partitionBy("col", "row").orderBy(
+        F.col("d2").asc(), F.col("v").asc()
+    )
+    top = contrib.withColumn("rn", F.row_number().over(wnd)).where(
+        F.col("rn") <= n_neighbors
+    )
+    w = 1.0 / (F.col("d2") + F.lit(IDW_SMOOTH))
+    return top.groupBy("col", "row").agg(
+        F.count("*").alias("n_used"),
+        (F.sum(F.col("v") * w) / F.sum(w)).alias("idwnn"),
+    )
+
+
+def grid_data_metrics(
+    points: DataFrame,
+    grid: CellGrid,
+    radius: float,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    v_col: str = "value",
+) -> DataFrame:
+    """Full data-metrics set (alg/gdalgrid.h:67-87, apps/
+    gdalalg_vector_grid_data_metrics.h:53-244): count / minimum /
+    maximum / range / average_distance (cell center → points) /
+    average_distance_pts (all point pairs in the search radius, mean
+    over unordered pairs; 0 for a single point). The pairwise metric
+    runs per cell in applyInPandas — group sizes are bounded by the
+    radius fan-in, everything else is plain Catalyst aggregation."""
+    contrib = scatter_contributions(points, grid, radius, x_col, y_col, v_col)
+    base = contrib.groupBy("col", "row").agg(
+        F.count("*").alias("cnt"),
+        F.min("v").alias("minimum"),
+        F.max("v").alias("maximum"),
+        (F.max("v") - F.min("v")).alias("vrange"),
+        F.avg(F.sqrt("d2")).alias("average_distance"),
+    )
+
+    def pair_dist(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[["px", "py"]].to_numpy(np.float64)
+        n = len(p)
+        if n < 2:
+            ad = 0.0
+        else:
+            d = np.sqrt(
+                ((p[:, None, :] - p[None, :, :]) ** 2).sum(axis=2)
+            )
+            iu = np.triu_indices(n, k=1)
+            ad = float(d[iu].mean())
+        return pd.DataFrame(
+            {"col": [int(key[0])], "row": [int(key[1])], "adp": [ad]}
+        )
+
+    pairs = contrib.groupBy("col", "row").applyInPandas(
+        pair_dist, "col long, row long, adp double"
+    )
+    return base.join(pairs, ["col", "row"]).select(
+        "col",
+        "row",
+        "cnt",
+        "minimum",
+        "maximum",
+        "vrange",
+        "average_distance",
+        F.col("adp").alias("average_distance_pts"),
+    )

@@ -131,6 +131,8 @@ def synth_blocks(spark: SparkSession, spec: GridSpec) -> DataFrame:
                     arr = plane_values(x0, y0, w, h)
                 elif spec.name == "plateau48":
                     arr = plateau_values(x0, y0, w, h)
+                elif spec.name == "checker48":
+                    arr = checker_values(x0, y0, w, h)
                 else:
                     arr = value_grid(x0, y0, w, h, band)
                 rows.append(
@@ -165,6 +167,24 @@ def plateau_spec() -> GridSpec:
     return GridSpec(
         "plateau48", 48, 48, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
         block=32, bands=1, dtype="uint8",
+    )
+
+
+def checker_spec() -> GridSpec:
+    """48×48 data/nodata checkerboard (16×16 tiles) for the footprint
+    operator: data tiles touch only diagonally, so 4-connectivity gives
+    five separate data regions with exactly-known outlines."""
+    return GridSpec(
+        "checker48", 48, 48, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+        block=32, bands=1, dtype="uint8",
+    )
+
+
+def checker_values(x0: int, y0: int, w: int, h: int) -> np.ndarray:
+    xs = np.arange(x0, x0 + w, dtype=np.int64)
+    ys = np.arange(y0, y0 + h, dtype=np.int64)
+    return (((xs[None, :] // 16 + ys[:, None] // 16) % 2 == 0) * 7).astype(
+        np.uint8
     )
 
 

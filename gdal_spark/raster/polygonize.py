@@ -426,3 +426,44 @@ def polygonize_wkb(blocks: DataFrame, width: int, height: int, band: int = 1) ->
     return joined.groupBy("region_id").applyInPandas(
         assemble, "region_id long, value double, n_pixels long, wkb binary"
     )
+
+
+def binarize(blocks: DataFrame, nodata: float, band: int = 1) -> DataFrame:
+    """data/nodata mask blocks: 1.0 where value != nodata else 0.0."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype))
+                m = (a != nodata).astype(np.float64)
+                d = r._asdict()
+                d.pop("Index", None)
+                d["dtype"] = "float64"
+                d["buf"] = np.ascontiguousarray(m).tobytes()
+                out.append(d)
+            yield pd.DataFrame(out)
+
+    return blocks.where(F.col("band") == band).mapInPandas(
+        fn, model.BLOCK_SCHEMA
+    )
+
+
+def footprint(
+    blocks: DataFrame,
+    width: int,
+    height: int,
+    band: int = 1,
+    nodata: float = 0.0,
+) -> DataFrame:
+    """Footprint (apps/gdal_footprint_lib.cpp): outline polygons of the
+    valid-data mask. Binarize → the distributed CCL + per-region ring
+    tracing pipeline (polygonize_wkb) → keep the data-valued regions.
+    Returns (region_id, n_pixels, wkb) with holes where nodata islands
+    sit inside data regions — the same geometry the reference's
+    GDALFootprint produces in pixel-corner coordinates."""
+    masked = binarize(blocks, nodata, band)
+    wkb = polygonize_wkb(masked, width, height, band)
+    return wkb.where(F.col("value") == 1.0).select(
+        "region_id", "n_pixels", "wkb"
+    )

@@ -167,3 +167,26 @@ def test_polygonize_wkb_matches_region_table(spark):
         assert table_rows[rid].value == val
         _, payload = parse_wkb(wkb)
         assert polygon_area(payload) == n  # traced area == pixel count
+
+
+def test_footprint_with_nodata_hole(spark):
+    """apps/gdal_footprint_lib.cpp analog: a nodata island inside the
+    data mask becomes an interior ring; traced area == data pixel
+    count."""
+    import numpy as np
+
+    from gdal_spark.geometry.kernels import polygon_area
+    from gdal_spark.geometry.wkb import parse_wkb
+    from gdal_spark.raster.polygonize import footprint
+
+    a = np.full((48, 48), 5.0)
+    a[10:20, 12:22] = 0.0  # nodata island
+    a[:, 40:] = 0.0  # nodata margin strip
+    blocks = _blocks_from_array(spark, a, block=32)
+    rows = footprint(blocks, width=48, height=48, nodata=0.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_pixels == int((a != 0).sum())
+    t, payload = parse_wkb(bytes(r.wkb))
+    assert len(payload) == 2  # exterior + hole
+    assert polygon_area(payload) == r.n_pixels
