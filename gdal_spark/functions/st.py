@@ -259,20 +259,70 @@ def _pieces_to_wkb(pieces: list[np.ndarray]) -> bytes | None:
     return W.multipolygon_to_wkb([[p] for p in pieces])
 
 
+def _part_rings(buf: bytes) -> list[np.ndarray]:
+    """Exterior rings of all parts (POLYGON → 1, MULTIPOLYGON → n).
+    Interior rings are not supported by the set-op kernels (documented;
+    the hole-aware surface is the predicate set)."""
+    t, payload = W.parse_wkb(buf)
+    if t == W.POLYGON:
+        return [payload[0]]
+    if t == W.MULTIPOLYGON:
+        return [rings[0] for (_, rings) in payload]
+    raise ValueError(f"set op: unsupported geometry type {t}")
+
+
+def _lines_to_wkb(lines: list[np.ndarray]) -> bytes | None:
+    if not lines:
+        return None
+    if len(lines) == 1:
+        return W.linestring_to_wkb(lines[0])
+    return W.multilinestring_to_wkb(lines)
+
+
 def _intersection(a: bytes, b: bytes) -> bytes | None:
-    return _pieces_to_wkb(C.clip_general(_ext(a), _ext(b)))
+    ta = W.parse_wkb(a)[0]
+    tb = W.parse_wkb(b)[0]
+    if ta == W.LINESTRING or tb == W.LINESTRING:
+        line_buf, poly_buf = (a, b) if ta == W.LINESTRING else (b, a)
+        line = W.parse_wkb(line_buf)[1]
+        pieces: list[np.ndarray] = []
+        for ring in _part_rings(poly_buf):
+            for part in C._convex_parts(ring):
+                pieces.extend(C.clip_line_convex(line, part))
+        return _lines_to_wkb(pieces)
+    out: list[np.ndarray] = []
+    for pa in _part_rings(a):
+        for pb in _part_rings(b):
+            out.extend(C.clip_general(pa, pb))
+    return _pieces_to_wkb(out)
 
 
 def _difference(a: bytes, b: bytes) -> bytes | None:
-    return _pieces_to_wkb(C.difference_general(_ext(a), _ext(b)))
+    clips = _part_rings(b)
+    out: list[np.ndarray] = []
+    for pa in _part_rings(a):
+        out.extend(C.subtract_many(pa, clips))
+    return _pieces_to_wkb(out)
 
 
 def _union(a: bytes, b: bytes) -> bytes | None:
-    return _pieces_to_wkb(C.union_general(_ext(a), _ext(b)))
+    # disjoint-piece union: (A − B) ⊎ B-parts
+    clips = _part_rings(b)
+    out: list[np.ndarray] = []
+    for pa in _part_rings(a):
+        out.extend(C.subtract_many(pa, clips))
+    out.extend(C._ccw(pb) for pb in clips)
+    return _pieces_to_wkb(out)
 
 
 def _sym_difference(a: bytes, b: bytes) -> bytes | None:
-    return _pieces_to_wkb(C.sym_difference_general(_ext(a), _ext(b)))
+    ca, cb = _part_rings(a), _part_rings(b)
+    out: list[np.ndarray] = []
+    for pa in ca:
+        out.extend(C.subtract_many(pa, cb))
+    for pb in cb:
+        out.extend(C.subtract_many(pb, ca))
+    return _pieces_to_wkb(out)
 
 
 def _as_rings_or_line(buf: bytes):

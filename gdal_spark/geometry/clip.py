@@ -695,3 +695,72 @@ def lines_cross(a: np.ndarray, b: np.ndarray) -> bool:
             if segments_cross_strict(a[i], a[i + 1], b[j], b[j + 1]):
                 return True
     return False
+
+
+# --- multi-part / line set-operation helpers ------------------------------
+
+
+def subtract_many(subject: np.ndarray, clips: list[np.ndarray]) -> list[np.ndarray]:
+    """subject − ∪clips as disjoint pieces; concave clips are decomposed
+    into convex parts first (the layer-algebra Erase kernel, shared)."""
+    pieces = [_ccw(subject)]
+    for cl in clips:
+        for part in _convex_parts(cl):
+            nxt: list[np.ndarray] = []
+            for p in pieces:
+                nxt.extend(difference_convex(p, part))
+            pieces = nxt
+            if not pieces:
+                return []
+    return pieces
+
+
+def clip_line_convex(line: np.ndarray, clip_ring: np.ndarray) -> list[np.ndarray]:
+    """line ∩ convex polygon as a list of polylines (parametric
+    Cyrus–Beck per segment; consecutive surviving pieces are stitched)."""
+    line = np.asarray(line, dtype=np.float64)
+    edges = convex_edges(clip_ring)
+    out: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+    for i in range(len(line) - 1):
+        p, q = line[i], line[i + 1]
+        t0, t1 = 0.0, 1.0
+        d = q - p
+        ok = True
+        for a, b in edges:
+            nrm = np.array([-(b[1] - a[1]), b[0] - a[0]])  # inward normal
+            denom = float(nrm @ d)
+            num = float(nrm @ (a - p))
+            if abs(denom) < 1e-300:
+                # parallel: inside iff n·(p-a) >= 0 ⇔ num = n·(a-p) <= 0
+                if num > 0:
+                    ok = False
+                    break
+                continue
+            t = num / denom
+            if denom > 0:
+                t0 = max(t0, t)
+            else:
+                t1 = min(t1, t)
+            if t0 > t1:
+                ok = False
+                break
+        if not ok:
+            if len(cur) >= 2:
+                out.append(cur)
+            cur = []
+            continue
+        s, e = p + t0 * d, p + t1 * d
+        if cur and np.allclose(cur[-1], s):
+            cur.append(e)
+        else:
+            if len(cur) >= 2:
+                out.append(cur)
+            cur = [s, e]
+        if t1 < 1.0:  # exits the polygon: close the piece
+            if len(cur) >= 2:
+                out.append(cur)
+            cur = []
+    if len(cur) >= 2:
+        out.append(cur)
+    return [np.array(p) for p in out]

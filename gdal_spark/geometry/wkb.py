@@ -63,6 +63,13 @@ def polygon_to_wkb(rings: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
+def multilinestring_to_wkb(lines: list[np.ndarray]) -> bytes:
+    out = [_HDR.pack(1, MULTILINESTRING), struct.pack("<I", len(lines))]
+    for coords in lines:
+        out.append(linestring_to_wkb(coords))
+    return b"".join(out)
+
+
 def multipolygon_to_wkb(polys: list[list[np.ndarray]]) -> bytes:
     out = [_HDR.pack(1, MULTIPOLYGON), struct.pack("<I", len(polys))]
     for rings in polys:

@@ -57,6 +57,7 @@ def collect() -> tuple[
     # are demoted past the window — they stay covered by tools/check_oracle.py
     # and pytest.
     demoted = [
+        "raster_sieve",  # trivial threshold flag over raster_polygonize
         "vector_grid_idw",  # gridding family repped by vector_grid_variants
         "raster_as_features",  # the emission layer of 5 in-window queries
         "raster_norm_diff_stats",  # subsumed by raster_pixel_functions

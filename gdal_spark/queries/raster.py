@@ -1983,3 +1983,50 @@ def _grid_variants_oracle() -> str:
 
 QUERIES["vector_grid_variants"] = _grid_variants
 ORACLES["vector_grid_variants"] = _grid_variants_oracle()
+
+
+# --- contour polyline stitching (alg/contour.cpp:332 segment merger) --------
+# The plane fixture's contours are straight 3-4-5 lines, so the stitched
+# polyline's endpoint coordinates and total length are closed-form; the
+# segment count comes from the same INDEPENDENT edge-straddle counting
+# as the raster_contour oracle (no engine imports).
+
+
+def _contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.contour import contour_polylines
+
+    blocks = model.synth_blocks(spark, model.plane_spec())
+    segs = contour_segments(
+        blocks, levels=[30.0, 60.0, 120.0], width=60, height=60
+    )
+    lines = contour_polylines(segs)
+    return lines.groupBy("level").agg(
+        F.count("*").alias("n_lines"),
+        F.max("n_points").alias("n_points"),
+        F.max(F.col("closed").cast("int")).alias("closed"),
+        F.round(F.max("length"), 6).alias("length"),
+    )
+
+
+def _contour_lines_oracle() -> str:
+    z = model.plane_values(0, 0, 60, 60).astype(np.float64)
+    tl, tr = z[:-1, :-1], z[:-1, 1:]
+    bl, br = z[1:, :-1], z[1:, 1:]
+    rows = []
+    for level, length in ((30.0, 12.5), (60.0, 25.0), (120.0, 50.0)):
+        a, b, c, d = tl >= level, tr >= level, br >= level, bl >= level
+        crossings = (
+            int((a != b).sum())
+            + int((d != c).sum())
+            + int((a != d).sum())
+            + int((b != c).sum())
+        )
+        n_segments = crossings // 2
+        rows.append((level, 1, n_segments + 1, 0, length))
+    return _values_sql(
+        rows, ["level", "n_lines", "n_points", "closed", "length"]
+    )
+
+
+QUERIES["raster_contour_lines"] = _contour_lines
+ORACLES["raster_contour_lines"] = _contour_lines_oracle()

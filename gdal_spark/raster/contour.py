@@ -110,3 +110,90 @@ def contour_segments(
     return halo.groupBy("dataset", "band", "tbx", "tby").applyInPandas(
         fn, SEG_SCHEMA
     )
+
+
+def contour_polylines(segs: DataFrame) -> DataFrame:
+    """Stitch the segment soup into polylines — the reference's segment
+    merger (alg/contour.cpp:332 / marching_squares polygon ring
+    appender), distributed per (dataset, band, level): one applyInPandas
+    task per level stitches that level's segments (a contour's segment
+    count is O(perimeter), not O(area), so a level fits a task by the
+    same argument the reference's per-level merger fits memory).
+
+    Returns (dataset, band, level, line_id, n_points, length, closed,
+    wkb LINESTRING); line_id = stable index by (start_y, start_x)."""
+    import numpy as np
+
+    from gdal_spark.geometry.wkb import linestring_to_wkb
+
+    out_schema = (
+        "dataset string, band int, level double, line_id long, "
+        "n_points long, length double, closed boolean, wkb binary"
+    )
+
+    def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def q(x, y):
+            return (round(float(x), 9), round(float(y), 9))
+
+        adj: dict[tuple, list[tuple[int, int]]] = {}
+        a = pdf[["x1", "y1", "x2", "y2"]].to_numpy(np.float64)
+        for i in range(len(a)):
+            adj.setdefault(q(a[i, 0], a[i, 1]), []).append((i, 0))
+            adj.setdefault(q(a[i, 2], a[i, 3]), []).append((i, 1))
+        used = np.zeros(len(a), dtype=bool)
+
+        def walk(start_key):
+            pts = [start_key]
+            cur = start_key
+            while True:
+                nxt = None
+                for si, end in adj.get(cur, []):
+                    if not used[si]:
+                        used[si] = True
+                        other = q(a[si, 2], a[si, 3]) if end == 0 else q(
+                            a[si, 0], a[si, 1]
+                        )
+                        nxt = other
+                        break
+                if nxt is None:
+                    return pts
+                pts.append(nxt)
+                cur = nxt
+
+        lines = []
+        # open chains first (degree-1 endpoints), then leftover loops
+        for passno in (0, 1):
+            for k in sorted(adj):
+                deg = sum(1 for si, _ in adj[k] if not used[si])
+                if deg == 0:
+                    continue
+                if passno == 0 and deg != 1:
+                    continue
+                pts = walk(k)
+                if len(pts) >= 2:
+                    lines.append(pts)
+        lines.sort(key=lambda p: (p[0][1], p[0][0]))
+        rows = []
+        for li, pts in enumerate(lines):
+            arr = np.array(pts, dtype=np.float64)
+            d = np.diff(arr, axis=0)
+            rows.append(
+                (
+                    str(key[0]),
+                    int(key[1]),
+                    float(key[2]),
+                    li,
+                    len(pts),
+                    float(np.hypot(d[:, 0], d[:, 1]).sum()),
+                    bool(pts[0] == pts[-1]),
+                    linestring_to_wkb(arr),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[c.split()[0] for c in out_schema.split(", ")],
+        )
+
+    return segs.groupBy("dataset", "band", "level").applyInPandas(
+        stitch, out_schema
+    )

@@ -190,3 +190,26 @@ def test_footprint_with_nodata_hole(spark):
     t, payload = parse_wkb(bytes(r.wkb))
     assert len(payload) == 2  # exterior + hole
     assert polygon_area(payload) == r.n_pixels
+
+
+def test_contour_polylines_stitch(spark):
+    """Segment merger (alg/contour.cpp:332): the plane's level-60
+    contour stitches into ONE polyline from (20,0) to (0,15), length 25
+    (3-4-5 line); closed loops detected on a bump fixture."""
+    from gdal_spark.raster.contour import contour_polylines, contour_segments
+
+    blocks = model.synth_blocks(spark, model.plane_spec())
+    segs = contour_segments(blocks, levels=[60.0], width=60, height=60)
+    lines = contour_polylines(segs).collect()
+    assert len(lines) == 1
+    ln = lines[0]
+    assert ln.closed is False
+    assert abs(ln.length - 25.0) < 1e-6
+    # bump: closed contour around a peak
+    a = np.zeros((20, 20))
+    a[8:12, 8:12] = 10.0
+    blocks2 = _blocks_from_array(spark, a, block=8)
+    segs2 = contour_segments(blocks2, levels=[5.0], width=20, height=20)
+    loops = contour_polylines(segs2).collect()
+    assert len(loops) == 1
+    assert loops[0].closed is True

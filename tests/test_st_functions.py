@@ -232,3 +232,45 @@ def test_touches_crosses_overlaps_equals():
     assert _predicate("crosses", line, plain)
     assert not _predicate("crosses", line_touch, plain)
     assert not _predicate("crosses", plain, overl)  # area×area: false
+
+
+def test_set_ops_multipolygon_and_line():
+    """Set ops over the wider WKB lattice (ogr/ogr_core.h:422-556):
+    MultiPolygon operands decompose into parts; line ∩ polygon clips to
+    (multi)linestrings. Area/length invariants exact."""
+    import numpy as np
+
+    from gdal_spark.functions.st import (
+        _difference,
+        _intersection,
+        _sym_difference,
+        _union,
+    )
+    from gdal_spark.geometry.kernels import polygon_area
+    from gdal_spark.geometry import wkb as W
+
+    def area_of(buf):
+        t, payload = W.parse_wkb(buf)
+        if t == W.POLYGON:
+            return polygon_area(payload)
+        return sum(polygon_area(rings) for (_, rings) in payload)
+
+    mp = W.multipolygon_to_wkb([[_sq(0, 0, 4)], [_sq(10, 0, 4)]])  # two squares
+    big = W.polygon_to_wkb([_sq(2, -1, 10)])  # overlaps both parts
+    inter = _intersection(mp, big)
+    assert abs(area_of(inter) - (2 * 4 + 2 * 4)) < 1e-9  # 8 + 8
+    diff = _difference(mp, big)
+    assert abs(area_of(diff) - (16 + 16 - 16)) < 1e-9
+    uni = _union(mp, big)
+    assert abs(area_of(uni) - (16 + 16 + 100 - 16)) < 1e-9
+    sym = _sym_difference(mp, big)
+    assert abs(area_of(sym) - (16 + 16 + 100 - 2 * 16)) < 1e-9
+
+    line = W.linestring_to_wkb(np.array([[-5.0, 2.0], [20.0, 2.0]]))
+    out = _intersection(line, mp)
+    t, payload = W.parse_wkb(out)
+    assert t == W.MULTILINESTRING
+    total = sum(
+        float(np.hypot(*(p[1][-1] - p[1][0]))) for p in payload
+    )
+    assert abs(total - 8.0) < 1e-9  # 4 in each square
