@@ -9,10 +9,14 @@ has to bridge the OGR-specific surface:
 - special fields FID, OGR_GEOMETRY, OGR_GEOM_WKT, OGR_GEOM_AREA
   (ogr/ogr_p.h:167-174) → fid column / geometry-type literal / ST_ calls
   on the WKB geometry column;
-- the OGR first-match JOIN rule is NOT rewritten here (a SQL-level
-  rewrite of arbitrary joins is out of scope) — use
-  queries.relational._join_first_match's dedup pattern for that
-  semantics;
+- OGR's LIKE is case-INSENSITIVE (swq_op_general.cpp SwqGeneralEvaluator
+  LIKE path) → token-aware rewrite to Spark `ilike` (string literals are
+  never touched);
+- OGR_STYLE → typed NULL (layers carry no style strings);
+- the OGR first-match JOIN rule (one output row per left feature, the
+  secondary row with the LOWEST FID wins — ogr_gensql.cpp join
+  evaluation) is applied to single `LEFT JOIN ... ON` statements via a
+  row_number-over-fid rewrite when first_match_join=True;
 - everything else (WHERE op set, summary aggregates, DISTINCT,
   ORDER BY/LIMIT/OFFSET, UNION ALL) parses as-is.
 
@@ -29,20 +33,66 @@ from pyspark.sql import DataFrame, SparkSession
 
 from gdal_spark.functions import register_st_functions
 
-_SPECIAL = [
-    # order matters: longest names first
-    (re.compile(r"\bOGR_GEOM_WKT\b", re.IGNORECASE), "st_astext(geometry)"),
-    (re.compile(r"\bOGR_GEOM_AREA\b", re.IGNORECASE), "st_area(geometry)"),
-    (re.compile(r"\bOGR_GEOMETRY\b", re.IGNORECASE), "'POLYGON'"),
-    (re.compile(r"\bFID\b", re.IGNORECASE), "fid"),
-]
+_SPECIAL = {
+    "ogr_geom_wkt": "st_astext(geometry)",
+    "ogr_geom_area": "st_area(geometry)",
+    "ogr_geometry": "'POLYGON'",
+    "ogr_style": "cast(null as string)",
+    "fid": "fid",
+}
+
+# token stream: quoted literals survive untouched, words get mapped
+_TOKENS = re.compile(r"'(?:[^']|'')*'|\"[^\"]*\"|[A-Za-z_][A-Za-z_0-9.]*|\S")
 
 
-def rewrite(sql: str) -> str:
-    """OGR special fields → engine expressions."""
-    for pat, repl in _SPECIAL:
-        sql = pat.sub(repl, sql)
-    return sql
+def rewrite(sql: str, ogr_like: bool = True) -> str:
+    """OGR dialect → Spark SQL, token-aware: special fields
+    (ogr/ogr_p.h:167-174) map to engine expressions, LIKE becomes the
+    case-insensitive `ilike` (the OGR default), and string literals are
+    never rewritten."""
+    out = []
+    for m in _TOKENS.finditer(sql):
+        t = m.group(0)
+        if t[0] in "'\"":
+            out.append(t)
+            continue
+        low = t.lower()
+        if low in _SPECIAL:
+            out.append(_SPECIAL[low])
+        elif ogr_like and low == "like":
+            out.append("ilike")
+        elif ogr_like and low == "ilike":
+            out.append("ilike")
+        else:
+            out.append(t)
+    return " ".join(out)
+
+
+_FIRST_MATCH = re.compile(
+    r"^\s*select\s+(?P<cols>.*?)\s+from\s+(?P<left>\w+)\s+left\s+join\s+"
+    r"(?P<right>\w+)\s+on\s+(?P<cond>.*?)"
+    r"(?P<rest>\s+(?:where|group|order|limit)\b.*)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_first_match(sql: str) -> str | None:
+    """Single LEFT JOIN → OGR first-match semantics: exactly one output
+    row per left feature, the matching secondary row with the lowest FID
+    (ogr/ogrsf_frmts/generic/ogr_gensql.cpp join rule). Returns None if
+    the statement doesn't have that shape."""
+    m = _FIRST_MATCH.match(sql)
+    if not m:
+        return None
+    cols, lt, rt = m.group("cols"), m.group("left"), m.group("right")
+    cond, rest = m.group("cond"), (m.group("rest") or "").strip()
+    if rest.lower().startswith("where"):
+        rest = "and (" + rest[5:] + ")"  # fold into the outer __rn filter
+    return (
+        f"select * from (select {cols}, row_number() over "
+        f"(partition by {lt}.fid order by {rt}.fid) as __rn "
+        f"from {lt} left join {rt} on {cond}) where __rn = 1 {rest}"
+    )
 
 
 def execute_sql(
@@ -50,6 +100,8 @@ def execute_sql(
     sql: str,
     layers: dict[str, DataFrame] | None = None,
     fid_col: str | None = None,
+    first_match_join: bool = False,
+    ogr_like: bool = True,
 ) -> DataFrame:
     """Register layers as views (adding a `fid` column from fid_col or a
     monotonically-increasing id if absent), rewrite special fields, run.
@@ -65,4 +117,9 @@ def execute_sql(
                 first = df.columns[0]
                 df = df.withColumn("fid", F.col(first).cast("long"))
         df.createOrReplaceTempView(name)
-    return spark.sql(rewrite(sql))
+    text = rewrite(sql, ogr_like=ogr_like)
+    if first_match_join:
+        fm = rewrite_first_match(text)
+        if fm is not None:
+            return spark.sql(fm).drop("__rn")
+    return spark.sql(text)

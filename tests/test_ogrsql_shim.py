@@ -17,7 +17,7 @@ def test_rewrite_special_fields():
     assert "st_area(geometry)" in out
     assert "st_astext(geometry)" in out
     assert "'POLYGON'" in out
-    assert "select fid," in out
+    assert out.startswith("select fid")
 
 
 def test_execute_sql_on_layer(spark):
@@ -46,3 +46,51 @@ def test_execute_sql_summary_mode(spark):
         fid_col="polygon_id",
     ).collect()[0]
     assert (r.cnt, r.mn, r.mx) == (25, 0, 24)
+
+
+def test_like_is_case_insensitive_and_literals_survive(spark):
+    """OGR dialect LIKE is case-insensitive (swq_op_general.cpp); string
+    literals containing 'like' must not be rewritten."""
+    df = spark.createDataFrame(
+        [(1, "Hello"), (2, "WORLD"), (3, "unlike")], "fid long, name string"
+    )
+    rows = ogrsql.execute_sql(
+        spark,
+        "select fid from t where name LIKE 'hello%' order by fid",
+        layers={"t": df},
+    ).collect()
+    assert [r.fid for r in rows] == [1]
+    out = ogrsql.rewrite("select * from t where name LIKE 'a%like%'")
+    assert "'a%like%'" in out and "ilike" in out
+
+
+def test_ogr_style_is_typed_null(spark):
+    df = spark.createDataFrame([(1,)], "fid long")
+    r = ogrsql.execute_sql(
+        spark, "select fid, OGR_STYLE as style from t", layers={"t": df}
+    )
+    assert dict(r.dtypes)["style"] == "string"
+    assert r.collect()[0].style is None
+
+
+def test_first_match_join_semantics(spark):
+    """ogr_gensql.cpp join rule: one row per left feature, lowest-FID
+    secondary match wins."""
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zz")], "fid long, k string"
+    )
+    right = spark.createDataFrame(
+        [(10, "a", "first"), (11, "a", "second"), (20, "b", "only")],
+        "fid long, k string, tag string",
+    )
+    rows = ogrsql.execute_sql(
+        spark,
+        "select l.fid as lfid, r.tag as tag from l left join r on l.k = r.k",
+        layers={"l": left, "r": right},
+        first_match_join=True,
+    ).orderBy("lfid").collect()
+    assert [(r.lfid, r.tag) for r in rows] == [
+        (1, "first"),  # NOT 'second' — lowest right FID wins
+        (2, "only"),
+        (3, None),  # unmatched left row survives
+    ]
