@@ -35,6 +35,8 @@ from gdal_spark.geometry import wkb as W
 from gdal_spark.geometry import wkt as T
 from gdal_spark.geometry.kernels import (
     bbox_of_rings,
+    geodesic_area_m2,
+    geodesic_length_m,
     polygon_area,
     ring_centroid,
     ring_length,
@@ -511,6 +513,49 @@ def register_st_functions(spark: SparkSession) -> None:
             [
                 None if b is None else _buffer(bytes(b), float(dv))
                 for b, dv in zip(s, d)
+            ]
+        ),
+        BinaryType(),
+    ))
+    reg("st_geodesiclength", P(
+        lambda s: _each(
+            s,
+            lambda b: geodesic_length_m(_ext(b), closed=True),
+            "float64",
+        ),
+        DoubleType(),
+    ))
+    reg("st_geodesicarea", P(
+        lambda s: _each(s, lambda b: geodesic_area_m2(_ext(b)), "float64"),
+        DoubleType(),
+    ))
+    reg("st_segmentize", P(
+        lambda s, d: pd.Series(
+            [
+                None
+                if b is None
+                else W.polygon_to_wkb(
+                    [C.segmentize(_ext(bytes(b)), float(dv))]
+                )
+                for b, dv in zip(s, d)
+            ]
+        ),
+        BinaryType(),
+    ))
+    reg("st_setprecision", P(
+        lambda s, g: pd.Series(
+            [
+                None
+                if b is None
+                else W.polygon_to_wkb(
+                    [
+                        np.round(
+                            r / float(gv)
+                        ) * float(gv)
+                        for r in _rings(bytes(b))
+                    ]
+                )
+                for b, gv in zip(s, g)
             ]
         ),
         BinaryType(),

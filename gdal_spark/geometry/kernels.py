@@ -148,3 +148,41 @@ def bbox_of_rings(rings) -> tuple[float, float, float, float]:
         float(allc[:, 0].max()),
         float(allc[:, 1].max()),
     )
+
+
+def geodesic_length_m(ring: np.ndarray, closed: bool = False) -> float:
+    """Great-circle length in meters (haversine over the sphere of
+    authalic radius) — ST_GeodesicLength analog
+    (ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:1100-1148; the
+    reference uses the ellipsoidal geodesic, this is the spherical form,
+    relative difference < 0.56% = the flattening)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if closed and not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    lon = np.radians(r[:, 0])
+    lat = np.radians(r[:, 1])
+    dlon = np.diff(lon)
+    dlat = np.diff(lat)
+    a = (
+        np.sin(dlat / 2.0) ** 2
+        + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlon / 2.0) ** 2
+    )
+    return float(
+        2.0 * EARTH_RADIUS_M * np.sum(np.arcsin(np.sqrt(a)))
+    )
+
+
+def geodesic_area_m2(ring: np.ndarray) -> float:
+    """Spherical polygon area in m² via the standard longitude-strip
+    formula  |Σ (λ₂−λ₁)(2 + sin φ₁ + sin φ₂)| · R²/2  (the common
+    spherical-excess discretization; ST_GeodesicArea analog,
+    ogrsqlitesqlfunctions.cpp:956-1000)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    lon = np.radians(r[:, 0])
+    lat = np.radians(r[:, 1])
+    lon2 = np.roll(lon, -1)
+    lat2 = np.roll(lat, -1)
+    s = np.sum((lon2 - lon) * (2.0 + np.sin(lat) + np.sin(lat2)))
+    return float(abs(s) * EARTH_RADIUS_M**2 / 2.0)

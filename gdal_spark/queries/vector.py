@@ -472,3 +472,58 @@ def _predicates_full_oracle() -> str:
 
 QUERIES["st_predicates_full"] = _predicates_full
 ORACLES["st_predicates_full"] = _predicates_full_oracle()
+
+
+# --- geodesic measures (ogrsqlitesqlfunctions.cpp:956-1148) ------------------
+# Spherical great-circle length + longitude-strip spherical area over the
+# octagon layer; the oracle states the SAME published spherical formulas
+# directly in SQL over the vertex CTE (radians/sin are exact mirrors).
+
+
+def _geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_st_functions(spark)
+    a = tables.polygons_a_df(spark, sf_dir)
+    a.createOrReplaceTempView("layer_a_geo")
+    return spark.sql(
+        """
+        select polygon_id,
+               round(st_geodesiclength(geometry), 4) as geo_len_m,
+               round(st_geodesicarea(geometry) / 1000000.0, 4) as geo_area_km2
+        from layer_a_geo
+        """
+    )
+
+
+def _geodesic_oracle() -> str:
+    from gdal_spark.geometry.kernels import EARTH_RADIUS_M
+
+    verts = portable.poly_verts_cte("duckdb")
+    R = EARTH_RADIUS_M
+    return f"""
+    with v as ({verts}),
+    e as (
+      select a.polygon_id,
+             radians(a.vx) as lon1, radians(a.vy) as lat1,
+             radians(b.vx) as lon2, radians(b.vy) as lat2
+      from v a join v b on a.polygon_id = b.polygon_id and b.j = (a.j + 1) % 8
+    ),
+    m as (
+      select polygon_id,
+             sum(2.0 * {R!r} * asin(sqrt(
+                 sin((lat2 - lat1) / 2.0) * sin((lat2 - lat1) / 2.0)
+                 + cos(lat1) * cos(lat2)
+                   * sin((lon2 - lon1) / 2.0) * sin((lon2 - lon1) / 2.0)
+             ))) as len_m,
+             sum((lon2 - lon1) * (2.0 + sin(lat1) + sin(lat2))) as strip
+      from e group by polygon_id
+    )
+    select polygon_id,
+           round(len_m, 4) as geo_len_m,
+           round(abs(strip) * {R!r} * {R!r} / 2.0 / 1000000.0, 4)
+             as geo_area_km2
+    from m
+    """
+
+
+QUERIES["st_geodesic"] = _geodesic
+ORACLES["st_geodesic"] = _geodesic_oracle()
