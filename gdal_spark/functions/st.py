@@ -517,6 +517,37 @@ def register_st_functions(spark: SparkSession) -> None:
         ),
         BinaryType(),
     ))
+    reg("st_makevalid", P(
+        lambda s: _each(
+            s,
+            lambda b: (
+                lambda rr: W.polygon_to_wkb(rr) if rr else None
+            )(C.make_valid(_rings(b))),
+        ),
+        BinaryType(),
+    ))
+    reg("st_delaunaytriangles", P(
+        lambda s: _each(
+            s,
+            lambda b: W.multipolygon_to_wkb(
+                [[t] for t in C.delaunay_coords(np.vstack(_rings(b)))]
+            ),
+        ),
+        BinaryType(),
+    ))
+    reg("st_concavehull", P(
+        lambda s, a: pd.Series(
+            [
+                None
+                if b is None
+                else W.polygon_to_wkb(
+                    [C.concave_hull(np.vstack(_rings(bytes(b))), float(av))]
+                )
+                for b, av in zip(s, a)
+            ]
+        ),
+        BinaryType(),
+    ))
     reg("st_geodesiclength", P(
         lambda s: _each(
             s,
@@ -545,16 +576,7 @@ def register_st_functions(spark: SparkSession) -> None:
     reg("st_setprecision", P(
         lambda s, g: pd.Series(
             [
-                None
-                if b is None
-                else W.polygon_to_wkb(
-                    [
-                        np.round(
-                            r / float(gv)
-                        ) * float(gv)
-                        for r in _rings(bytes(b))
-                    ]
-                )
+                None if b is None else _set_precision(bytes(b), float(gv))
                 for b, gv in zip(s, g)
             ]
         ),
@@ -615,6 +637,28 @@ def _buffer(buf: bytes, dist: float) -> bytes | None:
     if len(ring) < 3:
         return None
     return W.polygon_to_wkb([ring])
+
+
+def _set_precision(buf: bytes, grid: float) -> bytes:
+    """Snap all coordinates to the grid (OGRGeometry::SetPrecision
+    role), type-generic."""
+    t, payload = W.parse_wkb(buf)
+
+    def snap(c):
+        return np.round(np.asarray(c, dtype=np.float64) / grid) * grid
+
+    if t == W.POINT:
+        p = snap(payload)
+        return W.points_to_wkb([p[0, 0]], [p[0, 1]])[0]
+    if t == W.LINESTRING:
+        return W.linestring_to_wkb(snap(payload))
+    if t == W.POLYGON:
+        return W.polygon_to_wkb([snap(r) for r in payload])
+    if t == W.MULTIPOLYGON:
+        return W.multipolygon_to_wkb(
+            [[snap(r) for r in rings] for (_, rings) in payload]
+        )
+    raise ValueError(f"set_precision: unsupported type {t}")
 
 
 def _swap_xy(buf: bytes) -> bytes:

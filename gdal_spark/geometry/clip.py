@@ -764,3 +764,149 @@ def clip_line_convex(line: np.ndarray, clip_ring: np.ndarray) -> list[np.ndarray
     if len(cur) >= 2:
         out.append(cur)
     return [np.array(p) for p in out]
+
+
+# --- constructive: make_valid / delaunay / concave hull --------------------
+
+
+def make_valid(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Light MakeValid (ogr/ogrgeometry.cpp MakeValid role for the
+    common defects): drop consecutive duplicate vertices, drop rings
+    with < 3 distinct vertices or ~zero area, orient exterior CCW and
+    holes CW. Self-intersection repair is out of scope (documented)."""
+    out: list[np.ndarray] = []
+    for i, ring in enumerate(rings):
+        r = _open(ring)
+        if len(r) >= 2:
+            keep = np.ones(len(r), dtype=bool)
+            keep[1:] = ~np.all(r[1:] == r[:-1], axis=1)
+            r = r[keep]
+            if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+                r = r[:-1]
+        if len(r) < 3 or abs(ring_area(r)) <= _EPS_AREA:
+            continue
+        want_ccw = i == 0
+        if ring_is_ccw(r) != want_ccw:
+            r = r[::-1]
+        out.append(r)
+    return out
+
+
+def _circumcircle_contains(a, b, c, p) -> bool:
+    """p strictly inside the circumcircle of CCW triangle (a, b, c)."""
+    ax, ay = a - p
+    bx, by = b - p
+    cx, cy = c - p
+    det = (
+        (ax * ax + ay * ay) * (bx * cy - by * cx)
+        - (bx * bx + by * by) * (ax * cy - ay * cx)
+        + (cx * cx + cy * cy) * (ax * by - ay * bx)
+    )
+    return det > 0
+
+
+def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
+    """Bowyer–Watson Delaunay triangulation → vertex-index triples into
+    the deduplicated input (returned CCW). O(n²) — geometry-column point
+    counts are small; the reference delegates to GEOS the same way
+    (ogr/ogrgeometry.cpp DelaunayTriangulation)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    n = len(pts)
+    if n < 3:
+        return []
+    lo = pts.min(axis=0)
+    hi = pts.max(axis=0)
+    span = max(float((hi - lo).max()), 1.0)
+    mid = (lo + hi) / 2.0
+    sup = np.array(
+        [
+            [mid[0] - 20 * span, mid[1] - 10 * span],
+            [mid[0] + 20 * span, mid[1] - 10 * span],
+            [mid[0], mid[1] + 20 * span],
+        ]
+    )
+    allp = np.vstack([pts, sup])
+    s0, s1, s2 = n, n + 1, n + 2
+    tris: list[tuple[int, int, int]] = [(s0, s1, s2)]
+    for pi in range(n):
+        p = allp[pi]
+        bad = []
+        for t in tris:
+            a, b, c = allp[t[0]], allp[t[1]], allp[t[2]]
+            # ensure CCW for the incircle test
+            if np.cross(b - a, c - a) < 0:
+                a, c = c, a
+            if _circumcircle_contains(a, b, c, p):
+                bad.append(t)
+        edge_count: dict[tuple[int, int], int] = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        tris = [t for t in tris if t not in bad]
+        for (u, v), cnt in edge_count.items():
+            if cnt == 1:
+                tris.append((u, v, pi))
+    out = []
+    for t in tris:
+        if s0 in t or s1 in t or s2 in t:
+            continue
+        a, b, c = allp[t[0]], allp[t[1]], allp[t[2]]
+        if np.cross(b - a, c - a) < 0:
+            t = (t[0], t[2], t[1])
+        out.append(t)
+    return out
+
+
+def delaunay_coords(points: np.ndarray) -> list[np.ndarray]:
+    """Delaunay triangles as CCW coordinate rings."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    return [pts[list(t)] for t in delaunay(pts)]
+
+
+def concave_hull(points: np.ndarray, alpha: float) -> np.ndarray:
+    """Alpha-shape concave hull: keep Delaunay triangles with
+    circumradius ≤ alpha, take the once-used boundary edges, walk them
+    into a ring (ogr ConcaveHull role; alpha plays the ratio knob)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    keep = []
+    for t in delaunay(pts):
+        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+        la, lb, lc = (
+            np.hypot(*(b - c)),
+            np.hypot(*(a - c)),
+            np.hypot(*(a - b)),
+        )
+        area = abs(float(np.cross(b - a, c - a))) / 2.0
+        if area <= 0:
+            continue
+        circ_r = la * lb * lc / (4.0 * area)
+        if circ_r <= alpha:
+            keep.append(t)
+    if not keep:
+        return convex_hull(pts)
+    edge_count: dict[tuple[int, int], int] = {}
+    for t in keep:
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            k = (min(e), max(e))
+            edge_count[k] = edge_count.get(k, 0) + 1
+    boundary = [e for e, c in edge_count.items() if c == 1]
+    if not boundary:
+        return convex_hull(pts)
+    adj: dict[int, list[int]] = {}
+    for u, v in boundary:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    start = boundary[0][0]
+    ring = [start]
+    prev = None
+    cur = start
+    while True:
+        nxts = [v for v in adj[cur] if v != prev]
+        if not nxts:
+            break
+        prev, cur = cur, nxts[0]
+        if cur == start:
+            break
+        ring.append(cur)
+    return _ccw(pts[ring])

@@ -194,3 +194,36 @@ def test_full_kernel_set_properties():
     assert np.isclose(area_reduce(a, z, z, 2, 2, "rms")[0], np.sqrt(7.5))
     b = np.array([[5.0, 5.0], [3.0, 4.0]])
     assert area_reduce(b, z, z, 2, 2, "mode")[0] == 5.0
+
+
+def test_line_of_sight(spark):
+    """alg/los.cpp GDALIsLineOfSightVisible analog: flat terrain with a
+    wall between observer and target → blocked; raise the observer above
+    the wall → visible."""
+    import numpy as np
+
+    from gdal_spark.raster import model
+    from gdal_spark.raster.los import is_visible, los_profile
+
+    a = np.zeros((48, 48))
+    a[:, 20:23] = 50.0  # north-south wall at x=20..22
+    rows = []
+    block = 32
+    for by in range((48 + block - 1) // block):
+        for bx in range((48 + block - 1) // block):
+            x0, y0 = bx * block, by * block
+            sub = a[y0 : y0 + block, x0 : x0 + block]
+            rows.append(
+                ("dem", 1, bx, by, x0, y0, sub.shape[1], sub.shape[0],
+                 "float64", 0.0, 1.0, 0.0, 48.0, 0.0, -1.0, None,
+                 bytearray(np.ascontiguousarray(sub).tobytes()))
+            )
+    blocks = spark.createDataFrame(rows, model.BLOCK_SCHEMA)
+    # gt: lon = x, lat = 48 - y ; observer west of wall, target east
+    obs, tgt = (5.0, 24.0, 2.0), (40.0, 24.0, 2.0)
+    assert is_visible(blocks, obs, tgt, n_samples=97) is False
+    # tall observer sees over the wall
+    assert is_visible(blocks, (5.0, 24.0, 120.0), tgt, n_samples=97) is True
+    prof = los_profile(blocks, obs, tgt, n_samples=97).collect()
+    blocked = [p for p in prof if p.blocked]
+    assert blocked and all(19 <= p.lon <= 24 for p in blocked)

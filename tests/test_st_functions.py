@@ -274,3 +274,40 @@ def test_set_ops_multipolygon_and_line():
         float(np.hypot(*(p[1][-1] - p[1][0]))) for p in payload
     )
     assert abs(total - 8.0) < 1e-9  # 4 in each square
+
+
+def test_constructive_set(spark):
+    """MakeValid / DelaunayTriangles / ConcaveHull / Segmentize /
+    SetPrecision registry surface (ogr/ogr_geometry.h:429-600)."""
+    import numpy as np
+
+    from gdal_spark.functions import register_st_functions
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.geometry.kernels import polygon_area
+
+    register_st_functions(spark)
+    # ring with a duplicate vertex → makevalid drops it
+    bad = W.polygon_to_wkb(
+        [np.array([[0, 0], [4, 0], [4, 0], [4, 4], [0, 4]], dtype=float)]
+    )
+    sq = W.polygon_to_wkb([_sq(0, 0, 4)])
+    df = spark.createDataFrame([(1, bad), (2, sq)], "id long, g binary")
+    df.createOrReplaceTempView("cg")
+    rows = spark.sql(
+        """
+        select id,
+               st_numpoints(st_makevalid(g)) as np_valid,
+               st_area(st_delaunaytriangles(g)) as tri_area,
+               st_area(st_concavehull(g, cast(100.0 as double))) as hull_area,
+               st_numpoints(st_segmentize(g, cast(1.0 as double))) as np_seg,
+               st_astext(st_setprecision(st_makepoint(
+                   cast(1.2345 as double), cast(2.5 as double)),
+                   cast(0.5 as double))) is not null as prec_ok
+        from cg order by id
+        """
+    ).collect()
+    assert rows[0].np_valid == 5  # duplicate dropped, closed ring = 4+1
+    for r in rows:
+        assert abs(r.tri_area - 16.0) < 1e-9  # triangles tile the square
+        assert abs(r.hull_area - 16.0) < 1e-9
+        assert r.np_seg > 5  # segmentize added vertices
