@@ -188,3 +188,45 @@ def test_color_map(spark):
     z = 3.0 * xs + 4.0 * ys
     want = np.select([z <= 100.0, z <= 250.0], [1, 2], default=3)
     assert np.array_equal(full, want)
+
+
+def test_streaming_windowed_tile_counts(spark, tmp_path):
+    """Watermark + event-time windowed per-tile counts (SURVEY §2.12 row
+    78): run the stateful aggregation as an availableNow micro-batch and
+    check the windowed totals against the equivalent batch rollup."""
+    from gdal_spark.streaming.ingest import (
+        geocode_and_tile,
+        stage_page_files,
+        synthetic_page_stream,
+        windowed_tile_counts,
+    )
+
+    path = str(tmp_path / "inbox")
+    stage_page_files(spark, path, n=400)
+    stream = windowed_tile_counts(
+        geocode_and_tile(synthetic_page_stream(spark, path))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_tile_counts")
+        .outputMode("complete")  # append would hold back windows newer
+        .trigger(availableNow=True)  # than the final watermark
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.start, r.tile_x, r.tile_y): r.n_pages
+        for r in spark.table("stream_tile_counts").collect()
+    }
+    # batch equivalent on the same files
+    import pyspark.sql.functions as F
+
+    batch = geocode_and_tile(
+        spark.read.parquet(path)
+    ).groupBy(
+        F.window("warc_ts", "10 seconds").alias("w"), "tile_x", "tile_y"
+    ).agg(F.count("*").alias("n_pages"))
+    want = {
+        (r.w.start, r.tile_x, r.tile_y): r.n_pages for r in batch.collect()
+    }
+    assert got == want and len(got) > 10
