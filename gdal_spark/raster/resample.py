@@ -748,3 +748,83 @@ def reproject_grid(
     return joined.groupBy("band", "bx", "by").applyInPandas(
         warp, model.BLOCK_SCHEMA
     )
+
+
+def proximity_maxdist(
+    blocks: DataFrame,
+    target_value: float,
+    max_dist: float,
+    band: int = 1,
+    nodata: float = -1.0,
+) -> DataFrame:
+    """Distance raster with the reference's MAXDIST contract
+    (alg/gdalproximity.cpp MAXDIST option): pixels farther than
+    `max_dist` (in pixels) from every target get `nodata`. Fully
+    distributed — no target collect: each block ships its target pixel
+    coords to every block within ceil(max_dist/block) Chebyshev blocks
+    (bounded fan-out), then ONE cogrouped pass per block computes the
+    vectorized min distance to its received targets. This is the
+    scale path; `proximity` (unbounded distances) stays for sparse
+    targets behind its bounded broadcast."""
+    K_schema = "bx int, by int, tx long, ty long"
+
+    src = blocks.where(F.col("band") == band)
+
+    def ship(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype))
+                ys, xs = np.nonzero(a == target_value)
+                if len(ys) == 0:
+                    continue
+                bs = max(int(r.width), int(r.height), 1)
+                K = int(np.ceil(max_dist / bs)) + 1
+                gx = xs + r.x0
+                gy = ys + r.y0
+                for dy in range(-K, K + 1):
+                    for dx in range(-K, K + 1):
+                        tbx, tby = int(r.bx) + dx, int(r.by) + dy
+                        if tbx < 0 or tby < 0:
+                            continue
+                        for tx, ty in zip(gx.tolist(), gy.tolist()):
+                            rows.append((tbx, tby, tx, ty))
+            yield pd.DataFrame(rows, columns=["bx", "by", "tx", "ty"])
+
+    targets = src.mapInPandas(ship, K_schema)
+
+    out_cols = [c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")]
+
+    def dist(blk_pdf: pd.DataFrame, tgt_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        if len(blk_pdf) == 0:
+            return pd.DataFrame(columns=out_cols)
+        t = tgt_pdf[["tx", "ty"]].drop_duplicates().to_numpy(np.float64)
+        for r in blk_pdf.itertuples():
+            ys, xs = np.mgrid[0 : r.height, 0 : r.width]
+            gx = (xs + r.x0).ravel().astype(np.float64)
+            gy = (ys + r.y0).ravel().astype(np.float64)
+            if len(t) == 0:
+                d = np.full(gx.shape, np.inf)
+            else:
+                d2 = (gx[:, None] - t[None, :, 0]) ** 2 + (
+                    gy[:, None] - t[None, :, 1]
+                ) ** 2
+                d = np.sqrt(d2.min(axis=1))
+            d = np.where(d <= max_dist, d, nodata)
+            dd = r._asdict()
+            dd.pop("Index", None)
+            dd["dataset"] = str(r.dataset) + "_prox"
+            dd["dtype"] = "float64"
+            dd["nodata"] = float(nodata)
+            dd["buf"] = np.ascontiguousarray(
+                d.reshape(r.height, r.width)
+            ).tobytes()
+            out.append(dd)
+        return pd.DataFrame(out)[out_cols]
+
+    return (
+        src.groupBy("bx", "by")
+        .cogroup(targets.groupBy("bx", "by"))
+        .applyInPandas(dist, model.BLOCK_SCHEMA)
+    )

@@ -227,3 +227,45 @@ def test_line_of_sight(spark):
     prof = los_profile(blocks, obs, tgt, n_samples=97).collect()
     blocked = [p for p in prof if p.blocked]
     assert blocked and all(19 <= p.lon <= 24 for p in blocked)
+
+
+def test_proximity_maxdist_distributed(spark):
+    """MAXDIST proximity (alg/gdalproximity.cpp): matches the broadcast
+    implementation inside the radius, nodata beyond — with zero target
+    collect (cover-shuffle fan-out)."""
+    import numpy as np
+
+    from gdal_spark.raster import model
+    from gdal_spark.raster.resample import proximity, proximity_maxdist
+
+    a = np.zeros((48, 48))
+    a[5, 7] = 9.0
+    a[40, 41] = 9.0
+    rows = []
+    for by in range(2):
+        for bx in range(2):
+            x0, y0 = bx * 32, by * 32
+            sub = a[y0 : y0 + 32, x0 : x0 + 32]
+            if sub.size == 0:
+                continue
+            rows.append(
+                ("p", 1, bx, by, x0, y0, sub.shape[1], sub.shape[0],
+                 "float64", 0.0, 1.0, 0.0, 0.0, 0.0, -1.0, None,
+                 bytearray(np.ascontiguousarray(sub).tobytes()))
+            )
+    blocks = spark.createDataFrame(rows, model.BLOCK_SCHEMA)
+    MAXD = 12.0
+    got = {}
+    for r in proximity_maxdist(blocks, 9.0, MAXD).collect():
+        arr = model.decode((r.buf, r.height, r.width, r.dtype))
+        got[(r.x0, r.y0)] = arr
+    ref = {}
+    for r in proximity(blocks, 9.0).collect():
+        arr = model.decode((r.buf, r.height, r.width, r.dtype))
+        ref[(r.x0, r.y0)] = arr
+    assert set(got) == set(ref)
+    for k in got:
+        g, f = got[k], ref[k]
+        near = f <= MAXD
+        assert np.allclose(g[near], f[near])
+        assert (g[~near] == -1.0).all()
