@@ -130,3 +130,148 @@ def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
     return media.where(F.col("media_type") == "video").mapInPandas(
         fn, "doc_id long, frame int, frame_mean double"
     )
+
+
+# --- real decoders for uncompressed container formats ----------------------
+# No PIL/ffmpeg in this environment, but the classic UNCOMPRESSED formats
+# are pure header-parse + frombuffer — so these are REAL decoders, not
+# stubs: binary PPM/PGM (netpbm P5/P6) images and PCM WAV audio. The
+# NotImplementedError boundary now applies only to compressed codecs
+# (JPEG/PNG/MP3/H.264), stated per-format.
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary netpbm: P5 (grayscale) → (h, w), P6 (RGB) → (h, w, 3),
+    uint8. Pure header parse + one frombuffer."""
+    if not payload[:2] in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM (P5/P6) payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(fields[0]), int(fields[1]), int(fields[2])
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return data.reshape((h, w, 3) if ch == 3 else (h, w))
+
+
+def encode_pgm(arr: np.ndarray) -> bytes:
+    """(h, w) uint8 → binary PGM (P5)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV (RIFF) → (samples[n, channels] float64 in [-1, 1],
+    sample_rate). 8/16/32-bit integer PCM; compressed codecs raise."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1:
+        raise NotImplementedError(
+            f"compressed WAV (fmt {audio_fmt}) needs a codec library"
+        )
+    dt = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    x = np.frombuffer(data, dtype=dt).astype(np.float64)
+    if bits == 8:
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(2 ** (bits - 1))
+    return x.reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, channels) float64 in [-1, 1] → 16-bit PCM WAV."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    n_ch = s.shape[1]
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_media_real(media: DataFrame) -> DataFrame:
+    """Real decode for uncompressed payloads: netpbm images → pixel
+    stats, PCM WAV → sample stats + rate. Per-format dispatch on the
+    payload magic; compressed codecs surface their NotImplementedError
+    in an `error` column instead of failing the job (poison-pill
+    tolerance a 100 TB media crawl needs)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                p = bytes(r.payload)
+                kind = mean = std = rate = None
+                err = None
+                try:
+                    if p[:2] in (b"P5", b"P6"):
+                        t = decode_ppm(p).astype(np.float64)
+                        kind, mean, std = "image", float(t.mean()), float(t.std())
+                    elif p[:4] == b"RIFF":
+                        x, sr = decode_wav(p)
+                        kind, mean, std, rate = (
+                            "audio",
+                            float(x.mean()),
+                            float(x.std()),
+                            int(sr),
+                        )
+                    else:
+                        raise NotImplementedError(
+                            "compressed/unknown codec: needs PIL/ffmpeg"
+                        )
+                except (NotImplementedError, ValueError, KeyError) as e:
+                    err = str(e)
+                rows.append((int(r.doc_id), kind, mean, std, rate, err))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "mean", "std", "rate", "error"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        fn,
+        "doc_id long, kind string, mean double, std double, rate int, "
+        "error string",
+    )
