@@ -74,11 +74,18 @@ def headline(spark, sf_dir: str, cpus: int, amplify: int | None = None) -> dict:
     tiled = base.selectExpr(
         "url", "lat", "lon", *portable.tile_cols_list("lat", "lon", 12)
     )
-    # warm python workers / codegen on a slice, then measure the full set
+    # warm python workers / codegen on a slice, then measure the full
+    # set twice and keep the best: this host is SHARED and co-tenant
+    # interference is one-sided (only ever slows a run down), so max
+    # over repeats estimates uncontended throughput — same documented
+    # estimator as tools/bench_scaling.py
     broadcast_pip_join(tiled.limit(cpus * 20000), polys).count()
-    t0 = time.time()
-    rows = broadcast_pip_join(tiled, polys).count()
-    dt = time.time() - t0
+    dt = float("inf")
+    rows = 0
+    for _ in range(2):
+        t0 = time.time()
+        rows = broadcast_pip_join(tiled, polys).count()
+        dt = min(dt, time.time() - t0)
     base.unpersist()
     return {
         "n_pages": n_pages,

@@ -262,15 +262,29 @@ def _pieces_to_wkb(pieces: list[np.ndarray]) -> bytes | None:
 
 
 def _part_rings(buf: bytes) -> list[np.ndarray]:
-    """Exterior rings of all parts (POLYGON → 1, MULTIPOLYGON → n).
-    Interior rings are not supported by the set-op kernels (documented;
-    the hole-aware surface is the predicate set)."""
+    """Exterior rings of all parts (POLYGON → 1, MULTIPOLYGON → n)."""
+    return [ext for ext, _ in _parts_h(buf)]
+
+
+def _parts_h(buf: bytes) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+    """(exterior, [holes]) per part — the full set-op operand shape."""
     t, payload = W.parse_wkb(buf)
     if t == W.POLYGON:
-        return [payload[0]]
+        return [(payload[0], list(payload[1:]))]
     if t == W.MULTIPOLYGON:
-        return [rings[0] for (_, rings) in payload]
+        return [(rings[0], list(rings[1:])) for (_, rings) in payload]
     raise ValueError(f"set op: unsupported geometry type {t}")
+
+
+def _minus_holes(
+    pieces: list[np.ndarray], holes: list[np.ndarray]
+) -> list[np.ndarray]:
+    if not holes:
+        return pieces
+    out: list[np.ndarray] = []
+    for p in pieces:
+        out.extend(C.subtract_many(p, holes))
+    return out
 
 
 def _lines_to_wkb(lines: list[np.ndarray]) -> bytes | None:
@@ -282,48 +296,74 @@ def _lines_to_wkb(lines: list[np.ndarray]) -> bytes | None:
 
 
 def _intersection(a: bytes, b: bytes) -> bytes | None:
+    """Hole-aware: (A ∩ B) per part pair = (Ae ∩ Be) − holes(A) − holes(B)
+    (valid-polygon identity: A = Ae − ∪holes)."""
     ta = W.parse_wkb(a)[0]
     tb = W.parse_wkb(b)[0]
     if ta == W.LINESTRING or tb == W.LINESTRING:
         line_buf, poly_buf = (a, b) if ta == W.LINESTRING else (b, a)
         line = W.parse_wkb(line_buf)[1]
         pieces: list[np.ndarray] = []
-        for ring in _part_rings(poly_buf):
+        for ring, holes in _parts_h(poly_buf):
+            if holes:
+                raise ValueError("line ∩ polygon-with-holes not supported")
             for part in C._convex_parts(ring):
                 pieces.extend(C.clip_line_convex(line, part))
         return _lines_to_wkb(pieces)
     out: list[np.ndarray] = []
-    for pa in _part_rings(a):
-        for pb in _part_rings(b):
-            out.extend(C.clip_general(pa, pb))
+    for ae, ha in _parts_h(a):
+        for be, hb in _parts_h(b):
+            out.extend(_minus_holes(C.clip_general(ae, be), ha + hb))
     return _pieces_to_wkb(out)
 
 
 def _difference(a: bytes, b: bytes) -> bytes | None:
-    clips = _part_rings(b)
+    """Hole-aware: A − B = (Ae − holes(A) − ∪Be) ⊎ ((Ae − holes(A)) ∩
+    holes(B)) — material of A either escapes every B exterior or sits in
+    one of B's holes (valid MultiPolygon parts are disjoint)."""
+    pb = _parts_h(b)
+    clips = [be for be, _ in pb]
     out: list[np.ndarray] = []
-    for pa in _part_rings(a):
-        out.extend(C.subtract_many(pa, clips))
+    for ae, ha in _parts_h(a):
+        out.extend(C.subtract_many(ae, ha + clips))
+        for be, hb in pb:
+            for hole in hb:
+                out.extend(_minus_holes(C.clip_general(ae, hole), ha))
     return _pieces_to_wkb(out)
+
+
+def _b_pieces(buf: bytes) -> list[np.ndarray]:
+    return [
+        p for be, hb in _parts_h(buf) for p in _minus_holes([C._ccw(be)], hb)
+    ]
 
 
 def _union(a: bytes, b: bytes) -> bytes | None:
-    # disjoint-piece union: (A − B) ⊎ B-parts
-    clips = _part_rings(b)
-    out: list[np.ndarray] = []
-    for pa in _part_rings(a):
-        out.extend(C.subtract_many(pa, clips))
-    out.extend(C._ccw(pb) for pb in clips)
-    return _pieces_to_wkb(out)
+    # disjoint-piece union: (A − B) ⊎ B-pieces
+    from gdal_spark.geometry.wkb import parse_wkb as _p  # local alias
+
+    diff = _difference(a, b)
+    pieces = _b_pieces(b)
+    if diff is not None:
+        t, payload = _p(diff)
+        if t == W.POLYGON:
+            pieces = [payload[0]] + pieces
+        else:
+            pieces = [rings[0] for (_, rings) in payload] + pieces
+    return _pieces_to_wkb(pieces)
 
 
 def _sym_difference(a: bytes, b: bytes) -> bytes | None:
-    ca, cb = _part_rings(a), _part_rings(b)
     out: list[np.ndarray] = []
-    for pa in ca:
-        out.extend(C.subtract_many(pa, cb))
-    for pb in cb:
-        out.extend(C.subtract_many(pb, ca))
+    for x, y in ((a, b), (b, a)):
+        d = _difference(x, y)
+        if d is None:
+            continue
+        t, payload = W.parse_wkb(d)
+        if t == W.POLYGON:
+            out.append(payload[0])
+        else:
+            out.extend(rings[0] for (_, rings) in payload)
     return _pieces_to_wkb(out)
 
 

@@ -311,3 +311,40 @@ def test_constructive_set(spark):
         assert abs(r.tri_area - 16.0) < 1e-9  # triangles tile the square
         assert abs(r.hull_area - 16.0) < 1e-9
         assert r.np_seg > 5  # segmentize added vertices
+
+
+def test_set_ops_with_holes():
+    """Hole-aware set operations: A = Ae − ∪holes identities
+    (ogr/ogrgeometry.cpp Intersection/Difference/Union with interior
+    rings). All areas exact."""
+    import numpy as np
+
+    from gdal_spark.functions.st import (
+        _difference,
+        _intersection,
+        _sym_difference,
+        _union,
+    )
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.geometry.kernels import polygon_area
+
+    def area(buf):
+        if buf is None:
+            return 0.0
+        t, p = W.parse_wkb(buf)
+        return (
+            polygon_area(p)
+            if t == W.POLYGON
+            else sum(polygon_area(r) for (_, r) in p)
+        )
+
+    donut = W.polygon_to_wkb([_sq(0, 0, 10), _sq(3, 3, 4)])  # 84
+    probe = W.polygon_to_wkb([_sq(2, 2, 6)])  # 36, overlapping the hole
+    big = W.polygon_to_wkb([_sq(-2, -2, 20)])  # 400, covers donut
+    assert area(_intersection(donut, probe)) == 20.0
+    assert area(_difference(probe, donut)) == 16.0  # exactly the hole
+    assert area(_difference(donut, probe)) == 64.0
+    assert area(_union(donut, probe)) == 100.0
+    assert area(_sym_difference(donut, probe)) == 80.0
+    assert area(_difference(big, donut)) == 316.0
+    assert area(_intersection(donut, big)) == 84.0
