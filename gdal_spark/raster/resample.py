@@ -223,6 +223,75 @@ def area_reduce(
     raise ValueError(f"unknown area method {method}")
 
 
+def area_reduce_frac(
+    arr: np.ndarray,
+    ex0: np.ndarray,
+    ex1: np.ndarray,
+    ey0: np.ndarray,
+    ey1: np.ndarray,
+    method: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Area kernels at ARBITRARY (non-integer) scale: the dst pixel's
+    source footprint is the real-valued rect [ex0, ex1)×[ey0, ey1) in
+    src pixel-edge coords; a source pixel belongs iff its CENTER falls
+    in the rect (GDAL's average-kernel membership). Window sizes vary by
+    ±1 across pixels, so we gather the max window and mask outsiders to
+    NaN, reducing with the nan-aware forms. Returns (values, count)."""
+    h, w = arr.shape
+    a = arr.astype(np.float64)
+    ix0 = np.floor(ex0 + 0.5).astype(np.int64)  # first center ≥ ex0
+    iy0 = np.floor(ey0 + 0.5).astype(np.int64)
+    kx = int(np.max(np.ceil(ex1 - 0.5) - ix0)) + 1
+    ky = int(np.max(np.ceil(ey1 - 0.5) - iy0)) + 1
+    planes = []
+    for dy in range(ky):
+        for dx in range(kx):
+            xx = ix0 + dx
+            yy = iy0 + dy
+            inside = (
+                (xx + 0.5 > ex0)
+                & (xx + 0.5 < ex1)
+                & (yy + 0.5 > ey0)
+                & (yy + 0.5 < ey1)
+            )
+            v = a[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)]
+            planes.append(np.where(inside, v, np.nan))
+    st = np.stack(planes, axis=-1)
+    cnt = np.sum(~np.isnan(st), axis=-1)
+    with np.errstate(invalid="ignore"):
+        if method == "average":
+            out = np.nanmean(st, axis=-1)
+        elif method == "sum":
+            out = np.nansum(st, axis=-1)
+        elif method == "rms":
+            out = np.sqrt(np.nanmean(st**2, axis=-1))
+        elif method == "min":
+            out = np.nanmin(st, axis=-1)
+        elif method == "max":
+            out = np.nanmax(st, axis=-1)
+        elif method == "med":
+            out = np.nanmedian(st, axis=-1)
+        elif method == "q1":
+            out = np.nanquantile(st, 0.25, axis=-1)
+        elif method == "q3":
+            out = np.nanquantile(st, 0.75, axis=-1)
+        elif method == "mode":
+            sv = np.sort(st, axis=-1)  # NaNs sort to the end
+            best = sv[..., 0]
+            bestc = np.ones(best.shape)
+            c = np.ones(best.shape)
+            for k in range(1, sv.shape[-1]):
+                same = sv[..., k] == sv[..., k - 1]
+                c = np.where(same, c + 1, 1)
+                better = c > bestc
+                best = np.where(better, sv[..., k], best)
+                bestc = np.where(better, c, bestc)
+            out = best
+        else:
+            raise ValueError(f"unknown area method {method}")
+    return out, cnt
+
+
 def reduce_2x2(arr: np.ndarray, method: str = "average") -> np.ndarray:
     """2×2 block reduction (overview build, gcore/overview.cpp kernels)."""
     h, w = arr.shape
@@ -579,18 +648,19 @@ def reproject_grid(
     nbx, nby = dst.n_blocks()
     dbs = dst.block
     if method in AREA_METHODS:
-        # area kernels reduce the dst pixel's source footprint; the
-        # footprint must be an integer pixel window on an aligned grid
-        # (overview-style downsample — GDAL's own fast path)
-        kx = dgt[1] / s1
-        ky = dgt[5] / s5
-        if abs(kx - round(kx)) > 1e-9 or abs(ky - round(ky)) > 1e-9:
-            raise ValueError(
-                f"area method {method} needs integer scale factors, "
-                f"got ({kx}, {ky})"
-            )
-        kx, ky = int(round(kx)), int(round(ky))
-        MARGIN = max(kx, ky) + 1
+        # area kernels reduce the dst pixel's source footprint; integer
+        # scale factors take the exact-window fast path (overview-style
+        # downsample), anything else the NaN-masked variable-window path
+        fx = dgt[1] / s1
+        fy = dgt[5] / s5
+        integer_scale = (
+            abs(fx - round(fx)) <= 1e-9 and abs(fy - round(fy)) <= 1e-9
+        )
+        if integer_scale:
+            kx, ky = int(round(fx)), int(round(fy))
+        else:
+            kx = ky = 0
+        MARGIN = int(np.ceil(max(abs(fx), abs(fy)))) + 2
     else:
         kx = ky = 0
         MARGIN = _LANCZOS_R if method == "lanczos" else 3
@@ -696,16 +766,40 @@ def reproject_grid(
                 # pixel's left/top edge
                 ex = (dgt[0] + (xs + x0) * dgt[1] - s0) / s1
                 ey = (dgt[3] + (ys + y0) * dgt[5] - s3) / s5
-                ix0 = np.round(ex).astype(np.int64)
-                iy0 = np.round(ey).astype(np.int64)
-                v = area_reduce(canvas, ix0 - cx0, iy0 - cy0, kx, ky, method)
-                inb = (
-                    (ix0 >= 0)
-                    & (ix0 + kx <= sw)
-                    & (iy0 >= 0)
-                    & (iy0 + ky <= sh)
-                    & np.isfinite(v)
-                )
+                ex1_ = (dgt[0] + (xs + x0 + 1) * dgt[1] - s0) / s1
+                ey1_ = (dgt[3] + (ys + y0 + 1) * dgt[5] - s3) / s5
+                elo_x, ehi_x = np.minimum(ex, ex1_), np.maximum(ex, ex1_)
+                elo_y, ehi_y = np.minimum(ey, ey1_), np.maximum(ey, ey1_)
+                if kx:  # integer-scale exact window
+                    ix0 = np.round(ex).astype(np.int64)
+                    iy0 = np.round(ey).astype(np.int64)
+                    v = area_reduce(
+                        canvas, ix0 - cx0, iy0 - cy0, kx, ky, method
+                    )
+                    inb = (
+                        (ix0 >= 0)
+                        & (ix0 + kx <= sw)
+                        & (iy0 >= 0)
+                        & (iy0 + ky <= sh)
+                        & np.isfinite(v)
+                    )
+                else:
+                    v, cnt = area_reduce_frac(
+                        canvas,
+                        elo_x - cx0,
+                        ehi_x - cx0,
+                        elo_y - cy0,
+                        ehi_y - cy0,
+                        method,
+                    )
+                    inb = (
+                        (elo_x >= 0)
+                        & (ehi_x <= sw)
+                        & (elo_y >= 0)
+                        & (ehi_y <= sh)
+                        & (cnt > 0)
+                        & np.isfinite(v)
+                    )
                 v = np.where(inb, v, 0.0)
             else:
                 wx = dgt[0] + (xs + x0 + 0.5) * dgt[1]

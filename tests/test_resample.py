@@ -269,3 +269,38 @@ def test_proximity_maxdist_distributed(spark):
         near = f <= MAXD
         assert np.allclose(g[near], f[near])
         assert (g[~near] == -1.0).all()
+
+
+def test_area_kernels_fractional_scale(spark):
+    """Area kernels at a NON-integer scale (1.5x): NaN-masked variable
+    windows; average must equal the brute-force center-in-footprint
+    average for every dst pixel."""
+    import numpy as np
+
+    from gdal_spark.raster import model
+    from gdal_spark.raster.resample import reproject_grid
+
+    src = model.GridSpec(
+        "g12", 12, 12, (0.0, 1.0, 0.0, 12.0, 0.0, -1.0), block=8, bands=1
+    )
+    dst = model.GridSpec(
+        "g8", 8, 8, (0.0, 1.5, 0.0, 12.0, 0.0, -1.5), block=8, bands=1
+    )
+    blocks = model.synth_blocks(spark, src).where("band = 1")
+    rows = reproject_grid(blocks, dst, "average", band=1).collect()
+    full = np.zeros((8, 8))
+    for r in rows:
+        a = model.decode((r.buf, r.height, r.width, r.dtype))
+        full[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
+    gsrc = model.value_grid(0, 0, 12, 12, 1).astype(np.float64)
+    for Y in range(8):
+        for X in range(8):
+            ex0, ex1 = 1.5 * X, 1.5 * (X + 1)
+            ey0, ey1 = 1.5 * Y, 1.5 * (Y + 1)
+            vals = [
+                gsrc[y, x]
+                for y in range(12)
+                for x in range(12)
+                if ex0 < x + 0.5 < ex1 and ey0 < y + 0.5 < ey1
+            ]
+            assert abs(full[Y, X] - np.mean(vals)) < 1e-9, (X, Y)
