@@ -209,3 +209,45 @@ def test_calc_expression_dialect():
         run("b3 + 1")
     with pytest.raises(ValueError):
         parse_expr("1 +")
+
+
+def test_zonal_ext_inclusion_modes(spark):
+    """alg/zonal.cpp:2079-2110: DEFAULT vs ALL_TOUCHED vs FRACTIONAL on
+    a fractional-edge rect zone; weighted count equals the exact covered
+    area, argmin/argmax are deterministic."""
+    import numpy as np
+
+    from gdal_spark.raster import model
+    from gdal_spark.raster.ops import zonal_stats_ext
+
+    blocks = model.synth_blocks(spark, model.grad100_spec())
+    g = model.grad100_spec().gt
+    # zone: pixel rect x 10.25..13.75, y 20.5-? use 20.25..23.75
+    x0, x1, y0, y1 = 10.25, 13.75, 20.25, 23.75
+    ring = np.array(
+        [
+            [g[0] + x0 * g[1], g[3] + y0 * g[5]],
+            [g[0] + x1 * g[1], g[3] + y0 * g[5]],
+            [g[0] + x1 * g[1], g[3] + y1 * g[5]],
+            [g[0] + x0 * g[1], g[3] + y1 * g[5]],
+        ]
+    )
+    res = {}
+    for mode in ("default", "all_touched", "fractional"):
+        rows = zonal_stats_ext(blocks, [(1, ring)], band=1, inclusion=mode)
+        res[mode] = rows.collect()[0]
+    # centers inside (10.25,13.75): pixels 10..13 → 4x4 = 16... but
+    # center 10.5>10.25 ok, 13.5<13.75 ok → x in {10..13}; y likewise
+    assert res["default"].cnt == 16.0
+    # all_touched: pixel [10,11) overlaps from x=10; [13,14) until 13.75
+    # → x in {10..13}; plus boundary pixels whose rect overlaps:
+    # x=10 covers 10..11 > 10.25 ✓; x=13 covers 13..14 ∩ ..13.75 ✓ —
+    # same x-range BUT also the partially-covered ones are the same set
+    # here; y likewise → 16
+    assert res["all_touched"].cnt == 16.0
+    # fractional: exact covered area = 3.5 * 3.5 = 12.25
+    assert abs(res["fractional"].cnt - 12.25) < 1e-9
+    # argmin/argmax fall inside the zone's pixel range
+    for m in res.values():
+        assert 10 <= m.argmin_x <= 13 and 20 <= m.argmin_y <= 23
+        assert 10 <= m.argmax_x <= 13 and 20 <= m.argmax_y <= 23
