@@ -57,6 +57,9 @@ def collect() -> tuple[
     # are demoted past the window — they stay covered by tools/check_oracle.py
     # and pytest.
     demoted = [
+        "layer_erase_rows",  # subtract kernel shared with in-window union
+        "st_polygon_metrics",  # measures repped by ogr_special_fields/geodesic
+        "raster_band_stats",  # same stats machinery as raster_translate_stats
         "raster_sieve",  # trivial threshold flag over raster_polygonize
         "vector_grid_idw",  # gridding family repped by vector_grid_variants
         "raster_as_features",  # the emission layer of 5 in-window queries

@@ -2030,3 +2030,103 @@ def _contour_lines_oracle() -> str:
 
 QUERIES["raster_contour_lines"] = _contour_lines
 ORACLES["raster_contour_lines"] = _contour_lines_oracle()
+
+
+# --- line-of-sight (alg/los.cpp) + MAXDIST proximity (gdalproximity.cpp) ----
+# LOS: the plane DEM makes bilinear ground values analytic (linear field
+# -> exact), so the full profile incl. the sight line is pure SQL.
+# Proximity: per-pixel min distance to the value==0 target set with the
+# MAXDIST nodata contract; SQL computes the same min over the full
+# target set.
+
+_LOS_OBS = (5.5, -30.5, 10.0)
+_LOS_TGT = (50.5, -10.5, 5.0)
+_LOS_N = 41
+
+
+def _los_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.los import los_profile
+
+    blocks = model.synth_blocks(spark, model.plane_spec())
+    prof = los_profile(blocks, _LOS_OBS, _LOS_TGT, n_samples=_LOS_N)
+    return prof.select(
+        "sid",
+        F.round("t", 6).alias("t"),
+        F.round("ground", 6).alias("ground"),
+        F.round("sightline", 6).alias("sightline"),
+        "blocked",
+    )
+
+
+def _los_oracle() -> str:
+    olon, olat, oh = _LOS_OBS
+    tlon, tlat, th = _LOS_TGT
+    n = _LOS_N
+    return f"""
+    with s as (
+        select sid, cast(sid as double) / {n - 1} as t
+        from (select unnest(range({n})) as sid)
+    ),
+    p as (
+        select sid, t,
+               {olon!r} + t * {tlon - olon!r} as lon,
+               {olat!r} + t * {tlat - olat!r} as lat
+        from s
+    ),
+    g as (
+        select sid, t,
+               3.0 * (lon - 0.5) + 4.0 * (-lat - 0.5) as ground
+        from p
+    ),
+    ends as (
+        select
+          (select ground from g where sid = 0) as g0,
+          (select ground from g where sid = {n - 1}) as g1
+    )
+    select sid, round(t, 6) as t, round(ground, 6) as ground,
+           round(g0 + {oh!r} + t * (g1 + {th!r} - g0 - {oh!r}), 6)
+             as sightline,
+           (ground > g0 + {oh!r} + t * (g1 + {th!r} - g0 - {oh!r}))
+             and t > 0 and t < 1 as blocked
+    from g cross join ends
+    """
+
+
+QUERIES["raster_los_profile"] = _los_query
+ORACLES["raster_los_profile"] = _los_oracle()
+
+
+_PROX_MAXD = 15.0
+
+
+def _proximity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.resample import proximity_maxdist
+
+    out = proximity_maxdist(_blocks(spark), 0.0, _PROX_MAXD, band=1)
+    f = ops.as_features(out)
+    return f.where("x < 30 and y < 30").select(
+        "x", "y", F.round("value", 6).alias("dist")
+    )
+
+
+def _proximity_oracle() -> str:
+    return f"""
+    with px as ({PIXELS_CTE}),
+    t as (select x as tx, y as ty from px where band = 1 and value = 0),
+    d as (
+        select p.x, p.y,
+               min(sqrt(cast((p.x - t.tx) * (p.x - t.tx)
+                   + (p.y - t.ty) * (p.y - t.ty) as double))) as dmin
+        from px p cross join t
+        where p.band = 1 and p.x < 30 and p.y < 30
+        group by p.x, p.y
+    )
+    select x, y,
+           round(case when dmin <= {_PROX_MAXD!r} then dmin else -1.0 end, 6)
+             as dist
+    from d
+    """
+
+
+QUERIES["raster_proximity"] = _proximity_query
+ORACLES["raster_proximity"] = _proximity_oracle()
