@@ -2130,3 +2130,66 @@ def _proximity_oracle() -> str:
 
 QUERIES["raster_proximity"] = _proximity_query
 ORACLES["raster_proximity"] = _proximity_oracle()
+
+
+# --- viewshed (alg/viewshed/viewshed.cpp, R2 sector-sweep distributed) ------
+# The per-ray dependency chain becomes ONE window function per azimuth
+# sector (running max elevation angle by distance). The oracle states
+# the same discretization in SQL: atan2 sector bins + RANGE-framed
+# window cummax — DuckDB executes the identical math over the analytic
+# pixel values.
+
+# observer OFF the half-pixel lattice: symmetric placements put the
+# diagonal pixels exactly on sector boundaries, where a 1-ulp JVM vs
+# libm atan2 difference flips the bin
+_VS_OBS = (_gt()[0] + 20.37 * _gt()[1], _gt()[3] + 50.23 * _gt()[5], 25.0)
+_VS_SECTORS = 128
+
+
+def _viewshed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.los import viewshed
+
+    vs = viewshed(_blocks(spark), _VS_OBS, n_sectors=_VS_SECTORS, band=1)
+    return vs.where("x < 60 and y < 60").select(
+        "x", "y", "sector", "visible"
+    )
+
+
+def _viewshed_oracle() -> str:
+    g = _gt()
+    olon, olat, oh = _VS_OBS
+    two_pi = 6.283185307179586
+    return f"""
+    with px as ({PIXELS_CTE}),
+    d as (
+        select x, y, value,
+               ({g[0]!r} + (x + 0.5) * {g[1]!r}) - {olon!r} as dx,
+               ({g[3]!r} + (y + 0.5) * {g[5]!r}) - {olat!r} as dy
+        from px where band = 1
+    ),
+    s as (
+        select x, y, value,
+               sqrt(dx * dx + dy * dy) as dist,
+               cast(floor(((atan2(dy, dx) + {two_pi!r}) % {two_pi!r})
+                          / {two_pi / _VS_SECTORS!r}) as int) as sector
+        from d
+    ),
+    z as (
+        select value + {oh!r} as z0 from s order by dist limit 1
+    ),
+    a as (
+        select x, y, dist, sector, (value - z.z0) / dist as angle
+        from s cross join z where dist > 0
+    )
+    select x, y, sector,
+           angle >= max(angle) over (
+               partition by sector order by dist
+               range between unbounded preceding and current row
+           ) as visible
+    from a
+    where x < 60 and y < 60
+    """
+
+
+QUERIES["raster_viewshed"] = _viewshed_query
+ORACLES["raster_viewshed"] = _viewshed_oracle()

@@ -87,3 +87,71 @@ def is_visible(
         F.sum(F.col("blocked").cast("int")).alias("nb")
     ).collect()[0].nb  # bounded-metadata
     return int(n_blocked or 0) == 0
+
+
+def viewshed(
+    blocks: DataFrame,
+    observer: tuple[float, float, float],
+    n_sectors: int = 720,
+    band: int = 1,
+) -> DataFrame:
+    """Distributed sector-sweep viewshed (alg/viewshed/viewshed.cpp role
+    via the classic R2/XDraw-style angular discretization): every pixel
+    computes (azimuth sector, distance, elevation angle from the
+    observer) — pure Catalyst column math over the pixel table — then
+    ONE window function per sector takes the running max elevation angle
+    by distance; a pixel is visible iff its angle reaches the running
+    max (ties = grazing → visible). One shuffle keyed by sector; the
+    per-ray dependency chain that makes the reference's sweep
+    single-machine becomes a Spark window ORDER BY.
+
+    Accuracy is the standard R2 trade: rays are discretized to
+    `n_sectors` azimuth bins; raise n_sectors for finer rays. Returns
+    (x, y, dist, angle, sector, visible)."""
+    from pyspark.sql.window import Window
+
+    from gdal_spark.raster.ops import as_features
+
+    olon, olat, oh = observer
+    px = as_features(blocks.where(F.col("band") == band))
+    two_pi = 6.283185307179586
+    d = px.select(
+        "x",
+        "y",
+        "value",
+        (F.col("lon") - F.lit(olon)).alias("dx"),
+        (F.col("lat") - F.lit(olat)).alias("dy"),
+    ).select(
+        "x",
+        "y",
+        "value",
+        F.sqrt(F.col("dx") ** 2 + F.col("dy") ** 2).alias("dist"),
+        F.floor(
+            (F.atan2("dy", "dx") + F.lit(two_pi))
+            % F.lit(two_pi)
+            / F.lit(two_pi / n_sectors)
+        ).cast("int").alias("sector"),
+    )
+    # observer ground elevation: the pixel nearest the observer
+    obs_z = d.orderBy("dist").limit(1).select(
+        (F.col("value") + F.lit(oh)).alias("z0")
+    )
+    d = d.crossJoin(F.broadcast(obs_z)).where(F.col("dist") > 0)
+    ang = d.withColumn(
+        "angle", (F.col("value") - F.col("z0")) / F.col("dist")
+    )
+    # RANGE frame: equal-distance peers all enter each other's frame, so
+    # the visible set is deterministic under tie reordering (and mirrors
+    # the SQL oracle's RANGE semantics exactly)
+    w = Window.partitionBy("sector").orderBy("dist").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = ang.withColumn("cmax", F.max("angle").over(w)).select(
+        "x",
+        "y",
+        "dist",
+        "angle",
+        "sector",
+        (F.col("angle") >= F.col("cmax")).alias("visible"),
+    )
+    return out

@@ -304,3 +304,35 @@ def test_area_kernels_fractional_scale(spark):
                 if ex0 < x + 0.5 < ex1 and ey0 < y + 0.5 < ey1
             ]
             assert abs(full[Y, X] - np.mean(vals)) < 1e-9, (X, Y)
+
+
+def test_viewshed_wall(spark):
+    """Sector-sweep viewshed: a 30-unit wall hides the entire far side
+    (n_sectors matched to raster diameter → exact on this fixture);
+    near side fully visible."""
+    import numpy as np
+
+    from gdal_spark.raster import model
+    from gdal_spark.raster.los import viewshed
+
+    a = np.zeros((48, 48))
+    a[:, 24:26] = 30.0
+    rows = []
+    for by in range(2):
+        for bx in range(2):
+            x0, y0 = bx * 32, by * 32
+            sub = a[y0 : y0 + 32, x0 : x0 + 32]
+            if sub.size == 0:
+                continue
+            rows.append(
+                ("dem", 1, bx, by, x0, y0, sub.shape[1], sub.shape[0],
+                 "float64", 0.0, 1.0, 0.0, 48.0, 0.0, -1.0, None,
+                 bytearray(np.ascontiguousarray(sub).tobytes()))
+            )
+    blocks = spark.createDataFrame(rows, model.BLOCK_SCHEMA)
+    vis = {
+        (r.x, r.y): r.visible
+        for r in viewshed(blocks, (5.0, 24.0, 2.0), n_sectors=128).collect()
+    }
+    assert all(v for (x, y), v in vis.items() if x < 23)
+    assert not any(v for (x, y), v in vis.items() if x > 27)
