@@ -157,3 +157,149 @@ def lsh_bucket_topk(
         .where(F.col("rnk") <= k)
         .select("id_a", "rnk", "id_b", F.round("sim", 6).alias("sim"))
     )
+
+
+def ivf_train(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """IVF coarse quantizer: Lloyd's k-means, deterministic — init =
+    the k lowest-id vectors, every iteration rounds centroids to 6 dp so
+    the trained codebook is reproducible bit-for-bit across partition
+    orders (and mirrorable in SQL). Data never leaves the cluster: only
+    the k×dim codebook (bounded metadata) visits the driver."""
+    import numpy as np
+
+    # bounded-metadata: k seed vectors
+    seed = (
+        emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    )  # bounded-metadata
+    cents = np.array([list(r[0]) for r in seed], dtype=np.float64)
+    spark = emb.sparkSession
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents.tolist())
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = np.asarray(bc.value, dtype=np.float64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                d2 = np.round(d2, 8)  # kill last-ulp order sensitivity
+                cid = np.argmin(d2, axis=1)  # ties → lowest cid
+                out = pd.DataFrame({"cid": cid.astype(np.int64)})
+                out["vec"] = list(pdf[vec_col])
+                yield out
+
+        assigned = emb.select(vec_col).mapInPandas(
+            assign, f"cid long, vec array<double>"
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )  # bounded-metadata: k*dim aggregate rows
+        new = cents.copy()
+        by_cid: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in sums:
+            by_cid.setdefault(int(r.cid), {})[int(r.pos)] = (float(r.s), int(r.n))
+        for cid, posmap in by_cid.items():
+            for pos, (sv, n) in posmap.items():
+                new[cid, pos] = round(sv / n, 6)
+        cents = new
+    return cents.tolist()
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    query_ids: list[int],
+    nprobe: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search: vectors carry their coarse cell id (one broadcast
+    codebook pass); each query probes its `nprobe` nearest cells and
+    ranks only those buckets by exact cosine — the candidate set shrinks
+    by ~k/nprobe versus brute force while the shuffle stays keyed by the
+    tiny cell id. Rank ties break by (round(cos,6) desc, vec_id)."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(C.tolist())
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        CC = np.asarray(bc.value, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            d2 = np.round(
+                ((X[:, None, :] - CC[None, :, :]) ** 2).sum(axis=2), 8
+            )
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cid": np.argmin(d2, axis=1).astype(np.int64),
+                }
+            )
+            out["vec"] = list(pdf[vec_col])
+            yield out
+
+    cells = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cid long, vec array<double>"
+    )
+    # query side: (qid, probed cid) pairs — queries are a small id list,
+    # their vectors come from the same table (no duplicate source)
+    qvec = cells.where(F.col(id_col).isin([int(q) for q in query_ids]))
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        CC = np.asarray(bc.value, dtype=np.float64)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                x = np.asarray(list(r.vec), dtype=np.float64)
+                d2 = np.round(((CC - x) ** 2).sum(axis=1), 8)
+                order = np.lexsort((np.arange(len(CC)), d2))
+                for c in order[:nprobe]:
+                    rows.append((int(getattr(r, id_col)), int(c), list(r.vec)))
+            yield pd.DataFrame(rows, columns=["qid", "cid", "qvec"])
+
+    qp = qvec.mapInPandas(probes, "qid long, cid long, qvec array<double>")
+    cand = qp.join(cells, "cid").where(F.col("qid") != F.col(id_col))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array([list(v) for v in pdf["qvec"]], dtype=np.float64)
+            X = np.array([list(v) for v in pdf["vec"]], dtype=np.float64)
+            cos = (Q * X).sum(axis=1) / (
+                np.linalg.norm(Q, axis=1) * np.linalg.norm(X, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(),
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cos": np.round(cos, 6),
+                }
+            )
+
+    scored = cand.mapInPandas(score, "qid long, vec_id long, cos double")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.dropDuplicates(["qid", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+    )

@@ -139,3 +139,122 @@ ORACLES = {
     "ann_lsh_signature": ANN_LSH_ORACLE,
     "embedding_label_centroids": LABEL_CENTROID_ORACLE,
 }
+
+
+# --- IVF ANN (coarse k-means quantizer + nprobe bucket search) --------------
+# The scale path for huge-corpus ANN: codebook trained with
+# deterministic Lloyd iterations (round-6 centroids, round-8 distances,
+# lowest-cid ties), search touches only nprobe cells. The oracle unrolls
+# the SAME iterations in SQL — every rounding point mirrored, so the
+# trained codebook, cell assignment, candidate set and ranking are
+# hash-exact.
+
+_IVF_K = 8
+_IVF_ITERS = 3
+_IVF_QIDS = [0, 1, 2, 3, 4]
+_IVF_NPROBE = 2
+_IVF_TOPK = 5
+_DIM = 64
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train(emb, k=_IVF_K, iters=_IVF_ITERS)
+    out = ivf_topk(
+        emb, cents, _IVF_QIDS, nprobe=_IVF_NPROBE, topk=_IVF_TOPK
+    )
+    return out.select("qid", "vec_id", "cos", "rank")
+
+
+def _ann_ivf_oracle() -> str:
+    steps = [
+        f"""
+    x as (
+        select vec_id, p.pos, cast(embedding[p.pos + 1] as double) as v
+        from embeddings cross join (select unnest(range({_DIM})) as pos) p
+    ),
+    c0 as (select vec_id as cid, pos, v from x where vec_id < {_IVF_K})"""
+    ]
+    for i in range(_IVF_ITERS):
+        steps.append(f"""
+    a{i} as (
+        select x.vec_id, c.cid,
+               round(sum((x.v - c.v) * (x.v - c.v)), 8) as d2
+        from x join c{i} c on c.pos = x.pos
+        group by x.vec_id, c.cid
+    ),
+    m{i} as (
+        select vec_id, cid from (
+            select vec_id, cid,
+                   row_number() over (partition by vec_id
+                                      order by d2, cid) as rn
+            from a{i}
+        ) where rn = 1
+    ),
+    n{i} as (
+        select m.cid, x.pos, round(sum(x.v) / count(*), 6) as v
+        from m{i} m join x on x.vec_id = m.vec_id
+        group by m.cid, x.pos
+    ),
+    c{i + 1} as (
+        select c.cid, c.pos, coalesce(n.v, c.v) as v
+        from c{i} c left join n{i} n
+          on n.cid = c.cid and n.pos = c.pos
+    )""")
+    fc = f"c{_IVF_ITERS}"
+    qids = ", ".join(str(q) for q in _IVF_QIDS)
+    return (
+        "with "
+        + ",".join(steps)
+        + f""",
+    af as (
+        select x.vec_id, c.cid,
+               round(sum((x.v - c.v) * (x.v - c.v)), 8) as d2
+        from x join {fc} c on c.pos = x.pos
+        group by x.vec_id, c.cid
+    ),
+    cells as (
+        select vec_id, cid from (
+            select vec_id, cid,
+                   row_number() over (partition by vec_id
+                                      order by d2, cid) as rn
+            from af
+        ) where rn = 1
+    ),
+    qprobe as (
+        select vec_id as qid, cid from (
+            select vec_id, cid,
+                   row_number() over (partition by vec_id
+                                      order by d2, cid) as rn
+            from af where vec_id in ({qids})
+        ) where rn <= {_IVF_NPROBE}
+    ),
+    cand as (
+        select q.qid, c.vec_id
+        from qprobe q join cells c on c.cid = q.cid
+        where c.vec_id <> q.qid
+    ),
+    cos as (
+        select cd.qid, cd.vec_id,
+               round(sum(qx.v * vx.v)
+                     / (sqrt(sum(qx.v * qx.v)) * sqrt(sum(vx.v * vx.v))),
+                     6) as cos
+        from cand cd
+        join x qx on qx.vec_id = cd.qid
+        join x vx on vx.vec_id = cd.vec_id and vx.pos = qx.pos
+        group by cd.qid, cd.vec_id
+    )
+    select qid, vec_id, cos, rank from (
+        select qid, vec_id, cos,
+               row_number() over (partition by qid
+                                  order by cos desc, vec_id) as rank
+        from cos
+    ) where rank <= {_IVF_TOPK}
+    """
+    )
+
+
+QUERIES["ann_ivf_topk"] = _ann_ivf
+ORACLES["ann_ivf_topk"] = _ann_ivf_oracle()
