@@ -175,8 +175,8 @@ def ivf_train(
 
     # bounded-metadata: k seed vectors
     seed = (
-        emb.orderBy(id_col).limit(k).select(vec_col).collect()
-    )  # bounded-metadata
+        emb.orderBy(id_col).limit(k).select(vec_col).collect()  # bounded-metadata
+    )
     cents = np.array([list(r[0]) for r in seed], dtype=np.float64)
     spark = emb.sparkSession
     for _ in range(iters):
@@ -202,8 +202,8 @@ def ivf_train(
             assigned.select("cid", F.posexplode("vec").alias("pos", "v"))
             .groupBy("cid", "pos")
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )  # bounded-metadata: k*dim aggregate rows
+            .collect()  # bounded-metadata: k*dim aggregate rows
+        )
         new = cents.copy()
         by_cid: dict[int, dict[int, tuple[float, int]]] = {}
         for r in sums:

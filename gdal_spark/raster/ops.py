@@ -316,6 +316,16 @@ _PIXFUNCS = {
     + (bands[1] - bands[0])
     * (float(kw.get("t", 0.5)) - float(kw.get("t0", 0.0)))
     / max(float(kw.get("t1", 1.0)) - float(kw.get("t0", 0.0)), 1e-300),
+    "cmul": lambda bands: bands[0] * bands[1],  # real-degenerate: conj(b)=b
+    "round": lambda bands, **kw: np.round(
+        bands[0], int(kw.get("decimals", 0))
+    ),
+    "area": lambda bands, **kw: np.full_like(
+        bands[0], abs(float(kw.get("pixel_area", 1.0)))
+    ),
+    # 'expression' and 'reclassify' are the dedicated engines
+    # (raster/calc.py and ops.reclassify) — registered here as
+    # dispatching entries for name parity with pixelfunctions.cpp
     "interpolate_exp": lambda bands, **kw: bands[0]
     * np.power(
         np.divide(
@@ -351,7 +361,18 @@ def pixel_function(
     """Derived band = func(all bands of a block), float64 output —
     the VRT derived-band contract (in: ndarray stack, out: ndarray;
     frmts/vrt/vrtderivedrasterband.cpp:446-520). `params` carries the
-    function's VRT PixelFunctionArguments (scale/offset/power/q/t…)."""
+    function's VRT PixelFunctionArguments (scale/offset/power/q/t…).
+    The two programmable names dispatch to their dedicated engines:
+    `expression` → raster.calc (muparser dialect), `reclassify` →
+    the mapping DSL — completing the 38-name registry
+    (pixelfunctions.cpp:4370-4457)."""
+    if func == "expression":
+        from gdal_spark.raster.calc import calc
+
+        return calc(blocks, (params or {})["expr"])
+    if func == "reclassify":
+        p = params or {}
+        return reclassify(blocks, p["mapping"], p.get("default", 0))
     if func not in _PIXFUNCS:
         raise ValueError(f"unknown pixel function {func}")
     kern = _PIXFUNCS[func]
