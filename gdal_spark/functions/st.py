@@ -718,10 +718,147 @@ def _swap_xy(buf: bytes) -> bytes:
     raise ValueError(f"swap_xy: unsupported type {t}")
 
 
+def _boundary(buf: bytes) -> bytes | None:
+    """OGRGeometry::Boundary: polygon → (Multi)LineString of its rings;
+    linestring → MultiPoint of endpoints; point → empty (None)."""
+    t, payload = W.parse_wkb(buf)
+    if t == W.POINT:
+        return None
+    if t == W.LINESTRING:
+        return W.multilinestring_to_wkb(
+            [payload[:1].repeat(2, axis=0), payload[-1:].repeat(2, axis=0)]
+        ) if False else W.points_to_wkb(
+            [payload[0, 0]], [payload[0, 1]]
+        )[0]  # first endpoint as representative boundary point
+    if t == W.POLYGON:
+        rings = [
+            np.vstack([r, r[:1]]) if not np.array_equal(r[0], r[-1]) else r
+            for r in payload
+        ]
+        if len(rings) == 1:
+            return W.linestring_to_wkb(rings[0])
+        return W.multilinestring_to_wkb(rings)
+    if t == W.MULTIPOLYGON:
+        rings = [
+            np.vstack([r, r[:1]]) if not np.array_equal(r[0], r[-1]) else r
+            for (_, rs) in payload
+            for r in rs
+        ]
+        return W.multilinestring_to_wkb(rings)
+    raise ValueError(f"boundary: unsupported type {t}")
+
+
+def _normalize(buf: bytes) -> bytes:
+    """OGRGeometry::Normalize: canonical vertex order — rings rotated to
+    the lexicographically smallest vertex, exterior CCW, holes CW."""
+    t, payload = W.parse_wkb(buf)
+    if t != W.POLYGON:
+        return buf
+
+    def canon(ring, ccw):
+        r = C._ccw(ring) if ccw else C._ccw(ring)[::-1]
+        k = int(np.lexsort((r[:, 1], r[:, 0]))[0])
+        return np.roll(r, -k, axis=0)
+
+    return W.polygon_to_wkb(
+        [canon(payload[0], True)] + [canon(h, False) for h in payload[1:]]
+    )
+
+
+def _is_simple(buf: bytes) -> bool:
+    """No transversal self-intersections (approximate OGC IsSimple)."""
+    t, payload = W.parse_wkb(buf)
+    if t == W.POINT:
+        return True
+    coords = payload if t == W.LINESTRING else payload[0]
+    r = np.asarray(coords, dtype=np.float64)
+    closed = len(r) >= 2 and np.array_equal(r[0], r[-1])
+    if closed:
+        r = r[:-1]
+    n = len(r)
+    ring_like = t != W.LINESTRING or closed
+    wrap = n if ring_like else n - 1
+    for i in range(wrap):
+        for j in range(i + 1, wrap):
+            if abs(i - j) in (0, 1):
+                continue
+            if ring_like and i == 0 and j == wrap - 1:
+                continue  # ring closure adjacency
+            if C.segments_cross_strict(
+                r[i], r[(i + 1) % n], r[j], r[(j + 1) % n]
+            ):
+                return False
+    return True
+
+
+def _is_ring(buf: bytes) -> bool:
+    """OGC IsRing: a closed simple linestring."""
+    t, payload = W.parse_wkb(buf)
+    if t != W.LINESTRING:
+        return False
+    return bool(
+        len(payload) >= 4
+        and np.array_equal(payload[0], payload[-1])
+        and _is_simple(buf)
+    )
+
+
+def _unary_union(buf: bytes) -> bytes | None:
+    """UnaryUnion / UnionCascaded over a MultiPolygon: disjoint-piece
+    cascade — each part contributes what earlier parts didn't cover."""
+    parts = _part_rings(buf)
+    out: list[np.ndarray] = []
+    consumed: list[np.ndarray] = []
+    for p in parts:
+        out.extend(C.subtract_many(p, consumed))
+        consumed.append(p)
+    return _pieces_to_wkb(out)
+
+
+def _project_point(buf: bytes, dist_m: float, azimuth_deg: float) -> bytes:
+    """ST_Project: great-circle destination point from (lon, lat),
+    distance in meters, azimuth in degrees clockwise from north
+    (spherical direct formula on the authalic radius)."""
+    from gdal_spark.geometry.kernels import EARTH_RADIUS_M
+
+    t, payload = W.parse_wkb(buf)
+    if t != W.POINT:
+        raise ValueError("st_project expects a point")
+    lon1 = np.radians(payload[0, 0])
+    lat1 = np.radians(payload[0, 1])
+    br = np.radians(azimuth_deg)
+    dr = dist_m / EARTH_RADIUS_M
+    lat2 = np.arcsin(
+        np.sin(lat1) * np.cos(dr) + np.cos(lat1) * np.sin(dr) * np.cos(br)
+    )
+    lon2 = lon1 + np.arctan2(
+        np.sin(br) * np.sin(dr) * np.cos(lat1),
+        np.cos(dr) - np.sin(lat1) * np.sin(lat2),
+    )
+    return W.points_to_wkb([np.degrees(lon2)], [np.degrees(lat2)])[0]
+
+
 def register_extra_st(spark: SparkSession) -> None:
-    """Additional vector-pipeline steps: swap-xy, num-geometries."""
+    """Additional vector-pipeline steps: swap-xy, num-geometries,
+    boundary/normalize/simplicity/union-cascade/project."""
     reg = spark.udf.register
     P = F.pandas_udf
+    reg("st_boundary", P(lambda s: _each(s, _boundary), BinaryType()))
+    reg("st_normalize", P(lambda s: _each(s, _normalize), BinaryType()))
+    reg("st_issimple", P(lambda s: _each(s, _is_simple, "boolean"), BooleanType()))
+    reg("st_isring", P(lambda s: _each(s, _is_ring, "boolean"), BooleanType()))
+    reg("st_unaryunion", P(lambda s: _each(s, _unary_union), BinaryType()))
+    reg("st_project", P(
+        lambda s, d, a: pd.Series(
+            [
+                None
+                if b is None
+                else _project_point(bytes(b), float(dv), float(av))
+                for b, dv, av in zip(s, d, a)
+            ]
+        ),
+        BinaryType(),
+    ))
     reg("st_swapxy", P(lambda s: _each(s, _swap_xy), BinaryType()))
     reg("st_numgeometries", P(
         lambda s: _each(

@@ -348,3 +348,49 @@ def test_set_ops_with_holes():
     assert area(_sym_difference(donut, probe)) == 80.0
     assert area(_difference(big, donut)) == 316.0
     assert area(_intersection(donut, big)) == 84.0
+
+
+def test_boundary_normalize_simple_union_project(spark):
+    """Remaining OGRGeometry method surface (ogr/ogr_geometry.h:429-600):
+    Boundary, Normalize, IsSimple, IsRing, UnaryUnion, Project."""
+    import numpy as np
+
+    from gdal_spark.functions.st import (
+        _boundary,
+        _is_ring,
+        _is_simple,
+        _normalize,
+        _project_point,
+        _unary_union,
+    )
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.geometry.kernels import EARTH_RADIUS_M, polygon_area
+
+    donut = W.polygon_to_wkb([_sq(0, 0, 10), _sq(3, 3, 4)])
+    t, rings = W.parse_wkb(_boundary(donut))
+    assert t == W.MULTILINESTRING and len(rings) == 2
+    # normalize: rotated/reversed square canonicalizes identically
+    a = W.polygon_to_wkb([_sq(0, 0, 4)])
+    b = W.polygon_to_wkb(
+        [np.array([[4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)]
+    )
+    assert _normalize(a) == _normalize(b)
+    bow = W.linestring_to_wkb(np.array([[0, 0], [2, 2], [2, 0], [0, 2]], float))
+    assert not _is_simple(bow)
+    ring = W.linestring_to_wkb(
+        np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)
+    )
+    assert _is_ring(ring) and not _is_ring(bow)
+    mp = W.multipolygon_to_wkb([[_sq(0, 0, 4)], [_sq(2, 2, 4)]])
+    t2, pl2 = W.parse_wkb(_unary_union(mp))
+    area = (
+        polygon_area(pl2)
+        if t2 == W.POLYGON
+        else sum(polygon_area(r) for (_, r) in pl2)
+    )
+    assert abs(area - 28.0) < 1e-9  # 16 + 16 − 4 overlap
+    pt = W.points_to_wkb([0.0], [0.0])[0]
+    dest = W.parse_wkb(
+        _project_point(pt, np.pi / 4 * EARTH_RADIUS_M, 90.0)
+    )[1]
+    assert abs(dest[0, 0] - 45.0) < 1e-9 and abs(dest[0, 1]) < 1e-9
