@@ -14,6 +14,7 @@ rounded after ranking, so the compare is exact.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gdal_spark import portable, tables
 
@@ -57,3 +58,47 @@ def _knn_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"knn_centers": _knn_centers}
 ORACLES = {"knn_centers": _knn_sql("duckdb")}
+
+
+def _knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path kNN (cell-ring expansion with provable stop,
+    operators/knn.py knn_ring_join) on the same task as knn_centers —
+    output is (url, rnk, polygon_id) WITHOUT the distance column: the
+    engine computes haversine in numpy while the oracle uses SQL trig,
+    and the two can differ in the last ulp; ranks are stable (targets
+    are km apart) so the compare stays exact."""
+    from gdal_spark import portable as P
+    from gdal_spark.operators.knn import knn_ring_join
+
+    tables.register_views(spark, sf_dir)
+    pages = spark.sql(
+        f"select url, lat, lon from ({P.geo_pages_cte('spark')})"
+    )
+    targets = [
+        (int(r.polygon_id), float(r.t_lat), float(r.t_lon))
+        for r in spark.sql(_targets_cte("spark")).collect()
+    ]  # bounded-metadata: 25 targets
+    out = knn_ring_join(pages, targets, k=K, cell_deg=4.0)
+    return out.select(
+        "url", "rnk", F.col("target_id").alias("polygon_id")
+    )
+
+
+def _knn_ring_oracle() -> str:
+    dist = portable.haversine_sql("g.lat", "g.lon", "t.t_lat", "t.t_lon")
+    return f"""
+    with g as ({portable.geo_pages_cte('duckdb')}),
+    t as ({_targets_cte('duckdb')}),
+    ranked as (
+        select g.url, t.polygon_id,
+               row_number() over (partition by g.url
+                                  order by {dist} asc, t.polygon_id asc) as rnk
+        from g cross join t
+    )
+    select url, rnk, polygon_id
+    from ranked where rnk <= {K}
+    """
+
+
+QUERIES["knn_ring"] = _knn_ring
+ORACLES["knn_ring"] = _knn_ring_oracle()
