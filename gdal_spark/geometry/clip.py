@@ -17,6 +17,15 @@ triangle partition and composing the convex machinery (subjects may
 always be concave). All results are validated in tests against area
 invariants (|A∩B| + |A−B| = |A|, |A∪B| = |A|+|B|−|A∩B|), golden
 fixtures, and hypothesis-randomized star polygons.
+
+KNOWN LIMITATION (documented contract): Sutherland–Hodgman on a concave
+SUBJECT can emit a single ring that joins disjoint result pieces with
+zero-width bridges along the clip edge. Such rings are area-correct and
+render correctly under the even-odd rule, but are not guaranteed
+OGC-simple; downstream consumers needing simple rings should pass
+results through functions.st _is_simple / make_valid, or decompose via
+triangulate(). The layer-algebra oracles compare areas/row sets, which
+are invariant to the bridge representation.
 """
 
 from __future__ import annotations
