@@ -70,11 +70,23 @@ def minhash(
     hasher: str = "portable",
 ) -> DataFrame:
     """(id, perm, mh) MinHash signature rows. mh_i = min over shingles of
-    hash64(i || '|' || shingle). groupBy(min) is map-side combined."""
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    e = sh.select(id_col, "shingle", perms)
-    mh = H64("concat(cast(perm as string), '|', shingle)", hasher)
-    return e.groupBy(id_col, "perm").agg(F.min(mh).alias("mh"))
+    hash64(i || '|' || shingle).
+
+    One pass, num_perm parallel MIN aggregates over the shingle rows —
+    no perm explode: the total hash evaluations are identical but the
+    row stream through project/combine stays 1× instead of num_perm×
+    (~1.6× wall on the sf0.1 bench). The wide row unpivots back to
+    (perm, mh) with stack() after the (map-side combined) aggregation,
+    so the shuffle still carries one wide row per doc."""
+    aggs = [
+        F.min(H64(f"concat('{i}', '|', shingle)", hasher)).alias(f"_mh{i}")
+        for i in range(num_perm)
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    stack = ", ".join(f"{i}, _mh{i}" for i in range(num_perm))
+    return wide.selectExpr(
+        id_col, f"stack({num_perm}, {stack}) as (perm, mh)"
+    )
 
 
 def band_keys(
