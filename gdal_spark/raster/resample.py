@@ -665,7 +665,22 @@ def reproject_grid(
         kx = ky = 0
         MARGIN = _LANCZOS_R if method == "lanczos" else 3
     if method in AREA_METHODS and world_to_dst is not None:
-        raise ValueError("area kernels require an affine (no-op) transform")
+        # projection path: footprint = bbox of the 4 inverse-mapped dst
+        # pixel corners → per-pixel variable windows, never the exact
+        # integer-scale fast path. MARGIN from a center-pixel probe of
+        # the actual dst→src scale (the gt ratio mixes units here).
+        kx = ky = 0
+        _cwx = dgt[0] + (dst.width / 2.0) * dgt[1]
+        _cwy = dgt[3] + (dst.height / 2.0) * dgt[5]
+        _l0, _t0 = dst_to_world(np.array([_cwx]), np.array([_cwy]))
+        _l1, _t1 = dst_to_world(
+            np.array([_cwx + dgt[1]]), np.array([_cwy + dgt[5]])
+        )
+        _span = max(
+            abs(float(_l1[0] - _l0[0])) / abs(s1),
+            abs(float(_t1[0] - _t0[0])) / abs(s5),
+        )
+        MARGIN = int(np.ceil(_span)) + 2
 
     ship_schema = (
         "band int, bx int, by int, x0 long, y0 long, w long, h long, buf binary"
@@ -762,14 +777,31 @@ def reproject_grid(
                 ] = np.frombuffer(r.buf, dtype=np.float64).reshape(r.h, r.w)
             ys, xs = np.mgrid[0:h, 0:w]
             if method in AREA_METHODS:
-                # window anchor: src pixel-EDGE coordinate of the dst
-                # pixel's left/top edge
-                ex = (dgt[0] + (xs + x0) * dgt[1] - s0) / s1
-                ey = (dgt[3] + (ys + y0) * dgt[5] - s3) / s5
-                ex1_ = (dgt[0] + (xs + x0 + 1) * dgt[1] - s0) / s1
-                ey1_ = (dgt[3] + (ys + y0 + 1) * dgt[5] - s3) / s5
-                elo_x, ehi_x = np.minimum(ex, ex1_), np.maximum(ex, ex1_)
-                elo_y, ehi_y = np.minimum(ey, ey1_), np.maximum(ey, ey1_)
+                # window anchor: src pixel-EDGE coordinates of the dst
+                # pixel footprint — for a projection transform, the bbox
+                # of the 4 inverse-mapped corners (GDAL's approximation
+                # of the curved footprint)
+                if dst_to_world is None:
+                    ex = (dgt[0] + (xs + x0) * dgt[1] - s0) / s1
+                    ey = (dgt[3] + (ys + y0) * dgt[5] - s3) / s5
+                    ex1_ = (dgt[0] + (xs + x0 + 1) * dgt[1] - s0) / s1
+                    ey1_ = (dgt[3] + (ys + y0 + 1) * dgt[5] - s3) / s5
+                    elo_x, ehi_x = np.minimum(ex, ex1_), np.maximum(ex, ex1_)
+                    elo_y, ehi_y = np.minimum(ey, ey1_), np.maximum(ey, ey1_)
+                else:
+                    cxs, cys = [], []
+                    for ddx in (0, 1):
+                        for ddy in (0, 1):
+                            cwx = dgt[0] + (xs + x0 + ddx) * dgt[1]
+                            cwy = dgt[3] + (ys + y0 + ddy) * dgt[5]
+                            lon_c, lat_c = dst_to_world(cwx, cwy)
+                            cxs.append((lon_c - s0) / s1)
+                            cys.append((lat_c - s3) / s5)
+                    ex = cxs[0]  # anchor for the (unused) integer path
+                    elo_x = np.minimum.reduce(cxs)
+                    ehi_x = np.maximum.reduce(cxs)
+                    elo_y = np.minimum.reduce(cys)
+                    ehi_y = np.maximum.reduce(cys)
                 if kx:  # integer-scale exact window
                     ix0 = np.round(ex).astype(np.int64)
                     iy0 = np.round(ey).astype(np.int64)

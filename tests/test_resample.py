@@ -336,3 +336,59 @@ def test_viewshed_wall(spark):
     }
     assert all(v for (x, y), v in vis.items() if x < 23)
     assert not any(v for (x, y), v in vis.items() if x > 27)
+
+
+def test_area_kernel_under_projection(spark):
+    """Area kernels through the UTM transform: footprint = bbox of the
+    4 inverse-mapped corners; brute-force parity on a 12 km average
+    downsample of grad100."""
+    import functools
+
+    import numpy as np
+
+    from gdal_spark.geometry.proj import tm_forward, tm_inverse
+    from gdal_spark.raster import model
+    from gdal_spark.raster.resample import reproject_grid
+
+    src = model.grad100_spec()
+    fwd = functools.partial(tm_forward, lon0=-75.0)
+    inv = functools.partial(tm_inverse, lon0=-75.0)
+    dst = model.GridSpec(
+        "utma", 10, 10,
+        (360000.0, 16000.0, 0.0, 4640000.0, 0.0, -16000.0),
+        block=32, bands=1,
+    )
+    blocks = model.synth_blocks(spark, src).where("band = 1")
+    rows = reproject_grid(
+        blocks, dst, "average", band=1, world_to_dst=fwd, dst_to_world=inv
+    ).collect()
+    full = np.zeros((10, 10))
+    for r in rows:
+        a = model.decode((r.buf, r.height, r.width, r.dtype))
+        full[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
+    gsrc = model.value_grid(0, 0, 100, 100, 1).astype(np.float64)
+    g = src.gt
+    for Y in range(10):
+        for X in range(10):
+            lons, lats = [], []
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    E = 360000.0 + (X + dx) * 16000.0
+                    N = 4640000.0 - (Y + dy) * 16000.0
+                    lo, la = inv(np.array([E]), np.array([N]))
+                    lons.append((lo[0] - g[0]) / g[1])
+                    lats.append((la[0] - g[3]) / g[5])
+            ex0, ex1 = min(lons), max(lons)
+            ey0, ey1 = min(lats), max(lats)
+            vals = [
+                gsrc[y, x]
+                for y in range(100)
+                for x in range(100)
+                if ex0 < x + 0.5 < ex1 and ey0 < y + 0.5 < ey1
+            ]
+            want = (
+                np.mean(vals)
+                if vals and ex0 >= 0 and ex1 <= 100 and ey0 >= 0 and ey1 <= 100
+                else 0.0
+            )
+            assert abs(full[Y, X] - want) < 1e-9, (X, Y)
