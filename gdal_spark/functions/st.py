@@ -305,10 +305,7 @@ def _intersection(a: bytes, b: bytes) -> bytes | None:
         line = W.parse_wkb(line_buf)[1]
         pieces: list[np.ndarray] = []
         for ring, holes in _parts_h(poly_buf):
-            if holes:
-                raise ValueError("line ∩ polygon-with-holes not supported")
-            for part in C._convex_parts(ring):
-                pieces.extend(C.clip_line_convex(line, part))
+            pieces.extend(C.clip_line_polygon_holes(line, ring, holes))
         return _lines_to_wkb(pieces)
     out: list[np.ndarray] = []
     for ae, ha in _parts_h(a):

@@ -919,3 +919,96 @@ def concave_hull(points: np.ndarray, alpha: float) -> np.ndarray:
             break
         ring.append(cur)
     return _ccw(pts[ring])
+
+
+def _seg_clip_t(p: np.ndarray, q: np.ndarray, clip_ring: np.ndarray):
+    """Cyrus–Beck parameter interval [t0, t1] of segment p→q inside the
+    convex ring, or None."""
+    t0, t1 = 0.0, 1.0
+    d = q - p
+    for a, b in convex_edges(clip_ring):
+        nrm = np.array([-(b[1] - a[1]), b[0] - a[0]])
+        denom = float(nrm @ d)
+        num = float(nrm @ (a - p))
+        if abs(denom) < 1e-300:
+            if num > 0:
+                return None
+            continue
+        t = num / denom
+        if denom > 0:
+            t0 = max(t0, t)
+        else:
+            t1 = min(t1, t)
+        if t0 > t1:
+            return None
+    return (t0, t1)
+
+
+def _merge_intervals(iv: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    if not iv:
+        return []
+    iv = sorted(iv)
+    out = [list(iv[0])]
+    for a, b in iv[1:]:
+        if a <= out[-1][1] + 1e-12:
+            out[-1][1] = max(out[-1][1], b)
+        else:
+            out.append([a, b])
+    return [(a, b) for a, b in out]
+
+
+def _subtract_intervals(keep, cut):
+    """keep − cut, both merged interval lists."""
+    out = []
+    for a, b in keep:
+        cur = a
+        for ca, cb in cut:
+            if cb <= cur or ca >= b:
+                continue
+            if ca > cur:
+                out.append((cur, min(ca, b)))
+            cur = max(cur, cb)
+            if cur >= b:
+                break
+        if cur < b:
+            out.append((cur, b))
+    return [(a, b) for a, b in out if b - a > 1e-12]
+
+
+def clip_line_polygon_holes(
+    line: np.ndarray, ext: np.ndarray, holes: list[np.ndarray]
+) -> list[np.ndarray]:
+    """line ∩ (polygon with holes) as polylines: per segment, the
+    parameter intervals inside the exterior (union over its convex
+    parts) minus the intervals inside any hole — pure interval
+    arithmetic, then consecutive pieces stitch back into chains."""
+    line = np.asarray(line, dtype=np.float64)
+    ext_parts = _convex_parts(ext)
+    hole_parts = [p for h in holes for p in _convex_parts(h)]
+    out: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+    for i in range(len(line) - 1):
+        p, q = line[i], line[i + 1]
+        inside = _merge_intervals(
+            [iv for part in ext_parts if (iv := _seg_clip_t(p, q, part))]
+        )
+        cut = _merge_intervals(
+            [iv for part in hole_parts if (iv := _seg_clip_t(p, q, part))]
+        )
+        keep = _subtract_intervals(inside, cut)
+        d = q - p
+        for t0, t1 in keep:
+            s, e = p + t0 * d, p + t1 * d
+            if cur and np.allclose(cur[-1], s):
+                cur.append(e)
+            else:
+                if len(cur) >= 2:
+                    out.append(cur)
+                cur = [s, e]
+            if t1 < 1.0:
+                if len(cur) >= 2:
+                    out.append(cur)
+                cur = []
+    if len(cur) >= 2:
+        out.append(cur)
+    return [np.array(p) for p in out]

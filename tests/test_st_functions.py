@@ -394,3 +394,19 @@ def test_boundary_normalize_simple_union_project(spark):
         _project_point(pt, np.pi / 4 * EARTH_RADIUS_M, 90.0)
     )[1]
     assert abs(dest[0, 0] - 45.0) < 1e-9 and abs(dest[0, 1]) < 1e-9
+
+
+def test_line_intersection_with_holes():
+    """line ∩ donut: pieces skip the hole; total length exact."""
+    import numpy as np
+
+    from gdal_spark.functions.st import _intersection
+    from gdal_spark.geometry import wkb as W
+
+    donut = W.polygon_to_wkb([_sq(0, 0, 10), _sq(3, 3, 4)])
+    line = W.linestring_to_wkb(np.array([[-5.0, 5.0], [15.0, 5.0]]))
+    out = _intersection(line, donut)
+    t, payload = W.parse_wkb(out)
+    assert t == W.MULTILINESTRING and len(payload) == 2
+    total = sum(float(np.hypot(*(p[1][-1] - p[1][0]))) for p in payload)
+    assert abs(total - 6.0) < 1e-9  # (0..3) + (7..10)
