@@ -250,6 +250,9 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                     if p[:2] in (b"P5", b"P6"):
                         t = decode_ppm(p).astype(np.float64)
                         kind, mean, std = "image", float(t.mean()), float(t.std())
+                    elif p[:8] == b"\x89PNG\r\n\x1a\n":
+                        t = decode_png(p).astype(np.float64)
+                        kind, mean, std = "image", float(t.mean()), float(t.std())
                     elif p[:4] == b"RIFF":
                         x, sr = decode_wav(p)
                         kind, mean, std, rate = (
@@ -274,4 +277,106 @@ def decode_media_real(media: DataFrame) -> DataFrame:
         fn,
         "doc_id long, kind string, mean double, std double, rate int, "
         "error string",
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure stdlib-zlib + numpy PNG decoder: 8-bit greyscale/RGB/RGBA/
+    grey+alpha, non-interlaced (the overwhelming majority of real PNGs).
+    Implements the full filter set (None/Sub/Up/Average/Paeth) per the
+    PNG spec. Palette/16-bit/interlaced raise NotImplementedError."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln, cid = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif cid == b"IDAT":
+            idat.extend(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth}")
+    if interlace:
+        raise NotImplementedError("interlaced PNG")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {color_type} (palette)")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = arr[:, 0]
+    data = arr[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        f = filters[y]
+        row = data[y].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:
+            cur = row
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if f == 1:  # Sub
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif f == 3:  # Average
+                    cur[x] = (cur[x] + (a + b) // 2) & 0xFF
+                elif f == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pr) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur
+    img = out.astype(np.uint8).reshape(h, w, nch)
+    return img[:, :, 0] if nch == 1 else img
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w[, c]) uint8 → PNG (filter 0 rows, one zlib stream)."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )

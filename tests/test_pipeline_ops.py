@@ -252,13 +252,19 @@ def test_real_uncompressed_media_decode(spark):
     dec, rate = decode_wav(encode_wav(t, 8000))
     assert rate == 8000 and np.abs(dec - t).max() < 1e-4
 
+    from gdal_spark.operators.multimodal import decode_png, encode_png
+
+    png_img = (np.arange(96, dtype=np.uint8).reshape(8, 12) * 5) % 241
+    assert np.array_equal(decode_png(encode_png(png_img)), png_img)
     rows = [
         (1, bytearray(encode_pgm(img))),
         (2, bytearray(encode_wav(t, 16000))),
-        (3, bytearray(b"\x89PNG not really")),
+        (3, bytearray(b"GIF89a not supported")),
+        (4, bytearray(encode_png(png_img))),
     ]
     media = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r for r in decode_media_real(media).collect()}
     assert got[1].kind == "image" and abs(got[1].mean - img.mean()) < 1e-9
     assert got[2].kind == "audio" and got[2].rate == 16000
     assert got[3].kind is None and "codec" in got[3].error
+    assert got[4].kind == "image" and abs(got[4].mean - png_img.mean()) < 1e-9
