@@ -409,3 +409,39 @@ TEXT_PASSTHROUGH_ORACLE = """
 
 QUERIES["text_passthrough"] = _text_passthrough
 ORACLES["text_passthrough"] = TEXT_PASSTHROUGH_ORACLE
+
+
+# --- skew-safe salted aggregation (SURVEY §7.3, north-rule skew clause) -----
+# The deterministic geocode makes the hottest city ~10% of pages; the
+# salted two-phase aggregate must produce EXACTLY the plain groupBy
+# results (salting redistributes work, never values). Oracle = plain SQL
+# groupBy over the same derivation.
+
+
+def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark import tables as T
+    from gdal_spark.operators.skew import salted_agg
+
+    gp = T.geo_pages(spark, sf_dir).selectExpr(
+        "url", "city_id", "length(text) as n_chars"
+    )
+    out = salted_agg(
+        gp, key_col="city_id", id_col="url", salt_n=16,
+        aggs={"sum_chars": "n_chars"},
+    )
+    return out.select("city_id", "cnt", "sum_chars")
+
+
+def _skew_salted_oracle() -> str:
+    from gdal_spark import portable as P
+
+    return f"""
+    with g as ({P.geo_pages_cte('duckdb')})
+    select city_id, count(*) as cnt,
+           cast(sum(length(text)) as bigint) as sum_chars
+    from g group by city_id
+    """
+
+
+QUERIES["skew_salted_agg"] = _skew_salted_agg
+ORACLES["skew_salted_agg"] = _skew_salted_oracle()
