@@ -57,6 +57,7 @@ def collect() -> tuple[
     # are demoted past the window — they stay covered by tools/check_oracle.py
     # and pytest.
     demoted = [
+        "token_count",  # n_tokens already in text_stats; regex variant
         "knn_centers",  # broadcast-SQL kNN variant; scale path = knn_ring
         "concat_layers",  # schema-merge variant; provenance repped by manifest
         "doc_fingerprint",  # text family repped by text_stats/token/lang_id
