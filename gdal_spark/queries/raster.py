@@ -835,336 +835,6 @@ def _tile_pyramid_oracle() -> str:
     return _values_sql(rows, ["band", "z", "tile_x", "tile_y", "checksum"])
 
 
-ORACLES.update(
-    {
-        "vector_grid_idw": _grid_idw_oracle(),
-        "rasterize_counts": _rasterize_oracle(),
-    }
-)
-
-
-# --- point interpolation (InterpolateAtPoint / gdallocationinfo) ---
-
-from gdal_spark.portable import hash64  # noqa: E402
-from gdal_spark.raster.resample import interpolate_at_points  # noqa: E402
-
-
-def _sample_points_sql(dialect: str) -> str:
-    """500 deterministic probe points inside the grad100 extent (margin
-    0.2° so no edge-clamp path): derived from document urls."""
-    gt = _gt()
-    h = hash64("url", dialect)
-    u1 = f"(cast(({h}) % 100000 as double) / 100000.0)"
-    u2 = f"(cast((({h}) // 271) % 100000 as double) / 100000.0)" if dialect == "duckdb" else \
-         f"(cast((({h}) div 271) % 100000 as double) / 100000.0)"
-    minx, w = gt[0] + 0.2, 100 * gt[1] - 0.4
-    maxy, hgt = gt[3] - 0.2, 100 * (-gt[5]) - 0.4
-    return (
-        f"select url, ({minx!r} + {u1} * {w!r}) as lon, "
-        f"({maxy!r} - {u2} * {hgt!r}) as lat "
-        f"from ({{pages}}) p"
-    )
-
-
-def _point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gdal_spark import portable as P
-
-    tables.register_views(spark, sf_dir)
-    pts_sql = _sample_points_sql("spark").format(pages=P.pages_cte("spark"))
-    pts = spark.sql(pts_sql).withColumnRenamed("url", "pid")
-    out = interpolate_at_points(
-        _blocks(spark), pts, band=1, method="bilinear", id_col="pid"
-    )
-    return out.select("pid", F.round("value", 6).alias("value"))
-
-
-def _point_sample_oracle() -> str:
-    from gdal_spark import portable as P
-
-    gt = _gt()
-    pts = _sample_points_sql("duckdb").format(pages=P.pages_cte("duckdb"))
-    val = model.VALUE_SQL
-    # mirror resample.sample(..., 'bilinear') exactly: clamp, floor,
-    # neighbor fetch via the analytic formula, same multiply order
-    return f"""
-    with pts as ({pts}),
-    s as (
-        select url as pid,
-               least(greatest((lon - {gt[0]!r}) / {gt[1]!r} - 0.5, 0), 99) as sx,
-               least(greatest((lat - {gt[3]!r}) / {gt[5]!r} - 0.5, 0), 99) as sy
-        from pts
-    ),
-    g as (
-        select pid, sx, sy,
-               cast(floor(sx) as bigint) as x0, cast(floor(sy) as bigint) as y0,
-               least(cast(floor(sx) as bigint) + 1, 99) as x1,
-               least(cast(floor(sy) as bigint) + 1, 99) as y1,
-               sx - floor(sx) as wx, sy - floor(sy) as wy
-        from s
-    )
-    select pid,
-           round(
-             cast({val.format(x='x0', y='y0', band='1')} as double) * (1 - wx) * (1 - wy)
-           + cast({val.format(x='x1', y='y0', band='1')} as double) * wx * (1 - wy)
-           + cast({val.format(x='x0', y='y1', band='1')} as double) * (1 - wx) * wy
-           + cast({val.format(x='x1', y='y1', band='1')} as double) * wx * wy, 6)
-             as value
-    from g
-"""
-
-
-QUERIES["raster_point_sample"] = _point_sample
-ORACLES["raster_point_sample"] = _point_sample_oracle()
-
-
-# --- polygonize / sieve / contour (rows-only; pytest-golden pinned) ---
-
-from gdal_spark.raster.contour import contour_segments  # noqa: E402
-from gdal_spark.raster.polygonize import polygonize, sieve  # noqa: E402
-
-
-def _polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected same-value plateau regions (per-block CCL + seam-edge
-    merge via distributed connected components); rows-only check —
-    region semantics pinned by tests/test_polygonize.py."""
-    blocks = model.synth_blocks(spark, model.plateau_spec())
-    return polygonize(blocks, width_full=48).orderBy("region_id")
-
-
-def _sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    blocks = model.synth_blocks(spark, model.plateau_spec())
-    return sieve(blocks, width_full=48, threshold=70).orderBy("region_id")
-
-
-def _contour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marching-squares contour segments of the analytic plane,
-    aggregated per level (rows-only; endpoint exactness pinned by
-    tests/test_polygonize.py)."""
-    blocks = model.synth_blocks(spark, model.plane_spec())
-    segs = contour_segments(blocks, levels=[30.0, 60.0, 120.0], width=60, height=60)
-    # stats over the crossing-point SET (both endpoints) — independent of
-    # the saddle pairing convention, so the oracle needs no case table
-    return segs.groupBy("level").agg(
-        F.count("*").alias("n_segments"),
-        F.round(F.min(F.least("x1", "x2")), 6).alias("min_x"),
-        F.round(F.max(F.greatest("x1", "x2")), 6).alias("max_x"),
-        F.round(F.sum(F.col("x1") + F.col("x2")), 4).alias("sum_x"),
-    )
-
-
-QUERIES.update(
-    {
-        "raster_polygonize": _polygonize,
-        "raster_sieve": _sieve,
-        "raster_contour": _contour,
-    }
-)
-
-
-# --- zonal mode / minority / unique ---
-
-def _zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    zones = [
-        (0, tables.polygon_rings_local(0)[:-1]),
-        (1, tables.polygon_b_ring_local(0)),
-    ]
-    return ops.zonal_mode_minority(_blocks(spark), zones, band=1)
-
-
-def _zonal_mode_oracle() -> str:
-    return _zonal_hits_prefix() + """,
-    h as (
-        select zone_id, value, count(*) as n
-        from hits where crossings % 2 = 1
-        group by zone_id, value
-    ),
-    m as (
-        select zone_id, value as mode
-        from h qualify row_number() over (partition by zone_id
-                                          order by n desc, value asc) = 1
-    ),
-    mi as (
-        select zone_id, value as minority
-        from h qualify row_number() over (partition by zone_id
-                                          order by n asc, value asc) = 1
-    ),
-    u as (select zone_id, count(*) as unique_values from h group by zone_id)
-    select m.zone_id, m.mode, mi.minority, u.unique_values
-    from m join mi on m.zone_id = mi.zone_id
-    join u on m.zone_id = u.zone_id
-    """
-
-
-QUERIES["raster_zonal_mode"] = _zonal_mode
-ORACLES["raster_zonal_mode"] = _zonal_mode_oracle()
-
-
-# --- reproject / resize (gdal raster reproject, GDALWarp affine path) ---
-
-from gdal_spark.raster.resample import reproject_grid  # noqa: E402
-
-
-def _reproject_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """grad100 band 1 resampled NEAREST onto a half-offset 50×50 grid at
-    2× the pixel size; per-band stats. Nearest on the analytic fixture is
-    exactly SQL-reconstructible: dst pixel (X,Y) samples src pixel
-    (round(sx), round(sy))."""
-    src = model.grad100_spec()
-    dst = model.GridSpec(
-        "grad50",
-        50,
-        50,
-        (src.gt[0] + 0.02, 0.08, 0.0, src.gt[3] - 0.02, 0.0, -0.08),
-        block=32,
-        bands=1,
-    )
-    out = reproject_grid(
-        model.synth_blocks(spark, src).where("band = 1"), dst, "nearest", band=1
-    )
-    s = ops.band_stats(out)
-    return s.select("band", "cnt", "vmin", "vmax", "vsum")
-
-
-def _reproject_oracle() -> str:
-    # dst grid: gt0+0.02, px 0.08; src: gt0, px 0.04 →
-    # sx = ((gt0+0.02 + (X+0.5)*0.08) - gt0)/0.04 - 0.5 = 2X + 1
-    # sy likewise = 2Y + 1 → exact integers: nearest = value(2X+1, 2Y+1)
-    val = model.VALUE_SQL.format(x="(2 * x.x + 1)", y="(2 * y.y + 1)", band="1")
-    return f"""
-    with px as (
-        select cast(({val}) as double) as v
-        from (select unnest(range(50)) as x) x
-        cross join (select unnest(range(50)) as y) y
-    )
-    select 1 as band, count(*) as cnt, min(v) as vmin, max(v) as vmax,
-           sum(v) as vsum
-    from px
-"""
-
-
-QUERIES["raster_reproject_stats"] = _reproject_stats
-ORACLES["raster_reproject_stats"] = _reproject_oracle()
-
-
-# --- golden-literal oracles for the kernel queries ---------------------------
-# The remaining queries' semantics aren't SQL-expressible (CCL, warp,
-# stencils), so their oracles are literal golden tables computed at
-# oracle-build time by INDEPENDENT single-machine numpy implementations
-# (BFS flood fill vs the distributed min-label CCL; whole-array Horn vs
-# the halo-exchange stencil; whole-raster warp vs the block-cover
-# shuffle). The driver's value-hash compare then pins the distributed
-# machinery against a second implementation, not against itself.
-
-import numpy as np  # noqa: E402
-
-
-def _values_sql(rows: list[tuple], cols: list[str]) -> str:
-    def lit(v):
-        if v is None:
-            return "null"
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        if isinstance(v, float):
-            return repr(v)
-        if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
-        return str(v)
-
-    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
-    return f"select * from (values {body}) as t({', '.join(cols)})"
-
-
-def _flood_regions(a: np.ndarray) -> list[tuple]:
-    """Independent CCL: BFS flood fill, region_id = min global pixel
-    index (matches the distributed labeling convention by definition of
-    the id, not by shared code)."""
-    h, w = a.shape
-    seen = np.zeros(a.shape, dtype=bool)
-    out = []
-    for sy in range(h):
-        for sx in range(w):
-            if seen[sy, sx]:
-                continue
-            val = a[sy, sx]
-            stack = [(sy, sx)]
-            seen[sy, sx] = True
-            pix = []
-            while stack:
-                y, x = stack.pop()
-                pix.append((y, x))
-                for ny, nx in ((y-1, x), (y+1, x), (y, x-1), (y, x+1)):
-                    if 0 <= ny < h and 0 <= nx < w and not seen[ny, nx] \
-                            and a[ny, nx] == val:
-                        seen[ny, nx] = True
-                        stack.append((ny, nx))
-            rid = min(y * w + x for y, x in pix)
-            xs = [x for _, x in pix]
-            ys = [y for y, _ in pix]
-            out.append(
-                (rid, float(val), len(pix), min(xs), min(ys), max(xs), max(ys))
-            )
-    return sorted(out)
-
-
-def _polygonize_oracle() -> str:
-    rows = _flood_regions(model.plateau_values(0, 0, 48, 48).astype(np.float64))
-    return _values_sql(
-        rows,
-        ["region_id", "value", "n_pixels", "minx", "miny", "maxx", "maxy"],
-    )
-
-
-def _sieve_oracle(threshold: int = 70) -> str:
-    rows = [
-        (rid, val, n, n > threshold)
-        for rid, val, n, *_ in _flood_regions(
-            model.plateau_values(0, 0, 48, 48).astype(np.float64)
-        )
-    ]
-    return _values_sql(rows, ["region_id", "value", "n_pixels", "keep"])
-
-
-def _ref_checksum_arr(arr: np.ndarray) -> int:
-    primes = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], np.int64)
-    v = (
-        np.floor(arr.astype(np.float64) + 0.5).astype(np.int64)
-        if arr.dtype.kind == "f"
-        else arr.astype(np.int64)
-    ).ravel()
-    idx = np.arange(v.size)
-    return int((v % primes[idx % 11]).sum() & 0xFFFF)
-
-
-def _hillshade_oracle() -> str:
-    """Whole-array Horn hillshade (edge replicate) — no halo machinery."""
-    z = model.plane_values(0, 0, 60, 60).astype(np.float64)
-    pad = np.pad(z, 1, mode="edge")
-    a, b, c = pad[:-2, :-2], pad[:-2, 1:-1], pad[:-2, 2:]
-    d, f = pad[1:-1, :-2], pad[1:-1, 2:]
-    g, hh, i = pad[2:, :-2], pad[2:, 1:-1], pad[2:, 2:]
-    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / 8.0
-    dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / 8.0
-    azr = np.radians(360.0 - 315.0 + 90.0)
-    altr = np.radians(45.0)
-    slope = np.arctan(np.hypot(dzdx, dzdy))
-    aspect = np.arctan2(dzdy, -dzdx)
-    shade = np.clip(
-        1.0
-        + 254.0
-        * (
-            np.sin(altr) * np.cos(slope)
-            + np.cos(altr) * np.sin(slope) * np.cos(azr - aspect)
-        ),
-        1.0,
-        255.0,
-    )
-    cs = _ref_checksum_arr(shade)
-    return _values_sql(
-        [("plane60_hillshade", 1, cs)], ["dataset", "band", "checksum"]
-    )
-
-
-def _tile_pyramid_oracle() -> str:
     """Whole-raster bilinear warp per tile + 2x2 average reductions —
     no cover shuffle / mosaic-assembly machinery."""
     from gdal_spark.cellindex.tile import (
