@@ -41,31 +41,44 @@ _SPECIAL = {
     "fid": "fid",
 }
 
-# token stream: quoted literals survive untouched, words get mapped
-_TOKENS = re.compile(r"'(?:[^']|'')*'|\"[^\"]*\"|[A-Za-z_][A-Za-z_0-9.]*|\S")
+# Token stream: quoted literals survive untouched, words get mapped.
+# Numbers and multi-char comparison operators are explicit token classes so
+# `pop >= 1000` / `2.5e3` pass through byte-identical (they used to shatter
+# into single chars under the old \S fallback).
+_TOKENS = re.compile(
+    r"'(?:[^']|'')*'"  # single-quoted string literal ('' escape)
+    r"|\"[^\"]*\""  # double-quoted identifier
+    r"|\d+\.?\d*(?:[eE][+-]?\d+)?"  # numeric literal
+    r"|\.\d+(?:[eE][+-]?\d+)?"  # .5-style numeric literal
+    r"|<=|>=|<>|!=|\|\||&&"  # multi-char operators
+    r"|[A-Za-z_][A-Za-z_0-9.]*"  # identifier / keyword
+    r"|\S"  # any other single char
+)
 
 
 def rewrite(sql: str, ogr_like: bool = True) -> str:
     """OGR dialect → Spark SQL, token-aware: special fields
     (ogr/ogr_p.h:167-174) map to engine expressions, LIKE becomes the
     case-insensitive `ilike` (the OGR default), and string literals are
-    never rewritten."""
+    never rewritten. Output is rebuilt from original spans, so whitespace
+    and untouched tokens keep their exact source form."""
     out = []
+    last = 0
     for m in _TOKENS.finditer(sql):
         t = m.group(0)
-        if t[0] in "'\"":
-            out.append(t)
-            continue
-        low = t.lower()
-        if low in _SPECIAL:
-            out.append(_SPECIAL[low])
-        elif ogr_like and low == "like":
-            out.append("ilike")
-        elif ogr_like and low == "ilike":
-            out.append("ilike")
-        else:
-            out.append(t)
-    return " ".join(out)
+        repl = None
+        if t[0] not in "'\"":
+            low = t.lower()
+            if low in _SPECIAL:
+                repl = _SPECIAL[low]
+            elif ogr_like and low in ("like", "ilike"):
+                repl = "ilike"
+        if repl is not None:
+            out.append(sql[last : m.start()])
+            out.append(repl)
+            last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 _FIRST_MATCH = re.compile(
@@ -86,12 +99,23 @@ def rewrite_first_match(sql: str) -> str | None:
         return None
     cols, lt, rt = m.group("cols"), m.group("left"), m.group("right")
     cond, rest = m.group("cond"), (m.group("rest") or "").strip()
+    where, tail = "", rest
     if rest.lower().startswith("where"):
-        rest = "and (" + rest[5:] + ")"  # fold into the outer __rn filter
+        # OGR restricts a join statement's WHERE to primary-table fields
+        # (ogr_gensql.cpp), so it is evaluated inside the subquery — before
+        # the first-match window, which left-row filters cannot perturb.
+        # GROUP/ORDER/LIMIT/OFFSET stay outside (they see the output
+        # aliases, as in standard SQL over a derived table).
+        clause = re.search(
+            r"\b(group\s+by|order\s+by|limit|offset)\b", rest[5:], re.IGNORECASE
+        )
+        cut = 5 + (clause.start() if clause else len(rest) - 5)
+        where = " where " + rest[5:cut].strip()
+        tail = rest[cut:].strip()
     return (
         f"select * from (select {cols}, row_number() over "
         f"(partition by {lt}.fid order by {rt}.fid) as __rn "
-        f"from {lt} left join {rt} on {cond}) where __rn = 1 {rest}"
+        f"from {lt} left join {rt} on {cond}{where}) where __rn = 1 {tail}"
     )
 
 

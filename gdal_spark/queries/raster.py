@@ -1814,12 +1814,24 @@ ORACLES["raster_proximity"] = _proximity_oracle()
 # libm atan2 difference flips the bin
 _VS_OBS = (_gt()[0] + 20.37 * _gt()[1], _gt()[3] + 50.23 * _gt()[5], 25.0)
 _VS_SECTORS = 128
+# Disc covering the whole x<60,y<60 crop from the observer (farthest crop
+# pixel is ~65 world units away); blocks outside are pruned at metadata
+# level before any pixel row exists. A pixel beyond the disc cannot occlude
+# one inside it (occluders are nearer on the ray), so the cropped result is
+# identical to the unbounded sweep.
+_VS_MAXD = 70.0
 
 
 def _viewshed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.raster.los import viewshed
 
-    vs = viewshed(_blocks(spark), _VS_OBS, n_sectors=_VS_SECTORS, band=1)
+    vs = viewshed(
+        _blocks(spark),
+        _VS_OBS,
+        n_sectors=_VS_SECTORS,
+        band=1,
+        max_dist=_VS_MAXD,
+    )
     return vs.where("x < 60 and y < 60").select(
         "x", "y", "sector", "visible"
     )
@@ -1849,14 +1861,21 @@ def _viewshed_oracle() -> str:
     ),
     a as (
         select x, y, dist, sector, (value - z.z0) / dist as angle
-        from s cross join z where dist > 0
+        from s cross join z
+        where dist > 0 and dist <= {_VS_MAXD!r}
+    ),
+    v as (
+        -- window over the FULL (disc-bounded) pixel set, mirroring the
+        -- engine's order: occlusion is decided before the x/y crop
+        select x, y, sector,
+               angle >= max(angle) over (
+                   partition by sector order by dist
+                   range between unbounded preceding and current row
+               ) as visible
+        from a
     )
-    select x, y, sector,
-           angle >= max(angle) over (
-               partition by sector order by dist
-               range between unbounded preceding and current row
-           ) as visible
-    from a
+    select x, y, sector, visible
+    from v
     where x < 60 and y < 60
     """
 

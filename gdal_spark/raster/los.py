@@ -5,11 +5,10 @@ cogrouped block gather (resample.interpolate_at_points — no raster
 collect), then compare each ground sample against the straight sight
 line between the endpoint elevations.
 
-The full viewshed (alg/viewshed/viewshed.cpp) stays out of scope
-(SURVEY §2 note): its per-pixel ray dependency chain is the one GDAL
-algorithm with no shuffle-free decomposition; point-to-point LOS is the
-API the reference exposes for programmatic use (gdal raster
-line-of-sight util) and distributes cleanly.
+The full viewshed (alg/viewshed/viewshed.cpp) is the R2 sector-sweep
+below: the per-pixel ray dependency chain becomes one window function
+per azimuth sector, and `max_dist` bounds the pixel fan-out to the
+observer disc via metadata-level block pruning (roi_blocks).
 """
 
 from __future__ import annotations
@@ -51,7 +50,29 @@ def los_profile(
     ).withColumnRenamed("value", "ground")
     prof = pts.join(ground, "sid")
     ends = prof.agg(
-        F.min_by("ground", "t").alias("g0"), F.max_by("ground", "t").alias("g1")
+        F.min_by("ground", "t").alias("g0"),
+        F.max_by("ground", "t").alias("g1"),
+        F.min("t").alias("tmin"),
+        F.max("t").alias("tmax"),
+    )
+    # interpolate_at_points drops out-of-raster samples; if either endpoint
+    # vanished the anchors would silently shift to the nearest surviving
+    # sample and skew every sightline value (ADVICE r2). Guard lazily so
+    # the job fails loudly instead.
+    sight = (
+        F.col("g0")
+        + F.lit(oh)
+        + F.col("t") * (F.col("g1") + F.lit(th) - F.col("g0") - F.lit(oh))
+    )
+    guarded = F.when(
+        (F.col("tmin") == 0) & (F.col("tmax") == 1), sight
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "los_profile: an endpoint fell outside the DEM "
+                "(t=0 or t=1 sample dropped by interpolation)"
+            )
+        ).cast("double")
     )
     out = prof.crossJoin(F.broadcast(ends)).select(
         F.col("sid").cast("long").alias("sid"),
@@ -59,11 +80,7 @@ def los_profile(
         "lon",
         "lat",
         "ground",
-        (
-            F.col("g0")
-            + F.lit(oh)
-            + F.col("t") * (F.col("g1") + F.lit(th) - F.col("g0") - F.lit(oh))
-        ).alias("sightline"),
+        guarded.alias("sightline"),
     )
     return out.withColumn(
         "blocked",
@@ -89,11 +106,39 @@ def is_visible(
     return int(n_blocked or 0) == 0
 
 
+def roi_blocks(
+    blocks: DataFrame, lon: float, lat: float, max_dist: float
+) -> DataFrame:
+    """Metadata-level block pruning: keep only blocks whose world bbox
+    intersects the disc of radius max_dist around (lon, lat). Pure
+    Catalyst math over the 6-number geotransform + block offsets — no
+    pixel is decoded for a pruned block, so the downstream pixel fan-out
+    is O(max_dist^2 / pixel_area), not O(raster). Mirrors the reference's
+    bounded-extent viewshed (alg/viewshed/viewshed.cpp MAXDIST)."""
+    lon_a = F.col("gt0") + F.col("x0") * F.col("gt1")
+    lon_b = F.col("gt0") + (F.col("x0") + F.col("width")) * F.col("gt1")
+    lat_a = F.col("gt3") + F.col("y0") * F.col("gt5")
+    lat_b = F.col("gt3") + (F.col("y0") + F.col("height")) * F.col("gt5")
+    # clamp-distance from the point to the bbox, axis-separable
+    dx = F.greatest(
+        F.least(lon_a, lon_b) - F.lit(lon),
+        F.lit(lon) - F.greatest(lon_a, lon_b),
+        F.lit(0.0),
+    )
+    dy = F.greatest(
+        F.least(lat_a, lat_b) - F.lit(lat),
+        F.lit(lat) - F.greatest(lat_a, lat_b),
+        F.lit(0.0),
+    )
+    return blocks.where(dx * dx + dy * dy <= F.lit(float(max_dist) ** 2))
+
+
 def viewshed(
     blocks: DataFrame,
     observer: tuple[float, float, float],
     n_sectors: int = 720,
     band: int = 1,
+    max_dist: float | None = None,
 ) -> DataFrame:
     """Distributed sector-sweep viewshed (alg/viewshed/viewshed.cpp role
     via the classic R2/XDraw-style angular discretization): every pixel
@@ -107,13 +152,25 @@ def viewshed(
 
     Accuracy is the standard R2 trade: rays are discretized to
     `n_sectors` azimuth bins; raise n_sectors for finer rays. Returns
-    (x, y, dist, angle, sector, visible)."""
+    (x, y, dist, angle, sector, visible).
+
+    Scale contract: pass `max_dist` on anything bigger than a fixture.
+    Blocks outside the observer disc are pruned at the METADATA level
+    (roi_blocks — no decode, no pixel rows), so the sector shuffle is
+    O(max_dist²/pixel_area) regardless of raster extent; without it the
+    whole raster becomes pixel rows (SURVEY §1.2's forbidden shape).
+    A pixel beyond max_dist cannot occlude one inside it on the same
+    ray, so the bounded result equals the full sweep cropped to the
+    disc — same truncation the reference applies."""
     from pyspark.sql.window import Window
 
     from gdal_spark.raster.ops import as_features
 
     olon, olat, oh = observer
-    px = as_features(blocks.where(F.col("band") == band))
+    src = blocks.where(F.col("band") == band)
+    if max_dist is not None:
+        src = roi_blocks(src, olon, olat, max_dist)
+    px = as_features(src)
     two_pi = 6.283185307179586
     d = px.select(
         "x",
@@ -132,6 +189,8 @@ def viewshed(
             / F.lit(two_pi / n_sectors)
         ).cast("int").alias("sector"),
     )
+    if max_dist is not None:
+        d = d.where(F.col("dist") <= F.lit(float(max_dist)))
     # observer ground elevation: the pixel nearest the observer
     obs_z = d.orderBy("dist").limit(1).select(
         (F.col("value") + F.lit(oh)).alias("z0")

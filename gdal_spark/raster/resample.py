@@ -366,7 +366,21 @@ def interpolate_at_points(
     g0, g1, g3, g5 = meta.gt0, meta.gt1, meta.gt3, meta.gt5
     bs = int(meta.width)
     W_full, H_full = int(dims.w), int(dims.h)
-    R = 2  # strip radius: covers cubic's 4×4 support
+    # Strip radius must cover the kernel's half-support; a kernel wider than
+    # the shipped strips would silently clamp at block seams (ADVICE r2).
+    _SUPPORT_R = {
+        "nearest": 1,
+        "bilinear": 1,
+        "cubic": 2,
+        "cubicspline": 2,
+        "lanczos": 3,
+    }
+    if method not in _SUPPORT_R:
+        raise ValueError(
+            f"interpolate_at_points: unsupported method {method!r}; "
+            f"known: {sorted(_SUPPORT_R)}"
+        )
+    R = _SUPPORT_R[method]
 
     strip_schema = "bx int, by int, x0 int, y0 int, w int, h int, buf binary"
 

@@ -94,3 +94,52 @@ def test_first_match_join_semantics(spark):
         (2, "only"),
         (3, None),  # unmatched left row survives
     ]
+
+
+def test_rewrite_preserves_numbers_and_operators():
+    """ADVICE r2 (high): numeric literals and two-char operators must pass
+    through byte-identical — the old space-join shattered `>= 1000` into
+    `> = 1 0 0 0`."""
+    s = "select * from t where pop >= 1000 and x <= 2.5 or y <> 1e-3"
+    assert ogrsql.rewrite(s) == s
+    s2 = "select a from t where b != .75e2 and c || d = 'x >= 3'"
+    assert ogrsql.rewrite(s2) == s2
+    # untouched text keeps exact whitespace around a replaced token
+    assert (
+        ogrsql.rewrite("select  OGR_GEOM_AREA ,x from t")
+        == "select  st_area(geometry) ,x from t"
+    )
+
+
+def test_rewrite_numeric_where_executes(spark):
+    df = spark.createDataFrame(
+        [(1, 500), (2, 1500), (3, 2500)], "fid long, pop long"
+    )
+    rows = ogrsql.execute_sql(
+        spark, "select fid from t where pop >= 1000 order by fid", layers={"t": df}
+    ).collect()
+    assert [r.fid for r in rows] == [2, 3]
+
+
+def test_first_match_join_with_trailing_clauses(spark):
+    """ADVICE r2 (medium): WHERE + ORDER BY/LIMIT after a first-match join
+    must not fold ORDER BY inside the parenthesized predicate. Per OGR
+    (ogr_gensql.cpp) the join WHERE references primary-table fields and is
+    evaluated before the first-match window; ORDER BY/LIMIT apply to the
+    result set."""
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "b")], "fid long, k string"
+    )
+    right = spark.createDataFrame(
+        [(10, "a", 5), (11, "a", 9), (20, "b", 7)],
+        "fid long, k string, v long",
+    )
+    rows = ogrsql.execute_sql(
+        spark,
+        "select l.fid as lfid, r.v as v from l left join r on l.k = r.k "
+        "where l.fid >= 2 order by lfid limit 2",
+        layers={"l": left, "r": right},
+        first_match_join=True,
+    ).collect()
+    # left fid 1 filtered out; first-match still picks lowest right fid
+    assert [(r.lfid, r.v) for r in rows] == [(2, 7), (3, 5)]

@@ -392,3 +392,85 @@ def test_area_kernel_under_projection(spark):
                 else 0.0
             )
             assert abs(full[Y, X] - want) < 1e-9, (X, Y)
+
+
+def test_viewshed_maxdist_roi(spark):
+    """Scale contract (VERDICT r2 'What's wrong' #2): with max_dist set,
+    blocks outside the observer disc are pruned at METADATA level (no
+    pixel rows), and the bounded result equals the full sweep cropped to
+    the disc."""
+    import numpy as np
+
+    from gdal_spark.raster import model
+    from gdal_spark.raster.los import roi_blocks, viewshed
+
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0.0, 5.0, (64, 64))
+    rows = []
+    for by in range(4):
+        for bx in range(4):
+            x0, y0 = bx * 16, by * 16
+            sub = a[y0 : y0 + 16, x0 : x0 + 16]
+            rows.append(
+                ("dem", 1, bx, by, x0, y0, 16, 16,
+                 "float64", 0.0, 1.0, 0.0, 64.0, 0.0, -1.0, None,
+                 bytearray(np.ascontiguousarray(sub).tobytes()))
+            )
+    blocks = spark.createDataFrame(rows, model.BLOCK_SCHEMA)
+    obs = (8.0, 56.0, 3.0)  # inside the top-left block
+
+    # metadata pruning: disc radius 10 around (8, 56) touches the corner
+    # block and its two edge neighbors (the diagonal block's bbox is
+    # sqrt(128) ≈ 11.3 away), not all 16
+    kept = roi_blocks(blocks, obs[0], obs[1], 10.0).count()
+    assert kept == 3, kept
+
+    bounded = {
+        (r.x, r.y): r.visible
+        for r in viewshed(blocks, obs, n_sectors=96, max_dist=10.0).collect()
+    }
+    full = {
+        (r.x, r.y): r.visible
+        for r in viewshed(blocks, obs, n_sectors=96).collect()
+        if r.dist <= 10.0
+    }
+    assert bounded == full
+
+
+def test_viewshed_roi_plan_has_block_filter(spark):
+    """The ROI prune must appear as a Catalyst Filter over block metadata
+    BEFORE any pixel explosion — i.e. the bounded plan reads fewer source
+    rows, it doesn't post-filter pixels only."""
+    import numpy as np
+
+    from gdal_spark.raster import model
+    from gdal_spark.raster.los import roi_blocks
+
+    rows = [
+        ("dem", 1, bx, by, bx * 16, by * 16, 16, 16,
+         "float64", 0.0, 1.0, 0.0, 64.0, 0.0, -1.0, None,
+         bytearray(np.zeros((16, 16)).tobytes()))
+        for by in range(4) for bx in range(4)
+    ]
+    blocks = spark.createDataFrame(rows, model.BLOCK_SCHEMA)
+    plan = roi_blocks(blocks, 8.0, 56.0, 10.0)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" in plan and "buf" not in plan.split("Filter")[0], plan
+
+
+def test_los_profile_out_of_raster_endpoint_raises(spark):
+    """ADVICE r2: an endpoint outside the DEM must raise, not silently
+    re-anchor the sightline to the nearest surviving sample."""
+    import numpy as np
+    import pytest
+
+    from gdal_spark.raster import model
+    from gdal_spark.raster.los import los_profile
+
+    rows = [("dem", 1, 0, 0, 0, 0, 16, 16, "float64",
+             0.0, 1.0, 0.0, 16.0, 0.0, -1.0, None,
+             bytearray(np.zeros((16, 16)).tobytes()))]
+    blocks = spark.createDataFrame(rows, model.BLOCK_SCHEMA)
+    prof = los_profile(blocks, (2.0, 14.0, 1.0), (40.0, 14.0, 1.0),
+                       n_samples=16)
+    with pytest.raises(Exception, match="endpoint fell outside"):
+        prof.collect()
