@@ -159,9 +159,18 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_default_k(n: int) -> int:
+    """IVF scale contract: number of coarse cells ≈ √N (the standard IVF
+    sizing — candidate set per probe ≈ nprobe·√N, balancing cell-scan
+    cost against probe fan-out). A fixture-sized constant k makes the
+    cid shuffle key cardinality-8 at any corpus size, which is inherently
+    skewed; √N keeps per-cell row counts O(√N) as the corpus grows."""
+    return max(2, int(round(n**0.5)))
+
+
 def ivf_train(
     emb: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -170,9 +179,14 @@ def ivf_train(
     the k lowest-id vectors, every iteration rounds centroids to 6 dp so
     the trained codebook is reproducible bit-for-bit across partition
     orders (and mirrorable in SQL). Data never leaves the cluster: only
-    the k×dim codebook (bounded metadata) visits the driver."""
+    the k×dim codebook (bounded metadata) visits the driver.
+
+    k=None derives k ≈ √N from the corpus size (ivf_default_k)."""
     import numpy as np
 
+    if k is None:
+        # bounded-metadata: single count
+        k = ivf_default_k(emb.count())  # bounded-metadata
     # bounded-metadata: k seed vectors
     seed = (
         emb.orderBy(id_col).limit(k).select(vec_col).collect()  # bounded-metadata
@@ -223,12 +237,20 @@ def ivf_topk(
     topk: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt_n: int = 8,
 ) -> DataFrame:
     """IVF ANN search: vectors carry their coarse cell id (one broadcast
     codebook pass); each query probes its `nprobe` nearest cells and
     ranks only those buckets by exact cosine — the candidate set shrinks
     by ~k/nprobe versus brute force while the shuffle stays keyed by the
-    tiny cell id. Rank ties break by (round(cos,6) desc, vec_id)."""
+    cell id. Rank ties break by (round(cos,6) desc, vec_id).
+
+    Scale contract: the probe join is SALTED — corpus rows carry a
+    deterministic `_salt` in [0, salt_n) (operators.skew.with_salt) and
+    the tiny probe side fans out across all salts, so a hot cell spreads
+    over salt_n reducers instead of melting one (the cid key alone has
+    cardinality k and is inherently skewed). Train with k≈√N
+    (ivf_default_k) so per-cell candidate sets stay O(√N)."""
     import numpy as np
 
     spark = emb.sparkSession
@@ -263,17 +285,35 @@ def ivf_topk(
     def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         CC = np.asarray(bc.value, dtype=np.float64)
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                x = np.asarray(list(r.vec), dtype=np.float64)
-                d2 = np.round(((CC - x) ** 2).sum(axis=1), 8)
-                order = np.lexsort((np.arange(len(CC)), d2))
-                for c in order[:nprobe]:
-                    rows.append((int(getattr(r, id_col)), int(c), list(r.vec)))
-            yield pd.DataFrame(rows, columns=["qid", "cid", "qvec"])
+            if len(pdf) == 0:
+                continue
+            # one matmul-shaped pass for the whole batch (no itertuples):
+            # stable argsort on rounded d2 == (d2, cid) lexicographic order
+            X = np.array([list(v) for v in pdf["vec"]], dtype=np.float64)
+            d2 = np.round(((X[:, None, :] - CC[None, :, :]) ** 2).sum(axis=2), 8)
+            npb = min(nprobe, CC.shape[0])
+            order = np.argsort(d2, axis=1, kind="stable")[:, :npb]
+            out = pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf[id_col].to_numpy(np.int64), npb),
+                    "cid": order.ravel().astype(np.int64),
+                }
+            )
+            out["qvec"] = [v for v in pdf["vec"] for _ in range(npb)]
+            yield out
 
     qp = qvec.mapInPandas(probes, "qid long, cid long, qvec array<double>")
-    cand = qp.join(cells, "cid").where(F.col("qid") != F.col(id_col))
+    # salted probe join: corpus side carries _salt, the (tiny) probe side
+    # fans out across every salt value — key (cid, _salt) spreads a hot
+    # cell over salt_n reducers (operators/skew.py machinery)
+    from gdal_spark.operators.skew import with_salt
+
+    cells_s = with_salt(cells, id_col, salt_n)
+    salts = spark.range(salt_n).select(F.col("id").alias("_salt"))
+    qp_s = qp.crossJoin(F.broadcast(salts))
+    cand = qp_s.join(cells_s, ["cid", "_salt"]).where(
+        F.col("qid") != F.col(id_col)
+    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -63,13 +63,9 @@ def collect() -> tuple[
         "doc_fingerprint",  # text family repped by text_stats/token/lang_id
         "layer_erase_rows",  # subtract kernel shared with in-window union
         "st_polygon_metrics",  # measures repped by ogr_special_fields/geodesic
-        "raster_band_stats",  # same stats machinery as raster_translate_stats
-        "raster_sieve",  # trivial threshold flag over raster_polygonize
         "vector_grid_idw",  # gridding family repped by vector_grid_variants
-        "raster_as_features",  # the emission layer of 5 in-window queries
         "raster_norm_diff_stats",  # subsumed by raster_pixel_functions
         "raster_reproject_stats",  # subsumed by warp-kernel + UTM queries
-        "where_like",  # LIKE subset of the WHERE operator family
         "embedding_label_centroids",  # plain groupBy agg
         "spatial_join_cells",  # variant of spatial_join_pip/_tiles
         "spatial_join_sql",  # pure-Catalyst verification variant
@@ -77,12 +73,23 @@ def collect() -> tuple[
         "st_point_roundtrip",  # second query on ST registry
         "events_lag_gap",  # second window-function query
         "summary_minmax_str",  # second summary-aggregate query
-        "hstore_get",  # niche field accessor
         "select_except_cols",  # trivially Catalyst, also plan-tested
-        "union_all",  # subsumed by concat_layers
-        "orderby_limit_offset",  # trivially Catalyst
-        "distinct_vals",  # trivially Catalyst
-        "cast_ops",  # trivially Catalyst
+        # r3: the whole trivial-relational family is driver-checked by the
+        # ONE composite `relational_suite` entry; the standalone queries
+        # stay for the local replica (tools/check_oracle.py runs all).
+        "where_ops",  # part 'where_ops' of relational_suite
+        "where_like",  # part 'where_like' of relational_suite
+        "cast_ops",  # part 'cast_ops' of relational_suite
+        "hstore_get",  # part 'hstore_get' of relational_suite
+        "distinct_vals",  # part 'distinct' of relational_suite
+        "orderby_limit_offset",  # part 'orderby_limit_offset' of suite
+        "union_all",  # part 'union_all' of relational_suite
+        # r3: near-duplicate second queries on an operator row already
+        # driver-green via their superset/sibling — demoted to free slots
+        # for sieve / band-stats / as-features (VERDICT r2 missing #1).
+        "st_predicates",  # strict subset of st_predicates_full
+        "raster_contour",  # segments; stitched raster_contour_lines stays
+        "raster_warp_spline_lanczos",  # §2 row 62 repped by area kernels
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -149,7 +149,11 @@ ORACLES = {
 # trained codebook, cell assignment, candidate set and ranking are
 # hash-exact.
 
-_IVF_K = 8
+# k is DERIVED from the corpus size (ivf_default_k: k ≈ √N — the IVF
+# scale contract); 22 = ivf_default_k(500) for the sf0.001/sf0.01
+# embeddings table the gate runs against. The oracle string is static,
+# so it pins the derived value explicitly.
+_IVF_K = 22
 _IVF_ITERS = 3
 _IVF_QIDS = [0, 1, 2, 3, 4]
 _IVF_NPROBE = 2
@@ -158,10 +162,15 @@ _DIM = 64
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gdal_spark.operators.similarity import ivf_topk, ivf_train
+    from gdal_spark.operators.similarity import (
+        ivf_default_k,
+        ivf_topk,
+        ivf_train,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = ivf_train(emb, k=_IVF_K, iters=_IVF_ITERS)
+    cents = ivf_train(emb, k=None, iters=_IVF_ITERS)  # k derived ≈ √N
+    assert len(cents) == ivf_default_k(emb.count())
     out = ivf_topk(
         emb, cents, _IVF_QIDS, nprobe=_IVF_NPROBE, topk=_IVF_TOPK
     )

@@ -71,3 +71,44 @@ def test_lsh_bucket_topk_self_similarity(spark):
     for i in range(10):
         assert got[i][0] == 100 + i
         assert got[i][1] == 1.0
+
+
+def test_ivf_default_k_sqrt_contract():
+    assert similarity.ivf_default_k(4) == 2
+    assert similarity.ivf_default_k(500) == 22
+    assert similarity.ivf_default_k(1_000_000) == 1000
+    assert similarity.ivf_default_k(1) == 2  # floor
+
+
+def test_ivf_salted_join_on_skewed_buckets(spark):
+    """VERDICT r2 #4: a corpus where one IVF cell holds ~90% of vectors
+    must still return exact per-cell top-k, and the probe join key must
+    carry the salt (cid alone is cardinality-k and melts one reducer)."""
+    rng = np.random.default_rng(11)
+    hot = rng.standard_normal(8) * 0.05 + np.array([10.0] + [0.0] * 7)
+    cold = np.array([-10.0] + [0.0] * 7)
+    rows = [(i, (hot + rng.standard_normal(8) * 0.01).tolist()) for i in range(90)]
+    rows += [(100 + i, (cold + rng.standard_normal(8) * 0.01).tolist()) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [hot.tolist(), cold.tolist()]
+    out = similarity.ivf_topk(
+        df, cents, query_ids=[0, 100], nprobe=1, topk=3, salt_n=4
+    )
+    # the salted plan joins on (cid, _salt), not bare cid
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.qid, []).append(r.vec_id)
+    # hot-cluster query finds only hot-cluster neighbors, and vice versa
+    assert len(got[0]) == 3 and all(v < 90 for v in got[0])
+    assert len(got[100]) == 3 and all(v >= 100 for v in got[100])
+
+    # exactness: same result as unsalted cosine ranking within the cell
+    mat = {i: np.asarray(v) for i, v in rows}
+    sims = sorted(
+        ((np.dot(mat[0], mat[v]) / (np.linalg.norm(mat[0]) * np.linalg.norm(mat[v])), v)
+         for v in range(1, 90)),
+        key=lambda t: (-round(t[0], 6), t[1]),
+    )
+    assert got[0] == [v for _, v in sims[:3]]
