@@ -1261,6 +1261,111 @@ QUERIES["raster_reproject_utm"] = _reproject_utm
 ORACLES["raster_reproject_utm"] = _reproject_utm_oracle()
 
 
+# --- Lambert conformal conic warp (VERDICT r2 missing #4) --------------------
+# PROJ's second workhorse after TM; the reference reaches it through the
+# PROJ pipeline (alg/gdaltransformer.cpp:96 GenImgProj chain). Engine:
+# Snyder 2SP with ITERATIVE latitude inversion (geometry/proj.py
+# lcc_inverse); oracle: the same projection with the SERIES latitude
+# recovery (Snyder eq. 3-5 in conformal latitude) — an independent
+# inversion path, so agreement is evidence, not tautology.
+
+# parallels bracketing grad100's lat span (38.7..42.7), origin at NY
+_LCC_PAR = (39.0, 42.0, 40.0, -74.0)  # lat1, lat2, lat0, lon0
+_LCC_DST = (-163000.0, 8000.0, 0.0, 157000.0, 0.0, -8000.0)
+_LCC_W = _LCC_H = 40
+
+
+def _reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    from gdal_spark.geometry.proj import lcc_forward, lcc_inverse
+    from gdal_spark.raster.resample import reproject_grid as _rg
+
+    src = model.grad100_spec()
+    dst = model.GridSpec("lcc", _LCC_W, _LCC_H, _LCC_DST, block=32, bands=1)
+    la1, la2, la0, lo0 = _LCC_PAR
+    out = _rg(
+        model.synth_blocks(spark, src).where("band = 1"),
+        dst,
+        "nearest",
+        band=1,
+        world_to_dst=functools.partial(
+            lcc_forward, lat1=la1, lat2=la2, lat0=la0, lon0=lo0
+        ),
+        dst_to_world=functools.partial(
+            lcc_inverse, lat1=la1, lat2=la2, lat0=la0, lon0=lo0
+        ),
+    )
+    return ops.as_features(out).select("x", "y", "value")
+
+
+def _snyder_lcc_inverse_series(x, y, lat1, lat2, lat0, lon0):
+    """Snyder LCC inverse with SERIES latitude recovery (eqs. 15-8..15-11
+    then 3-5: φ = χ + c2 sin2χ + c4 sin4χ + ... in conformal latitude) —
+    independent of the engine's fixed-point iteration."""
+    import numpy as np
+
+    a = 6378137.0
+    f = 1 / 298.257223563
+    e = np.sqrt(f * (2 - f))
+
+    def m(p):
+        return np.cos(p) / np.sqrt(1 - (e * np.sin(p)) ** 2)
+
+    def t(p):
+        es = e * np.sin(p)
+        return np.tan(np.pi / 4 - p / 2) / ((1 - es) / (1 + es)) ** (e / 2)
+
+    p1, p2, p0 = np.radians([lat1, lat2, lat0])
+    n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2)))
+    Fc = m(p1) / (n * t(p1) ** n)
+    rho0 = a * Fc * t(p0) ** n
+    xp = np.asarray(x, np.float64)
+    yp = rho0 - np.asarray(y, np.float64)
+    rho = np.sign(n) * np.hypot(xp, yp)
+    theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+    tt = (rho / (a * Fc)) ** (1 / n)
+    chi = np.pi / 2 - 2 * np.arctan(tt)
+    e2 = e * e
+    phi = (
+        chi
+        + (e2 / 2 + 5 * e2**2 / 24 + e2**3 / 12 + 13 * e2**4 / 360)
+        * np.sin(2 * chi)
+        + (7 * e2**2 / 48 + 29 * e2**3 / 240 + 811 * e2**4 / 11520)
+        * np.sin(4 * chi)
+        + (7 * e2**3 / 120 + 81 * e2**4 / 1120) * np.sin(6 * chi)
+        + (4279 * e2**4 / 161280) * np.sin(8 * chi)
+    )
+    return np.degrees(theta / n) + lon0, np.degrees(phi)
+
+
+def _reproject_lcc_oracle() -> str:
+    import numpy as np
+
+    src = model.grad100_spec()
+    g = src.gt
+    ys, xs = np.mgrid[0:_LCC_H, 0:_LCC_W]
+    E = _LCC_DST[0] + (xs + 0.5) * _LCC_DST[1]
+    N = _LCC_DST[3] + (ys + 0.5) * _LCC_DST[5]
+    lon, lat = _snyder_lcc_inverse_series(E, N, *_LCC_PAR)
+    sx = (lon - g[0]) / g[1] - 0.5
+    sy = (lat - g[3]) / g[5] - 0.5
+    ix = np.round(np.clip(sx, 0, 99)).astype(np.int64)
+    iy = np.round(np.clip(sy, 0, 99)).astype(np.int64)
+    val = ((ix * 7 + iy * 13 + 1 * 17) % 256).astype(np.float64)
+    inb = (sx >= -0.5) & (sx <= 99.5) & (sy >= -0.5) & (sy <= 99.5)
+    val = np.where(inb, val, 0.0)
+    rows = [
+        (int(x), int(y), float(v))
+        for x, y, v in zip(xs.ravel(), ys.ravel(), val.ravel())
+    ]
+    return _values_sql(rows, ["x", "y", "value"])
+
+
+QUERIES["raster_reproject_lcc"] = _reproject_lcc
+ORACLES["raster_reproject_lcc"] = _reproject_lcc_oracle()
+
+
 # --- expression dialect + completed pixel-function registry ------------------
 # raster_calc_expression: free-form muparser-analog expression
 # (apps/gdalalg_raster_calc.cpp:904-911) parsed by gdal_spark.raster.calc

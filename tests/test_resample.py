@@ -474,3 +474,30 @@ def test_los_profile_out_of_raster_endpoint_raises(spark):
                        n_samples=16)
     with pytest.raises(Exception, match="endpoint fell outside"):
         prof.collect()
+
+
+def test_lcc_roundtrip_and_properties():
+    """LCC 2SP (Snyder 1987 pp.104-110): forward/inverse round-trip to
+    <1e-9 deg; origin maps to (0,0); x antisymmetric about lon0; the
+    iterative inverse agrees with the independent series inverse."""
+    import numpy as np
+
+    from gdal_spark.geometry.proj import lcc_forward, lcc_inverse
+    from gdal_spark.queries.raster import _snyder_lcc_inverse_series
+
+    P = (39.0, 42.0, 40.0, -74.0)
+    rng = np.random.default_rng(5)
+    lon = -74.0 + rng.uniform(-3, 3, 200)
+    lat = 40.0 + rng.uniform(-3, 3, 200)
+    x, y = lcc_forward(lon, lat, *P)
+    lo, la = lcc_inverse(x, y, *P)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+    x0, y0 = lcc_forward(np.array([-74.0]), np.array([40.0]), *P)
+    assert abs(x0[0]) < 1e-6 and abs(y0[0]) < 1e-6
+    xl, _ = lcc_forward(np.array([-75.0]), np.array([40.0]), *P)
+    xr, _ = lcc_forward(np.array([-73.0]), np.array([40.0]), *P)
+    assert abs(xl[0] + xr[0]) < 1e-6
+    lo2, la2 = _snyder_lcc_inverse_series(x, y, *P)
+    assert np.abs(lo2 - lon).max() < 1e-9
+    assert np.abs(la2 - lat).max() < 1e-7  # series truncation order e^8
