@@ -632,6 +632,19 @@ def register_st_functions(spark: SparkSession) -> None:
         ),
         BinaryType(),
     ))
+    # PostGIS-style 3rd parameter: 'endcap=flat join=mitre mitre_limit=2
+    # quad_segs=8 side=left' (apps/gdalalg_vector_buffer.cpp:32-56 options)
+    reg("st_buffer_style", P(
+        lambda s, d, p: pd.Series(
+            [
+                None if b is None else _buffer_styled(
+                    bytes(b), float(dv), "" if pv is None else str(pv)
+                )
+                for b, dv, pv in zip(s, d, p)
+            ]
+        ),
+        BinaryType(),
+    ))
     reg("st_makevalid", P(
         lambda s: _each(
             s,
@@ -761,6 +774,64 @@ def _buffer(buf: bytes, dist: float) -> bytes | None:
     if len(ring) < 3:
         return None
     return W.polygon_to_wkb([ring])
+
+
+def _buffer_styled(buf: bytes, dist: float, params: str) -> bytes | None:
+    """Styled buffer (apps/gdalalg_vector_buffer.cpp:32-56): endcap
+    round/flat/square, join round/mitre/bevel + mitre-limit,
+    quadrant-segments, side both/left/right. Params use the PostGIS
+    token syntax. Points: round→circle, square→square, flat→empty
+    (GEOS semantics). LineStrings get the full cap/join/side treatment;
+    polygons take the join style on the exterior ring."""
+    opts = {
+        "endcap": "round",
+        "join": "round",
+        "mitre_limit": 5.0,
+        "quad_segs": 8,
+        "side": "both",
+    }
+    for tok in params.split():
+        k, _, v = tok.partition("=")
+        k = k.strip().lower()
+        if k in ("endcap", "join", "side"):
+            opts[k] = v.strip().lower()
+        elif k in ("mitre_limit", "miter_limit"):
+            opts["mitre_limit"] = float(v)
+        elif k in ("quad_segs", "quadrant_segments"):
+            opts["quad_segs"] = int(v)
+        else:
+            raise ValueError(f"st_buffer_style: unknown parameter {k!r}")
+    t, payload = W.parse_wkb(buf)
+    if t == W.POINT:
+        x, y = float(payload[0, 0]), float(payload[0, 1])
+        if opts["endcap"] == "flat":
+            return None
+        if opts["endcap"] == "square":
+            d = dist
+            ring = np.array(
+                [[x - d, y - d], [x + d, y - d], [x + d, y + d], [x - d, y + d]]
+            )
+            return W.polygon_to_wkb([ring])
+        return W.polygon_to_wkb([C.buffer_point(x, y, dist, opts["quad_segs"])])
+    if t == W.LINESTRING:
+        ring = C.buffer_line(
+            payload,
+            dist,
+            quadrant_segments=opts["quad_segs"],
+            endcap=opts["endcap"],
+            join=opts["join"],
+            mitre_limit=opts["mitre_limit"],
+            side=opts["side"],
+        )
+        return W.polygon_to_wkb([ring]) if len(ring) >= 3 else None
+    ring = C.buffer_polygon_styled(
+        _ext(buf),
+        dist,
+        quadrant_segments=opts["quad_segs"],
+        join=opts["join"],
+        mitre_limit=opts["mitre_limit"],
+    )
+    return W.polygon_to_wkb([ring]) if len(ring) >= 3 else None
 
 
 def _set_precision(buf: bytes, grid: float) -> bytes:

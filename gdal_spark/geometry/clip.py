@@ -1012,3 +1012,163 @@ def clip_line_polygon_holes(
     if len(cur) >= 2:
         out.append(cur)
     return [np.array(p) for p in out]
+
+
+# --- styled buffers (apps/gdalalg_vector_buffer.cpp:32-56: endcap
+# round/flat/square, join round/mitre/bevel + mitre-limit,
+# quadrant-segments, side) ---------------------------------------------------
+
+
+def _join_pts(p, n0, n1, dist, join, mitre_limit, quadrant_segments):
+    """Vertex-join vertices between offset points p+d·n0 and p+d·n1
+    (unit normals, convex sweep n0→n1). Returns the INTERIOR points only
+    (the two offset endpoints are emitted by the caller)."""
+    a0 = np.arctan2(n0[1], n0[0])
+    a1 = np.arctan2(n1[1], n1[0])
+    sweep = a1 - a0
+    while sweep <= -np.pi:
+        sweep += 2 * np.pi
+    while sweep > np.pi:
+        sweep -= 2 * np.pi
+    if join == "bevel" or abs(sweep) < 1e-12:
+        return []
+    if join == "mitre":
+        bis = n0 + n1
+        nb = np.hypot(*bis)
+        if nb < 1e-12:
+            return []
+        ratio = 2.0 / nb  # 1/cos(θ/2)
+        if ratio > mitre_limit:
+            return []  # GEOS clips the spike; bevel is the simple fallback
+        return [p + dist * bis / nb * ratio]
+    # round
+    steps = max(1, int(np.ceil(abs(sweep) / (np.pi / 2 / quadrant_segments))))
+    angs = a0 + sweep * np.arange(1, steps) / steps
+    return [p + dist * np.array([np.cos(a), np.sin(a)]) for a in angs]
+
+
+def _line_one_side(pts, dist, join, mitre_limit, quadrant_segments):
+    """Left-offset polyline of pts at distance dist (>0), joins applied
+    at corners convex on the left; concave corners use the offset-line
+    intersection (simple, non-noded — adequate for non-self-intersecting
+    inputs at moderate distances)."""
+    segs = pts[1:] - pts[:-1]
+    lens = np.hypot(segs[:, 0], segs[:, 1])
+    nrm = np.column_stack([-segs[:, 1], segs[:, 0]]) / lens[:, None]
+    out = [pts[0] + nrm[0] * dist]
+    for i in range(len(segs)):
+        out.append(pts[i + 1] + nrm[i] * dist)
+        if i + 1 < len(segs):
+            turn = float(np.cross(segs[i], segs[i + 1]))
+            if turn < 0:  # right turn → left side is convex
+                out.extend(
+                    _join_pts(
+                        pts[i + 1], nrm[i], nrm[i + 1], dist,
+                        join, mitre_limit, quadrant_segments,
+                    )
+                )
+                out.append(pts[i + 1] + nrm[i + 1] * dist)
+            elif turn > 0:  # concave on the left: offset-line intersection
+                d = np.cross(segs[i], segs[i + 1])
+                a = pts[i] + nrm[i] * dist
+                b = pts[i + 1] + nrm[i + 1] * dist
+                t = np.cross(b - a, segs[i + 1]) / d
+                out[-1] = a + segs[i] * t
+            else:
+                out.append(pts[i + 1] + nrm[i + 1] * dist)
+    return out
+
+
+def _cap_pts(p, n_in, dist, endcap, quadrant_segments, ahead):
+    """End-cap vertices from p+d·n_in to p−d·n_in sweeping through the
+    direction `ahead` (unit). flat → none, square → two extended points,
+    round → semicircle."""
+    if endcap == "flat":
+        return []
+    if endcap == "square":
+        return [p + dist * n_in + dist * ahead, p - dist * n_in + dist * ahead]
+    a0 = np.arctan2(n_in[1], n_in[0])
+    am = np.arctan2(ahead[1], ahead[0])
+    sweep = am - a0
+    while sweep <= -np.pi:
+        sweep += 2 * np.pi
+    while sweep > np.pi:
+        sweep -= 2 * np.pi
+    steps = max(1, int(np.ceil(abs(np.pi) / (np.pi / 2 / quadrant_segments))))
+    angs = a0 + (2 * sweep) * np.arange(1, steps) / steps
+    return [p + dist * np.array([np.cos(a), np.sin(a)]) for a in angs]
+
+
+def buffer_line(
+    coords: np.ndarray,
+    dist: float,
+    quadrant_segments: int = 8,
+    endcap: str = "round",
+    join: str = "round",
+    mitre_limit: float = 5.0,
+    side: str = "both",
+) -> np.ndarray:
+    """LineString buffer outline with GEOS-parameter semantics
+    (apps/gdalalg_vector_buffer.cpp:32-56). side='left'/'right' builds
+    the single-sided buffer (flat-ended, bounded by the input line).
+    Returns a CCW ring."""
+    pts = np.asarray(coords, dtype=np.float64)
+    keep = np.ones(len(pts), dtype=bool)
+    keep[1:] = np.hypot(*(pts[1:] - pts[:-1]).T) > 1e-12
+    pts = pts[keep]
+    if len(pts) < 2:
+        raise ValueError("buffer_line needs >= 2 distinct points")
+    if side == "right":
+        # right offset traversed end→start, closed along the input line
+        left = _line_one_side(pts[::-1], dist, join, mitre_limit,
+                              quadrant_segments)
+        ring = np.array(left + list(pts), dtype=np.float64)
+        return _ccw(ring)
+    if side == "left":
+        left = _line_one_side(pts, dist, join, mitre_limit,
+                              quadrant_segments)
+        ring = np.array(left + list(pts[::-1]), dtype=np.float64)
+        return _ccw(ring)
+    lf = _line_one_side(pts, dist, join, mitre_limit, quadrant_segments)
+    rb = _line_one_side(pts[::-1], dist, join, mitre_limit,
+                        quadrant_segments)
+    e_last = pts[-1] - pts[-2]
+    e_last = e_last / np.hypot(*e_last)
+    n_last = np.array([-e_last[1], e_last[0]])
+    e_first = pts[1] - pts[0]
+    e_first = e_first / np.hypot(*e_first)
+    n_first = np.array([-e_first[1], e_first[0]])
+    cap_end = _cap_pts(pts[-1], n_last, dist, endcap, quadrant_segments,
+                       e_last)
+    cap_start = _cap_pts(pts[0], -n_first, dist, endcap, quadrant_segments,
+                         -e_first)
+    ring = np.array(lf + cap_end + rb + cap_start, dtype=np.float64)
+    return _ccw(ring)
+
+
+def buffer_polygon_styled(
+    ring: np.ndarray,
+    dist: float,
+    quadrant_segments: int = 8,
+    join: str = "round",
+    mitre_limit: float = 5.0,
+) -> np.ndarray:
+    """buffer_polygon with join-style control at convex corners
+    (round = existing arcs, mitre = spike to the offset-line
+    intersection bounded by mitre_limit, bevel = straight connect)."""
+    if join == "round" or dist <= 0:
+        return buffer_polygon(ring, dist, quadrant_segments)
+    r = _ccw(ring)
+    n = len(r)
+    pts: list[np.ndarray] = []
+    for i in range(n):
+        p_prev, p, p_next = r[i - 1], r[i], r[(i + 1) % n]
+        e0, e1 = p - p_prev, p_next - p
+        n0 = np.array([e0[1], -e0[0]]) / np.hypot(*e0)
+        n1 = np.array([e1[1], -e1[0]]) / np.hypot(*e1)
+        pts.append(p + dist * n0)
+        pts.extend(
+            _join_pts(p, n0, n1, dist, join, mitre_limit, quadrant_segments)
+        )
+        pts.append(p + dist * n1)
+    return np.array(pts, dtype=np.float64)

@@ -5,7 +5,11 @@ geometry through its Arrow interface (ogr/ogrsf_frmts/generic/
 ogrlayerarrow.cpp: geometry as a WKB binary Arrow column). Supported
 types (ogr/ogr_core.h:422-556 subset): Point(1), LineString(2),
 Polygon(3), MultiPoint(4), MultiLineString(5), MultiPolygon(6),
-GeometryCollection(7), with the 0x80000000 Z flag tolerated on parse.
+GeometryCollection(7). On parse, Z/M/ZM variants in both encodings (ISO
++1000/+2000/+3000 offsets and EWKB 0x80000000/0x40000000 flags,
+ogr/ogr_core.h:579-600) are accepted with the extra coordinates
+dropped, and an EWKB embedded SRID is skipped; curve/surface types
+(CircularString..TIN) raise a descriptive error.
 """
 
 from __future__ import annotations
@@ -85,12 +89,27 @@ def _parse_one(buf: bytes, off: int):
     little = buf[off] == 1
     off += 1
     gtype, off = _rd_u32(buf, off, little)
-    has_z = bool(gtype & 0x80000000) or (2500 <= (gtype % 0x80000000) < 4000)
-    base = gtype & 0xFF
-    if base > 100:  # ISO Z types 1001..1007
-        base = base % 100 if base % 1000 < 100 else base
-    base = (gtype % 1000) if gtype < 0x80000000 else ((gtype & 0x7FFFFFFF) % 1000)
-    dim = 3 if has_z else 2
+    # dimension flags, both encodings (ogr/ogr_core.h:579-600):
+    #   ISO: base + 1000 (Z), + 2000 (M), + 3000 (ZM)
+    #   EWKB: 0x80000000 (Z), 0x40000000 (M), 0x20000000 (SRID present)
+    ewkb_z = bool(gtype & 0x80000000)
+    ewkb_m = bool(gtype & 0x40000000)
+    ewkb_srid = bool(gtype & 0x20000000)
+    code = gtype & 0x0FFFFFFF
+    iso = code // 1000  # 0 plain, 1 Z, 2 M, 3 ZM
+    base = code % 1000
+    has_z = ewkb_z or iso in (1, 3)
+    has_m = ewkb_m or iso in (2, 3)
+    if ewkb_srid:
+        _, off = _rd_u32(buf, off, little)  # skip SRID
+    dim = 2 + int(has_z) + int(has_m)
+    if 8 <= base <= 18:  # CircularString..TIN (ogr_core.h:422-556)
+        raise ValueError(
+            f"curve/surface WKB type {base} (CircularString, CompoundCurve, "
+            "CurvePolygon, PolyhedralSurface, TIN family) is out of scope — "
+            "only the 7 simple-feature types are supported; Z/M coordinates "
+            "are accepted and dropped"
+        )
     fmt = ("<" if little else ">") + "d"
 
     def rd_coords(n, off):

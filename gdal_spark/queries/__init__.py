@@ -91,6 +91,7 @@ def collect() -> tuple[
         "raster_contour",  # segments; stitched raster_contour_lines stays
         "raster_warp_spline_lanczos",  # §2 row 62 repped by area kernels
         "raster_reproject_utm",  # §2 row 63 now repped by the LCC warp
+        "st_buffer_styles",  # §2 row 54 repped in-window; green locally
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -527,3 +527,100 @@ def _geodesic_oracle() -> str:
 
 QUERIES["st_geodesic"] = _geodesic
 ORACLES["st_geodesic"] = _geodesic_oracle()
+
+
+# --- buffer styles (apps/gdalalg_vector_buffer.cpp:32-56) --------------------
+# Segment/polyline fixtures from the octagon vertex CTE; the oracle is the
+# CLOSED-FORM area of each styled buffer (flat = 2dL, square = 2dL + 4d²,
+# single-sided = dL, bevel = 2d(L1+L2) − d²tan(α/2) + d²sinα/2,
+# mitre = 2d(L1+L2) exactly — outer mitre kite equals the inner overlap
+# kite), so agreement proves cap/join/side geometry, not just plumbing.
+
+_BUF_D = 0.125  # binary-exact distance
+
+
+def _buffer_styles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_st_functions(spark)
+    tables.register_views(spark, sf_dir)
+    verts = portable.poly_verts_cte("spark")
+    d = _BUF_D
+    return spark.sql(f"""
+    with v as ({verts}),
+    pts as (
+        select polygon_id,
+               max(case when j = 0 then vx end) as x0,
+               max(case when j = 0 then vy end) as y0,
+               max(case when j = 2 then vx end) as x2,
+               max(case when j = 2 then vy end) as y2,
+               max(case when j = 4 then vx end) as x4,
+               max(case when j = 4 then vy end) as y4
+        from v group by polygon_id
+    ),
+    g as (
+        select polygon_id,
+               st_geomfromtext(concat('LINESTRING (', x0, ' ', y0, ', ',
+                                      x4, ' ', y4, ')')) as seg,
+               st_geomfromtext(concat('LINESTRING (', x0, ' ', y0, ', ',
+                                      x2, ' ', y2, ', ',
+                                      x4, ' ', y4, ')')) as path
+        from pts
+    )
+    select polygon_id,
+           round(st_area(st_buffer_style(seg, {d!r}, 'endcap=flat')), 6)
+             as flat_area,
+           round(st_area(st_buffer_style(seg, {d!r}, 'endcap=square')), 6)
+             as square_area,
+           round(st_area(st_buffer_style(seg, {d!r}, 'side=left')), 6)
+             as left_area,
+           round(st_area(st_buffer_style(path, {d!r},
+                 'endcap=flat join=bevel')), 6) as bevel_area,
+           round(st_area(st_buffer_style(path, {d!r},
+                 'endcap=flat join=mitre')), 6) as mitre_area
+    from g order by polygon_id
+    """)
+
+
+def _buffer_styles_oracle() -> str:
+    verts = portable.poly_verts_cte("duckdb")
+    d = _BUF_D
+    return f"""
+    with v as ({verts}),
+    pts as (
+        select polygon_id,
+               max(case when j = 0 then vx end) as x0,
+               max(case when j = 0 then vy end) as y0,
+               max(case when j = 2 then vx end) as x2,
+               max(case when j = 2 then vy end) as y2,
+               max(case when j = 4 then vx end) as x4,
+               max(case when j = 4 then vy end) as y4
+        from v group by polygon_id
+    ),
+    m as (
+        select polygon_id,
+               sqrt((x4 - x0) * (x4 - x0) + (y4 - y0) * (y4 - y0)) as L,
+               sqrt((x2 - x0) * (x2 - x0) + (y2 - y0) * (y2 - y0)) as L1,
+               sqrt((x4 - x2) * (x4 - x2) + (y4 - y2) * (y4 - y2)) as L2,
+               (x2 - x0) * (y4 - y2) - (y2 - y0) * (x4 - x2) as crs,
+               (x2 - x0) * (x4 - x2) + (y2 - y0) * (y4 - y2) as dt
+        from pts
+    ),
+    t as (
+        select polygon_id, L, L1, L2,
+               abs(crs) / (L1 * L2) as sina,
+               dt / (L1 * L2) as cosa
+        from m
+    )
+    select polygon_id,
+           round(2 * {d!r} * L, 6) as flat_area,
+           round(2 * {d!r} * L + 4 * {d!r} * {d!r}, 6) as square_area,
+           round({d!r} * L, 6) as left_area,
+           round(2 * {d!r} * (L1 + L2)
+                 - {d!r} * {d!r} * sina / (1 + cosa)
+                 + {d!r} * {d!r} * sina / 2, 6) as bevel_area,
+           round(2 * {d!r} * (L1 + L2), 6) as mitre_area
+    from t order by polygon_id
+    """
+
+
+QUERIES["st_buffer_styles"] = _buffer_styles
+ORACLES["st_buffer_styles"] = _buffer_styles_oracle()

