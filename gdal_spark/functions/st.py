@@ -721,6 +721,21 @@ def register_st_functions(spark: SparkSession) -> None:
         ),
         BinaryType(),
     ))
+    # OGRGeometry::SimplifyPreserveTopology (ogr/ogr_geometry.h;
+    # apps/gdalalg_vector_simplify.cpp:32) — output ring guaranteed simple
+    reg("st_simplifypreservetopology", P(
+        lambda s, t: pd.Series(
+            [
+                None
+                if b is None
+                else W.polygon_to_wkb(
+                    [C.simplify_preserve_topology(_ext(bytes(b)), float(tv))]
+                )
+                for b, tv in zip(s, t)
+            ]
+        ),
+        BinaryType(),
+    ))
 
     for name in (
         "intersects",

@@ -1172,3 +1172,79 @@ def buffer_polygon_styled(
         )
         pts.append(p + dist * n1)
     return np.array(pts, dtype=np.float64)
+
+
+def _open_ring_simple(r: np.ndarray) -> bool:
+    """Open ring r (no closing vertex): no strict non-adjacent segment
+    crossings (including the closure edge)."""
+    n = len(r)
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # closure adjacency
+            if segments_cross_strict(
+                r[i], r[(i + 1) % n], r[j], r[(j + 1) % n]
+            ):
+                return True
+    return False
+
+
+def simplify_preserve_topology(
+    ring: np.ndarray, tol: float, closed: bool = True
+) -> np.ndarray:
+    """Topology-preserving simplification (OGRGeometry::
+    SimplifyPreserveTopology surface, ogr/ogr_geometry.h ~ GEOS
+    TopologyPreservingSimplifier semantics at the single-ring level):
+    Douglas-Peucker, then while the simplified ring self-intersects,
+    re-add the farthest dropped original vertex inside one of the
+    offending chords. Guarantees a simple output ring with >= 3 distinct
+    vertices; plain simplify_dp can return a bowtie that the layer-
+    algebra kernels reject."""
+    pts = np.asarray(ring, dtype=np.float64)
+    was_closed = len(pts) >= 2 and np.array_equal(pts[0], pts[-1])
+    work = pts[:-1] if was_closed else pts
+    n = len(work)
+    if not closed or n <= 4:
+        return simplify_dp(ring, tol, closed=closed)
+
+    simp = simplify_dp(work, tol, closed=True)  # open result
+
+    def indices_of(sub):
+        idx, k = [], 0
+        for p in sub:
+            while not np.array_equal(work[k], p):
+                k += 1
+            idx.append(k)
+            k += 1
+        return idx
+
+    for _ in range(n):  # each round re-adds one vertex → terminates
+        if len(simp) >= 3 and not _open_ring_simple(simp):
+            break
+        idx = indices_of(simp)
+        # farthest dropped vertex from its covering chord, globally
+        best, bd = None, -1.0
+        m = len(idx)
+        for s in range(m):
+            i0, i1 = idx[s], idx[(s + 1) % m]
+            gap = (
+                range(i0 + 1, i1) if i1 > i0 else
+                list(range(i0 + 1, n)) + list(range(0, i1))
+            )
+            a, b = work[i0], work[i1]
+            seg = b - a
+            ln = np.hypot(*seg)
+            for g in gap:
+                d = (
+                    np.hypot(*(work[g] - a)) if ln == 0
+                    else abs(float(np.cross(seg, work[g] - a))) / ln
+                )
+                if d > bd:
+                    bd, best = d, g
+        if best is None:
+            break
+        keep = sorted(set(indices_of(simp)) | {best})
+        simp = work[keep]
+    if was_closed:
+        simp = np.vstack([simp, simp[:1]])
+    return simp

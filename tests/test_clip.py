@@ -243,3 +243,39 @@ def test_buffer_styled_udf_points(spark):
     k = 32
     assert abs(rows.rnd - 0.5 * k * 4 * np.sin(2 * np.pi / k)) < 1e-9
     assert rows.flat is None
+
+
+def test_simplify_preserve_topology():
+    """ogr_geometry.h SimplifyPreserveTopology: where plain DP yields a
+    self-intersecting ring (shallow zigzag chord crossing a retained deep
+    spike), the preserving variant re-adds vertices until simple; where
+    DP is already valid the two agree."""
+    import numpy as np
+
+    from gdal_spark.geometry.clip import (
+        _open_ring_simple,
+        simplify_dp,
+        simplify_preserve_topology,
+    )
+
+    ring = np.array([
+        [0, 0], [2, 0.4], [4, -0.4], [6, 0.4], [8, 0],
+        [8, 5], [4.4, 5], [4.2, -0.2], [4.0, 5], [0, 5],
+    ], float)
+    assert not _open_ring_simple(ring)
+    dp = simplify_dp(ring, 0.5)
+    dpo = dp[:-1] if np.array_equal(dp[0], dp[-1]) else dp
+    assert _open_ring_simple(dpo)  # plain DP breaks topology here
+    sp = simplify_preserve_topology(ring, 0.5)
+    spo = sp[:-1] if np.array_equal(sp[0], sp[-1]) else sp
+    assert not _open_ring_simple(spo)
+    assert len(spo) < len(ring)  # still simplified
+    # all output vertices are input vertices
+    inset = {tuple(p) for p in ring}
+    assert all(tuple(p) in inset for p in spo)
+
+    # benign ring: identical to DP
+    sq = np.array([[0, 0], [4, 0.1], [8, 0], [8, 8], [0, 8]], float)
+    a = simplify_dp(sq, 0.5)
+    b = simplify_preserve_topology(sq, 0.5)
+    assert np.array_equal(a, b)
