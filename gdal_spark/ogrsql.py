@@ -113,10 +113,42 @@ def rewrite_first_match(sql: str) -> str | None:
         where = " where " + rest[5:cut].strip()
         tail = rest[cut:].strip()
     return (
-        f"select * from (select {cols}, row_number() over "
+        f"select * except (__rn) from (select {cols}, row_number() over "
         f"(partition by {lt}.fid order by {rt}.fid) as __rn "
         f"from {lt} left join {rt} on {cond}{where}) where __rn = 1 {tail}"
     )
+
+
+def split_union_all(sql: str) -> list[str]:
+    """Split a chained multi-select statement at TOP-LEVEL `UNION ALL`
+    boundaries (GDALDataset::ExecuteSQL builds these as a linked list of
+    swq_select, gcore/gdaldataset.cpp:7531-7560). Parenthesized
+    sub-selects and string literals are respected via the shim
+    tokenizer."""
+    parts: list[str] = []
+    depth = 0
+    last = 0
+    toks = list(_TOKENS.finditer(sql))
+    i = 0
+    while i < len(toks):
+        t = toks[i].group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and t.lower() == "union"
+            and i + 1 < len(toks)
+            and toks[i + 1].group(0).lower() == "all"
+        ):
+            parts.append(sql[last : toks[i].start()])
+            last = toks[i + 1].end()
+            i += 2
+            continue
+        i += 1
+    parts.append(sql[last:])
+    return [p.strip() for p in parts]
 
 
 def execute_sql(
@@ -143,7 +175,10 @@ def execute_sql(
         df.createOrReplaceTempView(name)
     text = rewrite(sql, ogr_like=ogr_like)
     if first_match_join:
-        fm = rewrite_first_match(text)
-        if fm is not None:
-            return spark.sql(fm).drop("__rn")
+        # apply the first-match rewrite per UNION ALL branch (the chained
+        # swq_select shape, gcore/gdaldataset.cpp:7531-7560)
+        branches = split_union_all(text)
+        rewritten = [rewrite_first_match(b) or b for b in branches]
+        if any(r is not b for r, b in zip(rewritten, branches)):
+            return spark.sql(" union all ".join(rewritten))
     return spark.sql(text)

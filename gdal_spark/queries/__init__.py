@@ -92,6 +92,8 @@ def collect() -> tuple[
         "raster_warp_spline_lanczos",  # §2 row 62 repped by area kernels
         "raster_reproject_utm",  # §2 row 63 now repped by the LCC warp
         "st_buffer_styles",  # §2 row 54 repped in-window; green locally
+        "raster_rgb_to_palette",  # color-table family repped by pytest
+        # goldens + this local-green nearest-color oracle
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -1987,3 +1987,67 @@ def _viewshed_oracle() -> str:
 
 QUERIES["raster_viewshed"] = _viewshed_query
 ORACLES["raster_viewshed"] = _viewshed_oracle()
+
+
+# --- rgb-to-palette (alg/gdaldither.cpp FindNearestColor path;
+# apps/gdalalg_raster_rgb_to_palette.cpp) ------------------------------------
+# Nearest-color application of an explicit palette over the 3-band
+# grad100 raster; both sides rank palette entries by (squared distance,
+# index) so integer-distance ties break identically. Median-cut training
+# and Floyd-Steinberg dithering are pinned by pytest
+# (tests/test_raster_ops.py) — their driver-side math is not
+# SQL-expressible.
+
+_PCT_PALETTE = [
+    (0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0),
+    (0, 0, 255), (128, 128, 0), (0, 128, 128), (128, 0, 128),
+]
+
+
+def _rgb_to_palette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from gdal_spark.raster import palette as P
+
+    pal = np.array(_PCT_PALETTE, dtype=np.uint8)
+    out = P.rgb_to_palette(_blocks(spark), pal, rgb_bands=(1, 2, 3))
+    f = ops.as_features(out)
+    return f.where("x < 40 and y < 40").select(
+        "x", "y", F.col("value").cast("int").alias("idx")
+    )
+
+
+def _rgb_to_palette_oracle() -> str:
+    pal_rows = " union all ".join(
+        f"select {i} as idx, cast({r} as double) as pr, "
+        f"cast({g} as double) as pg, cast({b} as double) as pb"
+        for i, (r, g, b) in enumerate(_PCT_PALETTE)
+    )
+    return f"""
+    with px as ({PIXELS_CTE}),
+    rgb as (
+        select x, y,
+               max(case when band = 1 then value end) as r,
+               max(case when band = 2 then value end) as g,
+               max(case when band = 3 then value end) as b
+        from px group by x, y
+    ),
+    pal as ({pal_rows}),
+    d as (
+        select rgb.x, rgb.y, pal.idx,
+               (rgb.r - pal.pr) * (rgb.r - pal.pr)
+               + (rgb.g - pal.pg) * (rgb.g - pal.pg)
+               + (rgb.b - pal.pb) * (rgb.b - pal.pb) as d2
+        from rgb cross join pal
+        where rgb.x < 40 and rgb.y < 40
+    )
+    select x, y, idx from (
+        select x, y, idx,
+               row_number() over (partition by x, y order by d2, idx) as rn
+        from d
+    ) where rn = 1
+    """
+
+
+QUERIES["raster_rgb_to_palette"] = _rgb_to_palette_q
+ORACLES["raster_rgb_to_palette"] = _rgb_to_palette_oracle()

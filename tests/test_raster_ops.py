@@ -251,3 +251,65 @@ def test_zonal_ext_inclusion_modes(spark):
     for m in res.values():
         assert 10 <= m.argmin_x <= 13 and 20 <= m.argmin_y <= 23
         assert 10 <= m.argmax_x <= 13 and 20 <= m.argmax_y <= 23
+
+
+def test_median_cut_palette_and_nearest(spark):
+    """Heckbert median cut (alg/gdalmediancut.cpp role): 4 well-separated
+    color clusters → 4-color palette at the cluster means; nearest-color
+    application matches a numpy brute force per pixel."""
+    import numpy as np
+
+    from gdal_spark.raster import model, palette as P
+
+    rng = np.random.default_rng(3)
+    base = np.array([[20, 20, 20], [200, 30, 30], [30, 200, 30], [40, 40, 220]])
+    h = w = 32
+    pick = rng.integers(0, 4, (h, w))
+    img = base[pick] + rng.integers(-4, 5, (h, w, 3))
+    img = np.clip(img, 0, 255).astype(np.float64)
+    rows = []
+    for band in range(3):
+        rows.append(
+            ("rgb", band + 1, 0, 0, 0, 0, w, h, "float64",
+             0.0, 1.0, 0.0, 0.0, 0.0, -1.0, None,
+             bytearray(np.ascontiguousarray(img[..., band]).tobytes()))
+        )
+    blocks = spark.createDataFrame(rows, model.BLOCK_SCHEMA)
+    pal = P.compute_median_cut_palette(blocks, n_colors=8)
+    assert pal.shape == (8, 3)
+    # Heckbert's guarantee is low overall quantization error, not exact
+    # cluster recovery: mean per-pixel error small, every pixel bounded
+    pf = pal.astype(np.float64)
+    d = np.sqrt(
+        ((img[..., None, :] - pf[None, None, :, :]) ** 2).sum(-1)
+    ).min(axis=-1)
+    assert d.mean() < 25.0, d.mean()
+    assert d.max() < 90.0, d.max()
+    # deterministic
+    pal2 = P.compute_median_cut_palette(blocks, n_colors=8)
+    assert np.array_equal(pal, pal2)
+
+    out = P.rgb_to_palette(blocks, pal).collect()[0]
+    idx = model.decode((out.buf, h, w, out.dtype))
+    pf = pal.astype(np.float64)
+    want = np.argmin(
+        ((img[..., None, :] - pf[None, None, :, :]) ** 2).sum(-1), axis=-1
+    )
+    assert np.array_equal(idx, want)
+
+
+def test_floyd_steinberg_preserves_mean():
+    """Error diffusion conserves the local mean: a constant gray not in
+    the palette dithers to a mix whose mean is within 1 unit."""
+    import numpy as np
+
+    from gdal_spark.raster.palette import floyd_steinberg
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    img = np.full((24, 24, 3), 100.0)
+    idx = floyd_steinberg(img, pal)
+    mean = pal[idx].astype(np.float64).mean()
+    assert abs(mean - 100.0) < 1.5
+    # exact palette color maps to itself, no dithering noise
+    img2 = np.zeros((8, 8, 3))
+    assert (floyd_steinberg(img2, pal) == 0).all()
