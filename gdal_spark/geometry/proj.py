@@ -196,3 +196,135 @@ def lcc_inverse(
             t * ((1.0 - es) / (1.0 + es)) ** (_E / 2.0)
         )
     return np.degrees(theta / n) + lon0, np.degrees(phi)
+
+
+# --- Albers equal-area conic (2SP, ellipsoidal) ------------------------------
+# Snyder 1987 pp. 98-103 (eqs. 14-12..14-19, 3-16) — PROJ's aea.
+
+
+def _aea_q(phi: np.ndarray) -> np.ndarray:
+    s = np.sin(phi)
+    es = _E * s
+    return (1.0 - _E**2) * (
+        s / (1.0 - es**2) - np.log((1.0 - es) / (1.0 + es)) / (2.0 * _E)
+    )
+
+
+def _aea_consts(lat1: float, lat2: float, lat0: float):
+    p1, p2, p0 = np.radians([lat1, lat2, lat0])
+    m1, m2 = _lcc_m(p1), _lcc_m(p2)
+    q1, q2, q0 = _aea_q(p1), _aea_q(p2), _aea_q(p0)
+    if abs(lat1 - lat2) < 1e-12:
+        n = np.sin(p1)
+    else:
+        n = (m1**2 - m2**2) / (q2 - q1)
+    Cc = m1**2 + n * q1
+    rho0 = _A * np.sqrt(Cc - n * q0) / n
+    return float(n), float(Cc), float(rho0)
+
+
+def aea_forward(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    lat1: float,
+    lat2: float,
+    lat0: float,
+    lon0: float,
+    fe: float = 0.0,
+    fn: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Albers equal-area forward: degrees → meters."""
+    n, Cc, rho0 = _aea_consts(lat1, lat2, lat0)
+    q = _aea_q(np.radians(np.asarray(lat, dtype=np.float64)))
+    rho = _A * np.sqrt(Cc - n * q) / n
+    theta = n * np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def aea_inverse(
+    x: np.ndarray,
+    y: np.ndarray,
+    lat1: float,
+    lat2: float,
+    lat0: float,
+    lon0: float,
+    fe: float = 0.0,
+    fn: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Albers inverse; latitude by Newton iteration on q (Snyder
+    eq. 3-16), <1e-12 rad in ~5 rounds."""
+    n, Cc, rho0 = _aea_consts(lat1, lat2, lat0)
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.hypot(xp, yp)
+    theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+    q = (Cc - (rho * n / _A) ** 2) / n
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    e2 = _E**2
+    for _ in range(8):
+        s = np.sin(phi)
+        es = _E * s
+        phi = phi + (1.0 - e2 * s**2) ** 2 / (2.0 * np.cos(phi) * (1.0 - e2)) * (
+            q / (1.0 - e2)
+            - s / (1.0 - e2 * s**2)
+            + np.log((1.0 - es) / (1.0 + es)) / (2.0 * _E)
+        )
+    return np.degrees(theta / n) + lon0, np.degrees(phi)
+
+
+# --- polar stereographic (ellipsoidal, variant B) ----------------------------
+# Snyder 1987 pp. 160-162 (eqs. 21-33..21-34, 15-9) — PROJ's stere at
+# the pole with a standard parallel.
+
+
+def stere_forward(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    lat_ts: float = 71.0,
+    lon0: float = 0.0,
+    north: bool = True,
+    fe: float = 0.0,
+    fn: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Polar stereographic forward (degrees → meters), standard
+    parallel lat_ts."""
+    sgn = 1.0 if north else -1.0
+    phi = sgn * np.radians(np.asarray(lat, dtype=np.float64))
+    lam = sgn * np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    pts = np.radians(abs(lat_ts))
+    t = _lcc_t(phi)
+    mc = _lcc_m(pts)
+    tc = _lcc_t(np.asarray(pts))
+    rho = _A * mc * t / tc
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    return fe + sgn * x, fn + sgn * y
+
+
+def stere_inverse(
+    x: np.ndarray,
+    y: np.ndarray,
+    lat_ts: float = 71.0,
+    lon0: float = 0.0,
+    north: bool = True,
+    fe: float = 0.0,
+    fn: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Polar stereographic inverse; latitude by the same fixed-point
+    iteration as LCC (Snyder eq. 7-9)."""
+    sgn = 1.0 if north else -1.0
+    xp = sgn * (np.asarray(x, dtype=np.float64) - fe)
+    yp = sgn * (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.hypot(xp, yp)
+    pts = np.radians(abs(lat_ts))
+    mc = _lcc_m(pts)
+    tc = _lcc_t(np.asarray(pts))
+    t = rho * tc / (_A * mc)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(10):
+        es = _E * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - es) / (1.0 + es)) ** (_E / 2.0)
+        )
+    lam = np.arctan2(xp, -yp)
+    return sgn * np.degrees(lam) + lon0, sgn * np.degrees(phi)

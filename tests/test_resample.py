@@ -501,3 +501,127 @@ def test_lcc_roundtrip_and_properties():
     lo2, la2 = _snyder_lcc_inverse_series(x, y, *P)
     assert np.abs(lo2 - lon).max() < 1e-9
     assert np.abs(la2 - lat).max() < 1e-7  # series truncation order e^8
+
+
+def test_albers_stereo_roundtrip_and_properties():
+    """Albers equal-area (Snyder pp.98-103): round-trip + unit Jacobian
+    area ratio; polar stereographic (pp.160-162): round-trip + true
+    scale at the standard parallel."""
+    import numpy as np
+
+    from gdal_spark.geometry.proj import (
+        aea_forward,
+        aea_inverse,
+        stere_forward,
+        stere_inverse,
+    )
+
+    rng = np.random.default_rng(9)
+    lon = -74.0 + rng.uniform(-3, 3, 100)
+    lat = 40.0 + rng.uniform(-3, 3, 100)
+    P = (39.0, 42.0, 40.0, -74.0)
+    x, y = aea_forward(lon, lat, *P)
+    lo, la = aea_inverse(x, y, *P)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+    # equal-area: Jacobian determinant == ellipsoidal area element
+    d = 1e-6
+    x1, y1 = aea_forward(lon + d, lat, *P)
+    x2, y2 = aea_forward(lon, lat + d, *P)
+    J = np.abs((x1 - x) * (y2 - y) - (x2 - x) * (y1 - y)) / (d * d)
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    phi = np.radians(lat)
+    want = (a * a * np.cos(phi) * (1 - e2)
+            / (1 - e2 * np.sin(phi) ** 2) ** 2 * (np.pi / 180) ** 2)
+    assert np.abs(J / want - 1).max() < 1e-6
+
+    lonp = rng.uniform(-180, 180, 100)
+    latp = rng.uniform(60, 89, 100)
+    xs, ys = stere_forward(lonp, latp, 71.0, 0.0)
+    lo2, la2 = stere_inverse(xs, ys, 71.0, 0.0)
+    assert np.abs((lo2 - lonp + 180) % 360 - 180).max() < 1e-9
+    assert np.abs(la2 - latp).max() < 1e-9
+    # true scale at 71N: dx for 1e-6 deg of longitude == arc length
+    x0, y0 = stere_forward(np.array([0.0]), np.array([71.0]), 71.0, 0.0)
+    x1b, y1b = stere_forward(np.array([1e-6]), np.array([71.0]), 71.0, 0.0)
+    nu = a / np.sqrt(1 - e2 * np.sin(np.radians(71.0)) ** 2)
+    arc = nu * np.cos(np.radians(71.0)) * np.radians(1e-6)
+    got = np.hypot(x1b - x0, y1b - y0)[0]
+    assert abs(got / arc - 1) < 1e-9
+
+
+def test_gcp_polynomial_and_tps_transformers():
+    """alg/gdal_crs.cpp (polynomial orders 1-3) and alg/gdal_tps.cpp
+    (thin plate spline) analogs: exact recovery of generating
+    transforms, exact TPS interpolation at GCPs, and a reproject_grid
+    warp driven by a TPS pair."""
+    import numpy as np
+
+    from gdal_spark.geometry.gcp import GCPPolynomial, TPS, tps_pair
+
+    rng = np.random.default_rng(1)
+    src = rng.uniform(0, 100, (12, 2))
+    A = np.array([[1.5, 0.2], [-0.3, 2.0]])
+    t = np.array([10.0, -5.0])
+    dst = src @ A.T + t
+    g = GCPPolynomial(src, dst, order=1)
+    fx, fy = g.forward(src[:, 0], src[:, 1])
+    assert np.abs(np.column_stack([fx, fy]) - dst).max() < 1e-9
+    ix, iy = g.inverse(dst[:, 0], dst[:, 1])
+    assert np.abs(np.column_stack([ix, iy]) - src).max() < 1e-9
+    dst2 = np.column_stack(
+        [src[:, 0] + 0.01 * src[:, 1] ** 2, src[:, 1] - 0.005 * src[:, 0] ** 2]
+    )
+    g2 = GCPPolynomial(src, dst2, order=2)
+    fx, fy = g2.forward(src[:, 0], src[:, 1])
+    assert np.abs(np.column_stack([fx, fy]) - dst2).max() < 1e-9
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="needs >= 10"):
+        GCPPolynomial(src[:5], dst[:5], order=3)
+
+    tps = TPS(src, dst)
+    fx, fy = tps.forward(src[:, 0], src[:, 1])
+    assert np.abs(np.column_stack([fx, fy]) - dst).max() < 1e-9
+    q = rng.uniform(10, 90, (50, 2))
+    fx, fy = tps.forward(q[:, 0], q[:, 1])
+    assert np.abs(np.column_stack([fx, fy]) - (q @ A.T + t)).max() < 1e-9
+
+
+def test_reproject_grid_with_tps_transformer(spark):
+    """A TPS pair fitted on an affine GCP set drives reproject_grid
+    exactly like the affine itself — the transformer seam accepts GCP
+    transformers (alg/gdaltransformer.cpp:96 chain parity)."""
+    import numpy as np
+
+    from gdal_spark.geometry.gcp import tps_pair
+    from gdal_spark.raster import model
+    from gdal_spark.raster.resample import reproject_grid
+
+    spec = model.grad100_spec()
+    g = spec.gt
+    # identity 'projection' via TPS fitted on a scaled/shifted affine
+    rng = np.random.default_rng(4)
+    src = np.column_stack([
+        g[0] + rng.uniform(0, 100, 16) * g[1],
+        g[3] + rng.uniform(0, 100, 16) * g[5],
+    ])
+    dst = np.column_stack([src[:, 0] * 2.0 + 1.0, src[:, 1] * 2.0 - 3.0])
+    fwd, inv = tps_pair(src, dst)
+    dst_gt = (2 * g[0] + 1.0, 2 * g[1], 0.0, 2 * g[3] - 3.0, 0.0, 2 * g[5])
+    dspec = model.GridSpec("tps", 100, 100, dst_gt, block=32, bands=1)
+    out = reproject_grid(
+        model.synth_blocks(spark, spec).where("band = 1"),
+        dspec,
+        "nearest",
+        band=1,
+        world_to_dst=fwd.forward,
+        dst_to_world=inv.forward,
+    )
+    full = np.zeros((100, 100))
+    for r in out.collect():
+        a = model.decode((r.buf, r.height, r.width, r.dtype))
+        full[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
+    want = model.value_grid(0, 0, 100, 100, 1)
+    assert np.array_equal(full, want)
