@@ -37,6 +37,10 @@ def shortest_paths(
             .agg(F.min("dist").alias("dist"))
         )
         # fixpoint: no node improved
+        # localCheckpoint truncates the per-round lineage — without it
+        # the plan tree doubles every iteration and the driver dies
+        # compiling it long before any data problem appears
+        new = new.localCheckpoint(eager=True)
         improved = (
             new.alias("n")
             .join(dist.alias("o"), "node", "left")
@@ -45,7 +49,7 @@ def shortest_paths(
             )
             .count()
         )
-        dist = new.persist()
+        dist = new
         if improved == 0:
             break
     return dist

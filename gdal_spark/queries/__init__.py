@@ -22,6 +22,7 @@ def collect() -> tuple[
 ]:
     from gdal_spark.queries import (
         events,
+        graph,
         knn,
         raster,
         relational,
@@ -40,6 +41,7 @@ def collect() -> tuple[
         similarity,
         vector,
         raster,
+        graph,
     ]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -94,6 +96,8 @@ def collect() -> tuple[
         "st_buffer_styles",  # §2 row 54 repped in-window; green locally
         "raster_rgb_to_palette",  # color-table family repped by pytest
         # goldens + this local-green nearest-color oracle
+        "graph_components",  # GNM family: oracle-green locally (recursive
+        "graph_shortest_paths",  # CTE oracles), window full of §2 rows
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}
