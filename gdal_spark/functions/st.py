@@ -614,6 +614,23 @@ def register_st_functions(spark: SparkSession) -> None:
             ))(idx),
             DoubleType(),
         ))
+    # OGR_GEOMETRY special field / OGRGeometry::getGeometryName — read
+    # the type straight from the WKB header, Z/M/EWKB flags normalized
+    _TYPE_NAMES = {
+        W.POINT: "POINT", W.LINESTRING: "LINESTRING", W.POLYGON: "POLYGON",
+        W.MULTIPOINT: "MULTIPOINT", W.MULTILINESTRING: "MULTILINESTRING",
+        W.MULTIPOLYGON: "MULTIPOLYGON", W.COLLECTION: "GEOMETRYCOLLECTION",
+    }
+
+    def _gtype_name(b: bytes) -> str:
+        import struct as _struct
+
+        code = _struct.unpack_from("<I" if b[0] == 1 else ">I", b, 1)[0]
+        return _TYPE_NAMES.get((code & 0x0FFFFFFF) % 1000, "UNKNOWN")
+
+    reg("st_geometrytype", P(
+        lambda s: _each(s, _gtype_name, object), StringType()
+    ))
     reg("st_numpoints", P(lambda s: _each(s, _npoints, "int32"), IntegerType()))
     reg("st_isvalid", P(lambda s: _each(s, _is_valid, "boolean"), BooleanType()))
     reg("st_srid", P(lambda s: _each(s, lambda b: 4326, "int32"), IntegerType()))

@@ -8,8 +8,11 @@ Polygon(3), MultiPoint(4), MultiLineString(5), MultiPolygon(6),
 GeometryCollection(7). On parse, Z/M/ZM variants in both encodings (ISO
 +1000/+2000/+3000 offsets and EWKB 0x80000000/0x40000000 flags,
 ogr/ogr_core.h:579-600) are accepted with the extra coordinates
-dropped, and an EWKB embedded SRID is skipped; curve/surface types
-(CircularString..TIN) raise a descriptive error.
+dropped, and an EWKB embedded SRID is skipped. ISO curve/surface types
+(CircularString, CompoundCurve, CurvePolygon, MultiCurve, MultiSurface,
+PolyhedralSurface, TIN, Triangle) are LINEARIZED on read the way the
+reference strokes them for non-curve-aware consumers
+(ogr/ogrgeometryfactory.cpp curveToLineString, OGR_ARC_STEPSIZE 4°).
 """
 
 from __future__ import annotations
@@ -103,13 +106,6 @@ def _parse_one(buf: bytes, off: int):
     if ewkb_srid:
         _, off = _rd_u32(buf, off, little)  # skip SRID
     dim = 2 + int(has_z) + int(has_m)
-    if 8 <= base <= 18:  # CircularString..TIN (ogr_core.h:422-556)
-        raise ValueError(
-            f"curve/surface WKB type {base} (CircularString, CompoundCurve, "
-            "CurvePolygon, PolyhedralSurface, TIN family) is out of scope — "
-            "only the 7 simple-feature types are supported; Z/M coordinates "
-            "are accepted and dropped"
-        )
     fmt = ("<" if little else ">") + "d"
 
     def rd_coords(n, off):
@@ -140,7 +136,107 @@ def _parse_one(buf: bytes, off: int):
             g, off = _parse_one(buf, off)
             parts.append(g)
         return (base, parts), off
+    # --- ISO curve/surface types, linearized on read the way the
+    # reference strokes them for non-curve-aware consumers
+    # (ogr/ogrgeometryfactory.cpp curveToLineString, OGR_ARC_STEPSIZE
+    # default 4°) ---
+    if base == CIRCULARSTRING:
+        n, off = _rd_u32(buf, off, little)
+        c, off = rd_coords(n, off)
+        return (LINESTRING, _stroke_circularstring(c)), off
+    if base == COMPOUNDCURVE:
+        ns, off = _rd_u32(buf, off, little)
+        pieces = []
+        for _ in range(ns):
+            (t, c), off = _parse_one(buf, off)
+            if t != LINESTRING:
+                raise ValueError("compound curve segment of unexpected type")
+            pieces.append(c if not pieces else c[1:])  # shared endpoint
+        return (LINESTRING, np.vstack(pieces)), off
+    if base == CURVEPOLYGON:
+        nr, off = _rd_u32(buf, off, little)
+        rings = []
+        for _ in range(nr):
+            (t, c), off = _parse_one(buf, off)
+            if t != LINESTRING:
+                raise ValueError("curve polygon ring of unexpected type")
+            rings.append(c)
+        return (POLYGON, rings), off
+    if base == MULTICURVE:
+        ng, off = _rd_u32(buf, off, little)
+        parts = []
+        for _ in range(ng):
+            g, off = _parse_one(buf, off)
+            parts.append(g)
+        return (MULTILINESTRING, parts), off
+    if base in (MULTISURFACE, POLYHEDRALSURFACE, TIN):
+        ng, off = _rd_u32(buf, off, little)
+        parts = []
+        for _ in range(ng):
+            g, off = _parse_one(buf, off)
+            parts.append(g)
+        return (MULTIPOLYGON, parts), off
+    if base == TRIANGLE:
+        nr, off = _rd_u32(buf, off, little)
+        rings = []
+        for _ in range(nr):
+            n, off = _rd_u32(buf, off, little)
+            c, off = rd_coords(n, off)
+            rings.append(c)
+        return (POLYGON, rings), off
     raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+# ISO curve/surface type codes (ogr/ogr_core.h:422-556)
+CIRCULARSTRING, COMPOUNDCURVE, CURVEPOLYGON, MULTICURVE, MULTISURFACE = (
+    8, 9, 10, 11, 12,
+)
+POLYHEDRALSURFACE, TIN, TRIANGLE = 15, 16, 17
+
+ARC_STEP_DEG = 4.0  # OGR_ARC_STEPSIZE default (ogrgeometryfactory.cpp:4470)
+
+
+def _stroke_circularstring(pts: np.ndarray) -> np.ndarray:
+    """Linearize a CircularString: consecutive point triples define
+    arcs through 3 points; collinear triples degrade to straight
+    segments. Max angular step ARC_STEP_DEG, endpoints exact."""
+    out = [pts[0]]
+    for i in range(0, len(pts) - 2, 2):
+        p0, p1, p2 = pts[i], pts[i + 1], pts[i + 2]
+        d = 2.0 * (
+            p0[0] * (p1[1] - p2[1])
+            + p1[0] * (p2[1] - p0[1])
+            + p2[0] * (p0[1] - p1[1])
+        )
+        chord = np.hypot(*(p2 - p0))
+        if abs(d) < 1e-12 * max(chord, 1.0) ** 2:
+            out.extend([p1, p2])  # collinear
+            continue
+        s0, s1, s2 = (p0 @ p0), (p1 @ p1), (p2 @ p2)
+        ux = (s0 * (p1[1] - p2[1]) + s1 * (p2[1] - p0[1])
+              + s2 * (p0[1] - p1[1])) / d
+        uy = (s0 * (p2[0] - p1[0]) + s1 * (p0[0] - p2[0])
+              + s2 * (p1[0] - p0[0])) / d
+        ctr = np.array([ux, uy])
+        r = np.hypot(*(p0 - ctr))
+        a0 = np.arctan2(p0[1] - uy, p0[0] - ux)
+        a1 = np.arctan2(p1[1] - uy, p1[0] - ux)
+        a2 = np.arctan2(p2[1] - uy, p2[0] - ux)
+        # sweep direction: the arc must pass through p1
+        ccw_12 = (a1 - a0) % (2 * np.pi)
+        ccw_13 = (a2 - a0) % (2 * np.pi)
+        if ccw_12 <= ccw_13:  # counterclockwise through p1
+            sweep = ccw_13 if ccw_13 > 0 else 2 * np.pi
+        else:  # clockwise
+            sweep = -((a0 - a2) % (2 * np.pi) or 2 * np.pi)
+        steps = max(2, int(np.ceil(abs(sweep) / np.radians(ARC_STEP_DEG))))
+        angs = a0 + sweep * np.arange(1, steps + 1) / steps
+        arc = np.column_stack(
+            [ux + r * np.cos(angs), uy + r * np.sin(angs)]
+        )
+        arc[-1] = p2  # exact endpoint
+        out.extend(arc)
+    return np.vstack([np.atleast_2d(p) for p in out])
 
 
 def parse_wkb(buf: bytes):

@@ -36,7 +36,7 @@ from gdal_spark.functions import register_st_functions
 _SPECIAL = {
     "ogr_geom_wkt": "st_astext(geometry)",
     "ogr_geom_area": "st_area(geometry)",
-    "ogr_geometry": "'POLYGON'",
+    "ogr_geometry": "st_geometrytype(geometry)",
     "ogr_style": "cast(null as string)",
     "fid": "fid",
 }

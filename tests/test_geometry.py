@@ -178,8 +178,48 @@ def test_wkb_zm_variants_parse_with_drop():
     )
     t, rs = W.parse_wkb(b"\x01" + struct.pack("<I", 3003) + body)
     assert t == W.POLYGON and rs[0].tolist() == [list(map(float, p)) for p in ring]
-    # curve types: descriptive refusal
-    with pytest.raises(ValueError, match="CircularString"):
-        W.parse_wkb(b"\x01" + struct.pack("<II", 8, 0))
-    with pytest.raises(ValueError, match="out of scope"):
-        W.parse_wkb(b"\x01" + struct.pack("<II", 1010, 0))
+
+def test_wkb_curve_types_linearize():
+    """ISO curve/surface WKB strokes to linear types on read
+    (ogrgeometryfactory.cpp curveToLineString, 4° steps): a
+    CircularString half-circle becomes a polyline on the circle with
+    exact endpoints; CurvePolygon → POLYGON; TIN → MULTIPOLYGON."""
+    import struct
+
+    import numpy as np
+
+    from gdal_spark.geometry import wkb as W
+
+    # half circle radius 1 around origin: (1,0) -> (0,1) -> (-1,0)
+    cs = (b"\x01" + struct.pack("<II", 8, 3)
+          + struct.pack("<6d", 1, 0, 0, 1, -1, 0))
+    t, c = W.parse_wkb(cs)
+    assert t == W.LINESTRING
+    assert np.allclose(c[0], [1, 0]) and np.allclose(c[-1], [-1, 0])
+    r = np.hypot(c[:, 0], c[:, 1])
+    assert np.abs(r - 1.0).max() < 1e-9  # every vertex on the circle
+    assert len(c) >= 180 / 4  # 4-degree stepping over a half circle
+    assert c[len(c) // 2] @ np.array([0, 1]) > 0.99  # passes through (0,1)
+
+    # clockwise half circle: (1,0) -> (0,-1) -> (-1,0)
+    cs2 = (b"\x01" + struct.pack("<II", 8, 3)
+           + struct.pack("<6d", 1, 0, 0, -1, -1, 0))
+    t2, c2 = W.parse_wkb(cs2)
+    assert c2[len(c2) // 2] @ np.array([0, -1]) > 0.99  # through (0,-1)
+
+    # CurvePolygon with one LineString ring -> POLYGON
+    ring = struct.pack("<6d", 0, 0, 1, 0, 0, 0)
+    ls = b"\x01" + struct.pack("<II", 2, 3) + ring
+    cp = b"\x01" + struct.pack("<II", 10, 1) + ls
+    t3, rings = W.parse_wkb(cp)
+    assert t3 == W.POLYGON and len(rings) == 1
+
+    # TIN of one triangle -> MULTIPOLYGON of one POLYGON
+    tri_body = struct.pack("<I", 1) + struct.pack("<I", 4) + struct.pack(
+        "<8d", 0, 0, 1, 0, 0, 1, 0, 0
+    )
+    tri = b"\x01" + struct.pack("<I", 17) + tri_body
+    tin = b"\x01" + struct.pack("<II", 16, 1) + tri
+    t4, parts = W.parse_wkb(tin)
+    assert t4 == W.MULTIPOLYGON
+    assert parts[0][0] == W.POLYGON and len(parts[0][1][0]) == 4

@@ -16,7 +16,7 @@ def test_rewrite_special_fields():
     )
     assert "st_area(geometry)" in out
     assert "st_astext(geometry)" in out
-    assert "'POLYGON'" in out
+    assert "st_geometrytype(geometry)" in out
     assert out.startswith("select fid")
 
 
