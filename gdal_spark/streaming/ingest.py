@@ -89,3 +89,83 @@ def run_ingest_once(spark: SparkSession, path: str, n: int = 1000) -> int:
     )
     q.awaitTermination(120)
     return spark.table("stream_tiles").count()
+
+
+def sessionize_stream(
+    pages: DataFrame, gap_seconds: int = 30
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-host
+    gap-based crawl sessions (a session = consecutive fetches from one
+    source host with < gap_seconds between them). The shape Structured
+    Streaming's built-in windows can't express — session boundaries
+    depend on data, not the clock grid. State per host = (start, last,
+    n) of the open session; closed sessions emit as rows, the open one
+    emits on processing-time timeout.
+
+    Columns in: url, warc_ts. Out: (host, session_start, session_end,
+    n_pages)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd
+
+    out_schema = (
+        "host string, session_start timestamp, session_end timestamp, "
+        "n_pages long"
+    )
+    state_schema = "start long, last long, n long"
+    gap = gap_seconds
+
+    def fn(key, pdfs, state):
+        host = key[0]
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s0, s1, n = state.get
+                closed.append((host, s0, s1, n))
+                state.remove()
+        else:
+            ts = []
+            for pdf in pdfs:
+                ts.extend(
+                    int(v.value // 10**9)
+                    for v in pd.to_datetime(pdf["warc_ts"])
+                )
+            ts.sort()
+            if state.exists:
+                cur = list(state.get)
+            else:
+                cur = None
+            for t in ts:
+                if cur is None:
+                    cur = [t, t, 0]
+                elif t - cur[1] > gap:
+                    closed.append((host, cur[0], cur[1], cur[2]))
+                    cur = [t, t, 0]
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+            if cur is not None:
+                state.update(tuple(cur))
+                state.setTimeoutDuration(gap * 1000)
+        out = pd.DataFrame(
+            closed, columns=["host", "s0", "s1", "n_pages"]
+        )
+        if len(out):
+            out["session_start"] = pd.to_datetime(out.pop("s0"), unit="s")
+            out["session_end"] = pd.to_datetime(out.pop("s1"), unit="s")
+        else:
+            out = pd.DataFrame(
+                columns=["host", "n_pages", "session_start", "session_end"]
+            )
+        yield out[["host", "session_start", "session_end", "n_pages"]]
+
+    hosts = pages.select(
+        F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
+        "warc_ts",
+    )
+    return hosts.groupBy("host").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -268,3 +268,58 @@ def test_real_uncompressed_media_decode(spark):
     assert got[2].kind == "audio" and got[2].rate == 16000
     assert got[3].kind is None and "codec" in got[3].error
     assert got[4].kind == "image" and abs(got[4].mean - png_img.mean()) < 1e-9
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator (SURVEY §2.12):
+    gap-based per-host sessions; closed sessions from the micro-batch
+    match the batch-computed sessions (each host's final session stays
+    open in state and is excluded from the comparison)."""
+    import pandas as pd
+
+    from gdal_spark.streaming.ingest import sessionize_stream
+
+    # 3 hosts, deterministic gaps: host h0 fetches at t=0..4 (gap 1s),
+    # then a 100s gap, then t=104..106; h1 one burst; h2 two bursts
+    rows = []
+    for h, bursts in [
+        ("h0", [(0, 5), (104, 3)]),
+        ("h1", [(10, 4)]),
+        ("h2", [(0, 2), (200, 2), (400, 1)]),
+    ]:
+        for start, n in bursts:
+            for i in range(n):
+                rows.append(
+                    (f"https://{h}/p{start}_{i}",
+                     pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=start + i))
+                )
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts"])
+    inbox = str(tmp_path / "inbox")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(inbox)
+
+    stream = spark.readStream.schema("url string, warc_ts timestamp").parquet(
+        inbox
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=30)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.host, r.session_start.second + 60 * r.session_start.minute,
+         r.n_pages)
+        for r in spark.table("sessions").collect()
+    }
+    # every burst is its own session: gap-closed ones emit in the data
+    # micro-batch, the still-open ones emit when the processing-time
+    # timeout fires before availableNow termination
+    want = {
+        ("h0", 0, 5), ("h0", 104, 3),
+        ("h1", 10, 4),
+        ("h2", 0, 2), ("h2", 200, 2), ("h2", 400, 1),
+    }
+    assert got == want, got
