@@ -625,3 +625,45 @@ def test_reproject_grid_with_tps_transformer(spark):
         full[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
     want = model.value_grid(0, 0, 100, 100, 1)
     assert np.array_equal(full, want)
+
+
+def test_rpc_transformer():
+    """alg/gdal_rpc.cpp analog: affine-synthesized RPC is exact both
+    ways; a nonlinear RPC (quadratic + rational terms) round-trips
+    through the Newton inverse to < 1e-9 deg."""
+    import numpy as np
+
+    from gdal_spark.geometry.rpc import RPCModel, affine_rpc
+
+    rng = np.random.default_rng(2)
+    lon = -74.0 + rng.uniform(-1, 1, 200)
+    lat = 40.0 + rng.uniform(-1, 1, 200)
+
+    m = affine_rpc(100.0, 50.0, -3.0, 200.0, 2.5, 40.0,
+                   lon_off=-74.0, lat_off=40.0)
+    s, l = m.ground_to_image(lon, lat)
+    assert np.abs(s - (100.0 + 50.0 * lon - 3.0 * lat)).max() < 1e-8
+    assert np.abs(l - (200.0 + 2.5 * lon + 40.0 * lat)).max() < 1e-8
+    lo, la = m.image_to_ground(s, l)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+    nl = affine_rpc(0.0, 2000.0, 0.0, 0.0, 0.0, -2000.0,
+                    lon_off=-74.0, lat_off=40.0)
+    # add gentle quadratic distortion + a non-trivial denominator
+    nl.samp_num[7] = 15.0   # L²
+    nl.samp_num[4] = -8.0   # L·P
+    nl.line_num[8] = 12.0   # P²
+    nl.samp_den[2] = 0.01   # P in denominator → genuinely rational
+    s, l = nl.ground_to_image(lon, lat)
+    lo, la = nl.image_to_ground(s, l)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+    # the pair() seam has reproject_grid's (world→dst, dst→world) shape
+    fwd, inv = nl.pair()
+    gx, gy = np.meshgrid(lon[:5], lat[:5])
+    sx, sy = fwd(gx, gy)
+    assert sx.shape == gx.shape  # shape-preserving like proj/gcp
+    bx, by = inv(sx, sy)
+    assert np.abs(bx - gx).max() < 1e-9
