@@ -98,6 +98,9 @@ def collect() -> tuple[
         # goldens + this local-green nearest-color oracle
         "graph_components",  # GNM family: oracle-green locally (recursive
         "graph_shortest_paths",  # CTE oracles), window full of §2 rows
+        "raster_focal_stats",  # row 37 oracle (8 kernels, seam-crossing
+        # window); in-window focal rep stays raster_hillshade
+        "raster_reclass_colormap",  # rows 59-60 oracle (CASE mirrors)
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -2051,3 +2051,104 @@ def _rgb_to_palette_oracle() -> str:
 
 QUERIES["raster_rgb_to_palette"] = _rgb_to_palette_q
 ORACLES["raster_rgb_to_palette"] = _rgb_to_palette_oracle()
+
+
+# --- focal statistics oracle (SURVEY §2.5 row 37 — was pytest-only) ---------
+# All 8 focal kernels vs a DuckDB 3x3 neighborhood self-join, on an
+# interior window that CROSSES the block seam at x/y = 32, so the halo
+# exchange (focal._halo_emit) is what's being proven, not just the
+# kernel math. Raster-edge replicate semantics are excluded by the crop.
+
+
+def _focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.focal import focal
+
+    b1 = _blocks(spark).where("band = 1")
+    out = None
+    for op, alias in [
+        ("mean", "fmean"), ("sum", "fsum"), ("min", "fmin"),
+        ("max", "fmax"), ("stddev", "fstd"), ("median", "fmed"),
+        ("tri", "tri"), ("tpi", "tpi"), ("roughness", "rough"),
+    ]:
+        f = ops.as_features(focal(b1, op)).select(
+            "x", "y", F.round("value", 6).alias(alias)
+        )
+        out = f if out is None else out.join(f, ["x", "y"])
+    return out.where(
+        "x between 20 and 45 and y between 20 and 45"
+    ).select(
+        "x", "y", "fmean", "fsum", "fmin", "fmax", "fstd", "fmed",
+        "tri", "tpi", "rough",
+    )
+
+
+def _focal_stats_oracle() -> str:
+    return f"""
+    with px as ({PIXELS_CTE}),
+    c as (select x, y, value from px where band = 1),
+    n as (
+        select p.x, p.y, p.value as cv, q.value as nv
+        from c p join c q
+          on abs(q.x - p.x) <= 1 and abs(q.y - p.y) <= 1
+        where p.x between 20 and 45 and p.y between 20 and 45
+    )
+    select x, y,
+           round(avg(nv), 6) as fmean,
+           round(sum(nv), 6) as fsum,
+           round(min(nv), 6) as fmin,
+           round(max(nv), 6) as fmax,
+           round(stddev_pop(nv), 6) as fstd,
+           round(median(nv), 6) as fmed,
+           round(sum(abs(nv - cv)) / 8.0, 6) as tri,
+           round(max(cv) - (sum(nv) - max(cv)) / 8.0, 6) as tpi,
+           round(max(nv) - min(nv), 6) as rough
+    from n group by x, y
+    """
+
+
+QUERIES["raster_focal_stats"] = _focal_stats
+ORACLES["raster_focal_stats"] = _focal_stats_oracle()
+
+
+# --- reclassify + color-map oracle (§2.8 rows 59-60 — were pytest-only) -----
+
+_RECLASS_MAP = {10: 1, 20: 2, 50: 3, 100: 4, 200: 5}
+_CMAP_BREAKS = [50.0, 100.0, 150.0, 200.0]
+_CMAP_COLORS = [11, 22, 33, 44, 55]
+
+
+def _reclass_colormap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b1 = _blocks(spark).where("band = 1")
+    rc = ops.as_features(ops.reclassify(b1, _RECLASS_MAP, default=0)).select(
+        "x", "y", F.col("value").cast("int").alias("reclass")
+    )
+    cm = ops.as_features(
+        ops.color_map(b1, _CMAP_BREAKS, _CMAP_COLORS)
+    ).select("x", "y", F.col("value").cast("int").alias("color"))
+    return (
+        rc.join(cm, ["x", "y"])
+        .where("x < 30 and y < 30")
+        .select("x", "y", "reclass", "color")
+    )
+
+
+def _reclass_colormap_oracle() -> str:
+    rc_cases = " ".join(
+        f"when value = {k} then {v}" for k, v in sorted(_RECLASS_MAP.items())
+    )
+    cm_cases = " ".join(
+        f"when value <= {b!r} then {c}"
+        for b, c in zip(_CMAP_BREAKS, _CMAP_COLORS[:-1])
+    )
+    return f"""
+    with px as ({PIXELS_CTE})
+    select x, y,
+           cast(case {rc_cases} else 0 end as int) as reclass,
+           cast(case {cm_cases} else {_CMAP_COLORS[-1]} end as int) as color
+    from px
+    where band = 1 and x < 30 and y < 30
+    """
+
+
+QUERIES["raster_reclass_colormap"] = _reclass_colormap
+ORACLES["raster_reclass_colormap"] = _reclass_colormap_oracle()
