@@ -101,6 +101,9 @@ def collect() -> tuple[
         "raster_focal_stats",  # row 37 oracle (8 kernels, seam-crossing
         # window); in-window focal rep stays raster_hillshade
         "raster_reclass_colormap",  # rows 59-60 oracle (CASE mirrors)
+        "raster_fillnodata",  # row 41 oracle (neighbor-mean CASE)
+        "raster_mosaic",  # row 67 oracle (first-non-nodata CASE)
+        "raster_pansharpen",  # row 68 oracle (Brovey ratio in SQL)
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

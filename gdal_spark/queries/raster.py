@@ -2152,3 +2152,108 @@ def _reclass_colormap_oracle() -> str:
 
 QUERIES["raster_reclass_colormap"] = _reclass_colormap
 ORACLES["raster_reclass_colormap"] = _reclass_colormap_oracle()
+
+
+# --- fill-nodata / mosaic / pansharpen oracles (§2 rows 41, 67, 68 —
+# were pytest-only) ----------------------------------------------------------
+
+
+def _fillnodata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.focal import focal
+
+    b1 = _blocks(spark).where("band = 1").withColumn("nodata", F.lit(7.0))
+    out = ops.as_features(focal(b1, "fillnodata"))
+    return out.where("x between 1 and 40 and y between 1 and 40").select(
+        "x", "y", F.round("value", 6).alias("filled")
+    )
+
+
+def _fillnodata_oracle() -> str:
+    return f"""
+    with px as ({PIXELS_CTE}),
+    c as (select x, y, value from px where band = 1),
+    n as (
+        select p.x, p.y, p.value as cv, q.value as nv
+        from c p join c q
+          on abs(q.x - p.x) <= 1 and abs(q.y - p.y) <= 1
+        where p.x between 1 and 40 and p.y between 1 and 40
+    )
+    select x, y,
+           round(case when max(cv) <> 7
+                      then max(cv)
+                      else sum(case when nv <> 7 then nv else 0 end)
+                           / count(case when nv <> 7 then 1 end)
+                 end, 6) as filled
+    from n group by x, y
+    """
+
+
+QUERIES["raster_fillnodata"] = _fillnodata_q
+ORACLES["raster_fillnodata"] = _fillnodata_oracle()
+
+
+def _mosaic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.resample import mosaic
+
+    b = _blocks(spark)
+    a_layer = b.where("band = 1")
+    b_layer = b.where("band = 2").withColumn("band", F.lit(1))
+    out = ops.as_features(mosaic([a_layer, b_layer], nodata=0.0))
+    return out.where("x < 40 and y < 40").select(
+        "x", "y", F.round("value", 6).alias("value")
+    )
+
+
+def _mosaic_oracle() -> str:
+    return f"""
+    with px as ({PIXELS_CTE}),
+    j as (
+        select a.x, a.y, a.value as v1, b.value as v2
+        from (select x, y, value from px where band = 1) a
+        join (select x, y, value from px where band = 2) b
+          on a.x = b.x and a.y = b.y
+        where a.x < 40 and a.y < 40
+    )
+    select x, y,
+           round(case when v1 <> 0 then v1 else v2 end, 6) as value
+    from j
+    """
+
+
+QUERIES["raster_mosaic"] = _mosaic_q
+ORACLES["raster_mosaic"] = _mosaic_oracle()
+
+
+def _pansharpen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ops.pansharpen_brovey(_blocks(spark), pan_band=1, rgb_bands=[2, 3])
+    f = ops.as_features(out)
+    return f.where("x < 40 and y < 40").select(
+        "band", "x", "y", F.round("value", 6).alias("value")
+    )
+
+
+def _pansharpen_oracle() -> str:
+    return f"""
+    with px as ({PIXELS_CTE}),
+    w as (
+        select x, y,
+               max(case when band = 1 then value end) as pan,
+               max(case when band = 2 then value end) as b2,
+               max(case when band = 3 then value end) as b3
+        from px group by x, y
+    ),
+    r as (
+        select x, y, pan, b2, b3,
+               0.5 * b2 + 0.5 * b3 as pseudo
+        from w where x < 40 and y < 40
+    )
+    select band, x, y,
+           round(case when pseudo = 0 then 0.0
+                      else (case when band = 2 then b2 else b3 end)
+                           * pan / pseudo end, 6) as value
+    from r cross join (select unnest(range(2, 4)) as band) bb
+    """
+
+
+QUERIES["raster_pansharpen"] = _pansharpen_q
+ORACLES["raster_pansharpen"] = _pansharpen_oracle()
