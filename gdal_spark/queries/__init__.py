@@ -104,6 +104,8 @@ def collect() -> tuple[
         "raster_fillnodata",  # row 41 oracle (neighbor-mean CASE)
         "raster_mosaic",  # row 67 oracle (first-non-nodata CASE)
         "raster_pansharpen",  # row 68 oracle (Brovey ratio in SQL)
+        "layer_algebra_suite",  # row 22 oracle (identity/clip/symdiff/
+        # update vs independent vertex-construction goldens)
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -624,3 +624,100 @@ def _buffer_styles_oracle() -> str:
 
 QUERIES["st_buffer_styles"] = _buffer_styles
 ORACLES["st_buffer_styles"] = _buffer_styles_oracle()
+
+
+# --- layer-algebra suite: Identity / Clip / SymDifference / Update
+# (ogrlayer.cpp:5361-7822 — §2.7 row 22, was pytest-invariants-only).
+# One tagged union of the four remaining ops; golden rows built with the
+# INDEPENDENT vertex-construction kernels (_vc_*), not the engine's
+# Sutherland-Hodgman machinery.
+
+
+def _layer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = tables.polygons_a_df(spark, sf_dir)
+    payload = tables.polygons_b_payload()
+    out = None
+    for op in ("identity", "clip", "sym_difference", "update"):
+        r = layer_algebra(op, a, payload).select(
+            F.lit(op).alias("op"),
+            "input_id",
+            "method_id",
+            F.round("area", 6).alias("area"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _layer_suite_rows() -> list[tuple]:
+    from gdal_spark.geometry.clip import _ccw
+
+    a_rings = [_ccw(tables.polygon_rings_local(i)[:-1]) for i in range(25)]
+    b_rings = [_ccw(tables.polygon_b_ring_local(j)) for j in range(25)]
+    rows: list[tuple] = []
+
+    def pair_rows(op):
+        for i, a in enumerate(a_rings):
+            for j, b in enumerate(b_rings):
+                ia = _vc_area(_vc_intersection(a, b))
+                if ia > 1e-9:
+                    rows.append((op, i, j, round(ia, 6)))
+
+    def input_leftovers(op):
+        for i, a in enumerate(a_rings):
+            left = _excl_area(a, b_rings)
+            if left > 1e-12:
+                rows.append((op, i, None, round(left, 6)))
+
+    def method_leftovers(op):
+        for j, b in enumerate(b_rings):
+            left = _excl_area(b, a_rings)
+            if left > 1e-12:
+                rows.append((op, None, j, round(left, 6)))
+
+    # identity: per-pair intersections + input leftovers
+    pair_rows("identity")
+    input_leftovers("identity")
+    # clip: disjointed per-pair pieces, first method wins shared cover
+    for i, a in enumerate(a_rings):
+        prev: list = []
+        for j, b in enumerate(b_rings):
+            ab = _vc_intersection(a, b)
+            area = _vc_area(ab)
+            if area <= 1e-9:
+                continue
+            dup = sum(_vc_area(_vc_intersection(ab, p)) for p in prev)
+            if area - dup > 1e-9:
+                rows.append(("clip", i, j, round(area - dup, 6)))
+            prev.append(b)
+    # sym_difference: both sides' leftovers, no pair rows
+    input_leftovers("sym_difference")
+    method_leftovers("sym_difference")
+    # update: input leftovers + method layer as-is
+    input_leftovers("update")
+    for j, b in enumerate(b_rings):
+        rows.append(("update", None, j, round(_vc_area(b), 6)))
+    return rows
+
+
+def _layer_suite_oracle() -> str:
+    def lit(v):
+        if v is None:
+            return "cast(null as bigint)"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, str):
+            return f"'{v}'"
+        return str(v)
+
+    rows = _layer_suite_rows()
+    body = ", ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
+    )
+    return (
+        f"select * from (values {body}) "
+        "as t(op, input_id, method_id, area)"
+    )
+
+
+QUERIES["layer_algebra_suite"] = _layer_suite
+ORACLES["layer_algebra_suite"] = _layer_suite_oracle()
