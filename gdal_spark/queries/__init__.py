@@ -106,6 +106,8 @@ def collect() -> tuple[
         "raster_pansharpen",  # row 68 oracle (Brovey ratio in SQL)
         "layer_algebra_suite",  # row 22 oracle (identity/clip/symdiff/
         # update vs independent vertex-construction goldens)
+        "spatial_sort_hilbert",  # row 48 oracle (Skilling-transform
+        # golden); in-window sort rep stays spatial_sort_morton
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -133,3 +133,96 @@ def _spatial_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["spatial_sort_morton"] = _spatial_sort
 ORACLES["spatial_sort_morton"] = _spatial_sort_sql("duckdb")
+
+
+# --- Hilbert codes oracle (§2.6 row 48 — alg/hilbert.cpp parity, was
+# pytest-only). Engine: the vectorized rot/swap walk
+# (cellindex/hilbert.py); golden: Skilling's transpose algorithm
+# ("Programming the Hilbert curve", AIP 2004) — an independent
+# formulation that provably agrees, computed over a deterministic
+# lattice (no external data).
+
+_HILB_ORDER = 8
+_HILB_N = 400
+
+
+def _hilbert_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from gdal_spark.cellindex.hilbert import hilbert_code
+
+    n = 1 << _HILB_ORDER
+    side = 23
+    pts = spark.range(_HILB_N).selectExpr(
+        "id",
+        f"cast(id % {side} as double) * {n} / {side} + 0.5 as x",
+        f"cast(id div {side} as double) * {n} / {side} + 0.5 as y",
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "hcode": hilbert_code(
+                        pdf["x"].to_numpy(),
+                        pdf["y"].to_numpy(),
+                        0.0,
+                        0.0,
+                        float(n),
+                        float(n),
+                        order=_HILB_ORDER,
+                    ),
+                }
+            )
+            yield out
+
+    return pts.mapInPandas(fn, "id long, hcode long").orderBy("id")
+
+
+def _skilling_d(x: int, y: int, b: int) -> int:
+    X = [x, y]
+    M = 1 << (b - 1)
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(2):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    X[1] ^= X[0]
+    t = 0
+    Q = M
+    while Q > 1:
+        if X[1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    X[0] ^= t
+    X[1] ^= t
+    d = 0
+    for bit in range(b - 1, -1, -1):
+        d = (d << 1) | ((X[0] >> bit) & 1)
+        d = (d << 1) | ((X[1] >> bit) & 1)
+    return d
+
+
+def _hilbert_oracle() -> str:
+    n = 1 << _HILB_ORDER
+    side = 23
+    rows = []
+    for i in range(_HILB_N):
+        fx = (i % side) * n / side + 0.5
+        fy = (i // side) * n / side + 0.5
+        ix = min(int(fx), n - 1)
+        iy = min(int(fy), n - 1)
+        rows.append((i, _skilling_d(ix, iy, _HILB_ORDER)))
+    body = ", ".join(f"({i}, {d})" for i, d in rows)
+    return f"select * from (values {body}) as t(id, hcode)"
+
+
+QUERIES["spatial_sort_hilbert"] = _hilbert_codes
+ORACLES["spatial_sort_hilbert"] = _hilbert_oracle()
