@@ -214,3 +214,40 @@ def dedup_exact(
             F.count("*").alias("group_size"),
         )
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Direct n-gram Jaccard near-dup (no MinHash): candidates = pairs
+    sharing at least one RARE shingle (document frequency ≤ max_df —
+    the standard stop-shingle cap that keeps the self-join fan-out
+    bounded at corpus scale: a shingle in d docs contributes d² pairs,
+    so capping df caps the blow-up at max_df·|shingles| candidates),
+    then EXACT Jaccard over the full shingle sets for those candidates
+    only. Pairs sharing solely ultra-common shingles are missed — the
+    documented recall trade, the same shape as LSH's."""
+    sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    # shuffle join on shingle (the rare-shingle dictionary is the LARGE
+    # side at corpus scale — never broadcast it); AQE handles residual
+    # key skew
+    rare = sh.join(dfreq.where(F.col("dfreq") <= max_df), "shingle")
+    ra = rare.select(F.col(id_col).alias("id_a"), "shingle")
+    rb = rare.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        ra.join(rb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        jaccard_pairs(sh, cand, id_col=id_col)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

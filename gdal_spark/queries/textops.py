@@ -445,3 +445,68 @@ def _skew_salted_oracle() -> str:
 
 QUERIES["skew_salted_agg"] = _skew_salted_agg
 ORACLES["skew_salted_agg"] = _skew_salted_oracle()
+
+
+# --- dedup: direct n-gram Jaccard (rare-shingle blocking, exact verify) ---
+
+_NGJ_T = 0.5
+_NGJ_MAXDF = 50
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        corpus, k=3, threshold=_NGJ_T, max_df=_NGJ_MAXDF
+    )
+
+
+def _ngram_jaccard_oracle() -> str:
+    return f"""
+    with corpus as ({NEAR_DUP_CORPUS_SQL}),
+    toks as (
+        select doc_id,
+               unnest(range(len(string_split(text, ' ')))) as pos,
+               unnest(string_split(text, ' ')) as w
+        from corpus
+    ),
+    sh as (
+        select distinct doc_id, concat(w, ' ', w1, ' ', w2) as shingle
+        from (
+            select doc_id, w,
+                   lead(w, 1) over (partition by doc_id order by pos) as w1,
+                   lead(w, 2) over (partition by doc_id order by pos) as w2
+            from toks
+        ) where w2 is not null
+    ),
+    dfreq as (
+        select shingle, count(*) as dfq from sh group by shingle
+    ),
+    rare as (
+        select sh.doc_id, sh.shingle
+        from sh join dfreq on dfreq.shingle = sh.shingle
+        where dfreq.dfq <= {_NGJ_MAXDF}
+    ),
+    cand as (
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from rare a join rare b on a.shingle = b.shingle
+        where a.doc_id < b.doc_id
+    ),
+    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    inter as (
+        select c.id_a, c.id_b, count(*) as i
+        from cand c
+        join sh a on a.doc_id = c.id_a
+        join sh b on b.doc_id = c.id_b and b.shingle = a.shingle
+        group by c.id_a, c.id_b
+    )
+    select i.id_a, i.id_b,
+           round(i.i / (na.n + nb.n - i.i), 6) as jaccard
+    from inter i
+    join sizes na on na.doc_id = i.id_a
+    join sizes nb on nb.doc_id = i.id_b
+    where i.i / (na.n + nb.n - i.i) >= {_NGJ_T}
+    """
+
+
+QUERIES["dedup_ngram_jaccard"] = _dedup_ngram_jaccard
+ORACLES["dedup_ngram_jaccard"] = _ngram_jaccard_oracle()
