@@ -108,6 +108,8 @@ def collect() -> tuple[
         # update vs independent vertex-construction goldens)
         "spatial_sort_hilbert",  # row 48 oracle (Skilling-transform
         # golden); in-window sort rep stays spatial_sort_morton
+        "dedup_ngram_jaccard",  # dedup family: oracle-green locally
+        "dedup_embedding_cosine",  # dedup family: oracle-green locally
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

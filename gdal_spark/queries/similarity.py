@@ -61,10 +61,9 @@ ANN_COSINE_ORACLE = f"""
 """
 
 
-def _ann_lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rel_signatures(e: DataFrame) -> DataFrame:
     """Relational LSH signature: plane(j,d) = ±1 from the portable hash;
     bit j set iff sum_d emb[d]*plane(j,d) > 0. Pure Catalyst."""
-    e = _emb(spark, sf_dir)
     ex = e.select(
         "vec_id", F.posexplode("embedding").alias("d", "v")
     ).select(
@@ -84,6 +83,10 @@ def _ann_lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s") > 0, F.expr("cast(shiftleft(1, j) as bigint)")
     ).otherwise(F.lit(0))
     return per_bit.groupBy("vec_id").agg(F.sum(contrib).alias("sig"))
+
+
+def _ann_lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rel_signatures(_emb(spark, sf_dir))
 
 
 _H_JD = hash64("concat(cast(j as varchar), '_', cast(d as varchar))", "duckdb")
@@ -267,3 +270,110 @@ def _ann_ivf_oracle() -> str:
 
 QUERIES["ann_ivf_topk"] = _ann_ivf
 ORACLES["ann_ivf_topk"] = _ann_ivf_oracle()
+
+
+# --- embedding-cosine near-dup (the dedup-family variant of LSH ANN):
+# corpus ⊎ deterministically-perturbed copies; candidates = equal
+# relational LSH signature; exact cosine >= threshold. The oracle
+# mirrors the signature construction and the explode-sum cosine.
+
+_EDUP_T = 0.98
+_EDUP_PERT = 0.01
+
+
+def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, (v, i) -> cast(v as double) "
+            f"+ {_EDUP_PERT!r} * cast(i % 3 as double))"
+        ).alias("embedding"),
+    )
+    corpus = e.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> cast(v as double))").alias(
+            "embedding"
+        ),
+    ).unionByName(pert)
+    sig = _rel_signatures(corpus)
+    pairs = (
+        sig.alias("a")
+        .join(sig.alias("b"), F.col("a.sig") == F.col("b.sig"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+    )
+    ex = corpus.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    ea = ex.select(
+        F.col("vec_id").alias("id_a"), "d", F.col("v").alias("va")
+    )
+    eb = ex.select(
+        F.col("vec_id").alias("id_b"), "d", F.col("v").alias("vb")
+    )
+    cos = (
+        pairs.join(ea, "id_a")
+        .join(eb, ["id_b", "d"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            (
+                F.sum(F.col("va") * F.col("vb"))
+                / (
+                    F.sqrt(F.sum(F.col("va") * F.col("va")))
+                    * F.sqrt(F.sum(F.col("vb") * F.col("vb")))
+                )
+            ).alias("cos")
+        )
+    )
+    return cos.where(F.col("cos") >= _EDUP_T).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
+DEDUP_EMB_ORACLE = f"""
+    with corpus as (
+        select vec_id,
+               unnest(range(len(embedding))) as d,
+               cast(unnest(embedding) as double) as v
+        from embeddings
+        union all
+        select vec_id + 100000 as vec_id,
+               unnest(range(len(embedding))) as d,
+               cast(unnest(embedding) as double)
+                 + {_EDUP_PERT!r} * cast(unnest(range(len(embedding))) % 3
+                                         as double) as v
+        from embeddings
+    ),
+    bits as (
+        select vec_id, j,
+               sum(v * (case when {_H_JD} % 2 = 1 then 1.0 else -1.0 end)) as s
+        from corpus cross join (select unnest(range({SIG_BITS})) as j)
+        group by vec_id, j
+    ),
+    sig as (
+        select vec_id,
+               cast(sum(case when s > 0 then cast(1 << j as bigint)
+                        else 0 end) as bigint) as sig
+        from bits group by vec_id
+    ),
+    pairs as (
+        select a.vec_id as id_a, b.vec_id as id_b
+        from sig a join sig b on a.sig = b.sig
+        where a.vec_id < b.vec_id
+    ),
+    cos as (
+        select p.id_a, p.id_b,
+               sum(ca.v * cb.v)
+               / (sqrt(sum(ca.v * ca.v)) * sqrt(sum(cb.v * cb.v))) as cos
+        from pairs p
+        join corpus ca on ca.vec_id = p.id_a
+        join corpus cb on cb.vec_id = p.id_b and cb.d = ca.d
+        group by p.id_a, p.id_b
+    )
+    select id_a, id_b, round(cos, 6) as cos
+    from cos where cos >= {_EDUP_T}
+"""
+
+QUERIES["dedup_embedding_cosine"] = _dedup_embedding_cosine
+ORACLES["dedup_embedding_cosine"] = DEDUP_EMB_ORACLE
