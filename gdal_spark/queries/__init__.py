@@ -110,6 +110,8 @@ def collect() -> tuple[
         # golden); in-window sort rep stays spatial_sort_morton
         "dedup_ngram_jaccard",  # dedup family: oracle-green locally
         "dedup_embedding_cosine",  # dedup family: oracle-green locally
+        "spatial_join_shuffled",  # row 18: same pip oracle as the
+        # broadcast strategies; in-window reps are pip/tiles
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

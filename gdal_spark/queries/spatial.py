@@ -58,10 +58,25 @@ def _tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spatial_join_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-broadcast strategy (polygon layer too large even for a
+    covering-table broadcast): polygon side explodes to cell keys and
+    shuffles next to the cell-keyed points; refine carries the geometry
+    in the join row. Same oracle as the broadcast strategies — §2.3
+    row 18, previously pytest-row-parity only."""
+    from gdal_spark.operators.spatial_join import cell_pip_join_shuffled
+
+    gp = tables.geo_pages(spark, sf_dir).selectExpr("url", "lat", "lon")
+    pdf = tables.polygons_df(spark, sf_dir)
+    j = cell_pip_join_shuffled(gp, pdf, zoom=7)
+    return j.select("url", "polygon_id")
+
+
 QUERIES = {
     "spatial_join_pip": _spatial_join,
     "spatial_join_tiles": _spatial_join_tiles,
     "spatial_join_cells": _spatial_join_cells,
+    "spatial_join_shuffled": _spatial_join_shuffled,
     "spatial_join_sql": _spatial_join_sql,
     "tile_assign": _tile_assign,
 }
@@ -74,6 +89,7 @@ def _oracles() -> dict[str, str]:
     return {
         "spatial_join_pip": pip,
         "spatial_join_cells": pip,
+        "spatial_join_shuffled": pip,
         "spatial_join_sql": pip,
         "spatial_join_tiles": f"""
             with j as ({pip}),
