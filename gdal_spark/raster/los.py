@@ -199,18 +199,54 @@ def viewshed(
     ang = d.withColumn(
         "angle", (F.col("value") - F.col("z0")) / F.col("dist")
     )
-    # RANGE frame: equal-distance peers all enter each other's frame, so
-    # the visible set is deterministic under tie reordering (and mirrors
-    # the SQL oracle's RANGE semantics exactly)
-    w = Window.partitionBy("sector").orderBy("dist").rangeBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Two-phase EXACT decomposition of the per-sector running max
+    # (identical result to one Window over `sector`, far better
+    # parallelism at scale): distances bin into rings, so
+    #   cmax(pixel) = max( max-angle over strictly-nearer rings,
+    #                      running max within the pixel's own ring ).
+    # Phase A runs on (sector, ring) partitions — n_sectors × n_rings
+    # keys instead of n_sectors, so no reducer ever sorts a whole
+    # sector. Phase B is a window over the TINY per-ring aggregate
+    # (≤ sectors × rings rows), broadcast back. Equal distances land in
+    # the same ring, so the RANGE-frame tie semantics are preserved
+    # bit-for-bit.
+    ring_width = F.lit(float(max_dist) / 64.0) if max_dist else F.lit(64.0)
+    ang = ang.withColumn(
+        "ring", F.floor(F.col("dist") / ring_width).cast("long")
     )
-    out = ang.withColumn("cmax", F.max("angle").over(w)).select(
-        "x",
-        "y",
-        "dist",
-        "angle",
-        "sector",
-        (F.col("angle") >= F.col("cmax")).alias("visible"),
+    w_in = (
+        Window.partitionBy("sector", "ring")
+        .orderBy("dist")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ang = ang.withColumn("wr_max", F.max("angle").over(w_in))
+    ring_max = ang.groupBy("sector", "ring").agg(
+        F.max("angle").alias("rmax")
+    )
+    w_rings = (
+        Window.partitionBy("sector")
+        .orderBy("ring")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = ring_max.withColumn(
+        "prev_max", F.max("rmax").over(w_rings)
+    ).select("sector", "ring", "prev_max")
+    out = (
+        ang.join(F.broadcast(prefix), ["sector", "ring"])
+        .withColumn(
+            "cmax",
+            F.greatest(
+                F.col("wr_max"),
+                F.coalesce(F.col("prev_max"), F.lit(float("-inf"))),
+            ),
+        )
+        .select(
+            "x",
+            "y",
+            "dist",
+            "angle",
+            "sector",
+            (F.col("angle") >= F.col("cmax")).alias("visible"),
+        )
     )
     return out
