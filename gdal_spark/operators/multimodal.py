@@ -1,20 +1,17 @@
 """Multimodal column plumbing — image/audio/video as opaque binary
 columns with typed metadata (training-data pipeline surface).
 
-The decode step is STUBBED (no image/audio libraries in this container):
-`decode_media` raises NotImplementedError unless `fake=True`, which
-substitutes a deterministic hash-derived pixel/sample tensor with the
-declared shape — making the Spark-side plumbing (schema, partitioning,
-UDF signature, Arrow batch shape) real and testable end-to-end.
+REAL from-scratch codecs (no PIL/ffmpeg needed) cover every
+uncompressed container: netpbm P5/P6 and PNG (zlib + full filter set)
+images, PCM WAV audio, and uncompressed RIFF/AVI video (raw BGR24 'DIB '
+frames). `attach_media_real` builds a media table whose payloads are
+genuine container bytes; `decode_media_real` dispatches on magic bytes
+and surfaces compressed-codec failures per-row in an `error` column
+(poison-pill tolerance). Only compressed codecs (JPEG/MP3/H.264) remain
+behind the NotImplementedError boundary, stated per-format.
 
-Operators:
-- attach_media: derive a media table (doc_id, media_type, width, height,
-  n_frames, payload binary) from documents (deterministic synth payload).
-- decode_media: mapInPandas binary → feature rows (stub/fake decode).
-- media_features: per-media deterministic feature vector (mean/std/
-  histogram over the fake tensor) — the feature-extraction stage shape.
-- frame_sample: metadata-level transforms (true decode stubbed; the
-  plumbing — row explosion per sampled frame — is real).
+The original `attach_media`/`decode_media(fake=True)` pair keeps the
+hash-derived-tensor variant for schema/plumbing tests.
 """
 
 from __future__ import annotations
@@ -253,13 +250,22 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                     elif p[:8] == b"\x89PNG\r\n\x1a\n":
                         t = decode_png(p).astype(np.float64)
                         kind, mean, std = "image", float(t.mean()), float(t.std())
-                    elif p[:4] == b"RIFF":
+                    elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                         x, sr = decode_wav(p)
                         kind, mean, std, rate = (
                             "audio",
                             float(x.mean()),
                             float(x.std()),
                             int(sr),
+                        )
+                    elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                        fr, fps = decode_avi(p)
+                        t = fr.astype(np.float64)
+                        kind, mean, std, rate = (
+                            "video",
+                            float(t.mean()),
+                            float(t.std()),
+                            int(fps),
                         )
                     else:
                         raise NotImplementedError(
@@ -379,4 +385,184 @@ def encode_png(arr: np.ndarray) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
+    )
+
+
+# --- real video container: uncompressed AVI (RIFF 'AVI ', raw BGR24
+# 'DIB ' frames) — public format (Microsoft RIFF/AVI spec); codec-free,
+# so frame-sampling runs on REAL container bytes with no external libs.
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """frames (n, h, w, 3) uint8 RGB → minimal uncompressed AVI bytes
+    (raw BGR24, bottom-up rows, 4-byte-aligned — the BMP/DIB layout)."""
+    import struct
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    row = w * 3
+    pad = (-row) % 4
+    frame_size = (row + pad) * h
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    avih = struct.pack(
+        "<14I",
+        1000000 // fps,  # microseconds per frame
+        frame_size * fps,  # max bytes per sec
+        0, 0x10,  # padding, flags (AVIF_HASINDEX off)
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    # standard AVISTREAMHEADER: fcc, handler, flags, priority, language,
+    # initialFrames, scale, rate, start, length, sugbuf, quality,
+    # sampleSize, rcFrame
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                      frame_size, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       frame_size, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)
+                                   + chunk(b"strf", strf)),
+    )
+    movi_frames = []
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # bottom-up rows, RGB→BGR
+        if pad:
+            padded = np.zeros((h, row + pad), dtype=np.uint8)
+            padded[:, :row] = bgr.reshape(h, row)
+            body = padded.tobytes()
+        else:
+            body = np.ascontiguousarray(bgr).tobytes()
+        movi_frames.append(chunk(b"00db", body))
+    movi = lst(b"movi", b"".join(movi_frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
+    """Minimal RIFF/AVI walk → (frames (n, h, w, 3) uint8 RGB, fps).
+    Accepts only uncompressed 24-bit 'DIB ' streams ('00db' chunks);
+    anything else raises (the poison-pill error-column contract)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    rate = scale = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, off: int, end: int):
+        nonlocal w, h, rate, scale
+        while off + 8 <= end:
+            tag = buf[off : off + 4]
+            size = struct.unpack_from("<I", buf, off + 4)[0]
+            body0 = off + 8
+            if tag == b"LIST":
+                walk(buf, body0 + 4, body0 + size)
+            elif tag == b"avih":
+                vals = struct.unpack_from("<14I", buf, body0)
+                w, h = vals[8], vals[9]  # dwWidth, dwHeight
+            elif tag == b"strh":
+                fcc = buf[body0 : body0 + 4]
+                if fcc == b"vids":
+                    handler = buf[body0 + 4 : body0 + 8]
+                    if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                        raise ValueError(
+                            f"compressed AVI stream {handler!r} unsupported"
+                        )
+                    # dwScale/dwRate at +20/+24 past fcc+handler+flags+
+                    # priority+language+initialFrames
+                    s, r = struct.unpack_from("<II", buf, body0 + 20)
+                    scale, rate = s, r
+            elif tag in (b"00db", b"00dc"):
+                frames.append(buf[body0 : body0 + size])
+            off = body0 + size + (size % 2)
+
+    walk(payload, 12, len(payload))
+    if w is None or not frames:
+        raise ValueError("AVI: no video frames found")
+    row = w * 3
+    pad = (-row) % 4
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        a = np.frombuffer(fb, dtype=np.uint8).reshape(h, row + pad)[:, :row]
+        out[i] = a.reshape(h, w, 3)[::-1, :, ::-1]  # flip rows, BGR→RGB
+    fps = (rate / scale) if (rate and scale) else 0.0
+    return out, float(fps)
+
+
+def attach_media_real(docs: DataFrame) -> DataFrame:
+    """Like attach_media but every payload is a REAL container:
+    PGM image / PCM WAV / uncompressed AVI, deterministic from the doc
+    text — so the full decode pipeline runs on genuine bytes."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        types = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                t = types[int(r.doc_id) % 3]
+                seed = hashlib.md5(str(r.text).encode()).digest()
+                raw = np.frombuffer((seed * 64)[:1024], dtype=np.uint8)
+                if t == "image":
+                    w, h, nf = 16, 16, 1
+                    payload = encode_pgm(raw[: w * h].reshape(h, w))
+                elif t == "audio":
+                    w, h, nf = 256, 1, 1
+                    samples = (
+                        raw[:256].astype(np.int16) - 128
+                    ) * 256
+                    payload = encode_wav(samples, 8000)
+                else:
+                    w, h, nf = 8, 8, 4
+                    frames = np.resize(raw, nf * h * w * 3).reshape(
+                        nf, h, w, 3
+                    )
+                    payload = encode_avi(frames, fps=10)
+                rows.append((int(r.doc_id), t, w, h, nf, payload))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "width", "height",
+                    "n_frames", "payload",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(fn, MEDIA_SCHEMA)
+
+
+def frame_sample_real(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling over REAL AVI payloads: decode the container once
+    per row, emit one row per sampled frame with its pixel mean."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                frames, _fps = decode_avi(bytes(r.payload))
+                for fidx in range(0, len(frames), every):
+                    rows.append(
+                        (
+                            int(r.doc_id),
+                            fidx,
+                            float(frames[fidx].astype(np.float64).mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame", "frame_mean"]
+            )
+
+    return media.where(F.col("media_type") == "video").mapInPandas(
+        fn, "doc_id long, frame int, frame_mean double"
     )

@@ -323,3 +323,50 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
         ("h2", 0, 2), ("h2", 200, 2), ("h2", 400, 1),
     }
     assert got == want, got
+
+
+def test_multimodal_real_end_to_end(spark):
+    """attach_media_real → decode_media_real over GENUINE container
+    bytes for all three modalities (PGM / WAV / AVI), plus real
+    AVI frame sampling; a corrupted payload lands in the error column
+    instead of failing the job."""
+    import numpy as np
+
+    from gdal_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    media = M.attach_media_real(docs)
+    got = {r.doc_id: r for r in M.decode_media_real(media).collect()}
+    assert len(got) == 9
+    for i in range(9):
+        r = got[i]
+        assert r.error is None, r.error
+        assert r.kind == ["image", "audio", "video"][i % 3]
+        if r.kind == "video":
+            assert r.rate == 10  # fps from the AVI stream header
+        if r.kind == "audio":
+            assert r.rate == 8000
+
+    # real frame sampling: 4-frame AVIs sampled every 2 → frames 0, 2
+    fs = M.frame_sample_real(media, every=2).collect()
+    by_doc = {}
+    for r in fs:
+        by_doc.setdefault(r.doc_id, []).append(r.frame)
+    assert all(sorted(v) == [0, 2] for v in by_doc.values())
+    # frame means match a direct decode
+    one = media.where("media_type = 'video'").limit(1).collect()[0]
+    frames, fps = M.decode_avi(bytes(one.payload))
+    direct = float(frames[0].astype(np.float64).mean())
+    got_mean = [r.frame_mean for r in fs if r.doc_id == one.doc_id and r.frame == 0]
+    assert abs(got_mean[0] - direct) < 1e-12
+
+    # poison pill: truncated AVI → error column, job survives
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"RIFF\x08\x00\x00\x00AVI x"))],
+        "doc_id long, payload binary",
+    )
+    r = M.decode_media_real(bad).collect()[0]
+    assert r.error is not None and r.kind is None
