@@ -158,6 +158,7 @@ def execute_sql(
     fid_col: str | None = None,
     first_match_join: bool = False,
     ogr_like: bool = True,
+    parser: bool = True,
 ) -> DataFrame:
     """Register layers as views (adding a `fid` column from fid_col or a
     monotonically-increasing id if absent), rewrite special fields, run.
@@ -173,7 +174,16 @@ def execute_sql(
                 first = df.columns[0]
                 df = df.withColumn("fid", F.col(first).cast("long"))
         df.createOrReplaceTempView(name)
-    text = rewrite(sql, ogr_like=ogr_like)
+    if parser:
+        # full recursive-descent parse of the OGR dialect
+        # (gdal_spark.ogrsql_parser, grammar per ogr/swq_parser.y):
+        # validates the statement and rejects out-of-dialect constructs
+        # exactly like swq; the token rewrite remains as parser=False.
+        from gdal_spark.ogrsql_parser import parse_ogr_sql
+
+        text = parse_ogr_sql(sql, ogr_like=ogr_like)
+    else:
+        text = rewrite(sql, ogr_like=ogr_like)
     if first_match_join:
         # apply the first-match rewrite per UNION ALL branch (the chained
         # swq_select shape, gcore/gdaldataset.cpp:7531-7560)

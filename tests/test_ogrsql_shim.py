@@ -177,3 +177,47 @@ def test_first_match_join_across_union_all(spark):
         first_match_join=True,
     ).orderBy("lfid").collect()
     assert [(r.lfid, r.tag) for r in rows] == [(1, "first"), (2, "only")]
+
+
+def test_parser_rejects_out_of_dialect():
+    """The recursive-descent parser (ogrsql_parser, grammar per
+    ogr/swq_parser.y) rejects constructs swq rejects, with named
+    errors."""
+    from gdal_spark.ogrsql_parser import OGRSQLError, parse_ogr_sql
+
+    for bad, frag in [
+        ("select x from t group by x", "GROUP BY"),
+        ("select x from (select 1) u", "sub-select"),
+        ("select a from t right join u on a = b", "RIGHT JOIN"),
+        ("select x, (select 1) from t", "sub-select"),
+        ("select x from t where y ^ 2 = 4", "unexpected"),
+        ("select x from t having x > 1", "GROUP BY"),
+    ]:
+        with pytest.raises(OGRSQLError, match=frag.split()[0]):
+            parse_ogr_sql(bad)
+
+    # dialect features all emit correct Spark SQL
+    assert parse_ogr_sql(
+        "select CAST(pop AS character(15)) c from t where n LIKE 'a%'"
+    ) == "select cast(pop as varchar(15)) as c from t where n ilike 'a%'"
+    assert parse_ogr_sql(
+        "select FID, OGR_GEOM_AREA from p order by FID desc limit 3 offset 1"
+    ) == (
+        "select fid, st_area(geometry) from p "
+        "order by fid desc limit 3 offset 1"
+    )
+
+
+def test_parser_path_executes(spark):
+    """execute_sql's default parser path runs real statements end to
+    end, including qualified special fields on joins."""
+    left = spark.createDataFrame(
+        [(1, "a", 4.0), (2, "b", 9.0)], "fid long, k string, v double"
+    )
+    rows = ogrsql.execute_sql(
+        spark,
+        "select fid, v * 2 + 1 vv from t where k in ('a', 'b') "
+        "and not v between 5 and 8 order by fid",
+        layers={"t": left},
+    ).collect()
+    assert [(r.fid, r.vv) for r in rows] == [(1, 9.0), (2, 19.0)]
