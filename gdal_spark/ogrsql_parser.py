@@ -64,10 +64,6 @@ _CAST_TYPES = {
 }
 
 _AGGREGATES = {"avg", "min", "max", "count", "sum", "stddev_pop", "stddev_samp"}
-_FUNCS = {
-    "concat", "substr", "hstore_get_value", "upper", "lower", "length",
-    "abs", "round", "trim", "coalesce", "nullif", "regexp_extract",
-} | {name[3:] if False else name for name in ()}  # placeholder keeps set literal tidy
 
 
 class OGRSQLError(ValueError):

@@ -114,7 +114,17 @@ def roi_blocks(
     Catalyst math over the 6-number geotransform + block offsets — no
     pixel is decoded for a pruned block, so the downstream pixel fan-out
     is O(max_dist^2 / pixel_area), not O(raster). Mirrors the reference's
-    bounded-extent viewshed (alg/viewshed/viewshed.cpp MAXDIST)."""
+    bounded-extent viewshed (alg/viewshed/viewshed.cpp MAXDIST).
+
+    North-up grids only (gt2 = gt4 = 0, the block model's invariant);
+    a rotated geotransform would need the 4-corner bbox instead."""
+    rot = blocks.where(
+        (F.col("gt2") != 0) | (F.col("gt4") != 0)
+    ).limit(1).count()  # bounded-metadata: existence probe
+    if rot:
+        raise ValueError(
+            "roi_blocks: rotated geotransform (gt2/gt4 != 0) unsupported"
+        )
     lon_a = F.col("gt0") + F.col("x0") * F.col("gt1")
     lon_b = F.col("gt0") + (F.col("x0") + F.col("width")) * F.col("gt1")
     lat_a = F.col("gt3") + F.col("y0") * F.col("gt5")
