@@ -54,7 +54,11 @@ def headline(spark, sf_dir: str, cpus: int, amplify: int | None = None) -> dict:
     from gdal_spark.operators.spatial_join import broadcast_pip_join
 
     if amplify is None:
-        amplify = int(os.environ.get("GDAL_SPARK_BENCH_AMPLIFY", "256"))
+        # steady-state sizing: at 256× (1.28M pages) the ~1s of fixed job
+        # overhead is ~half the wall and the metric measures startup, not
+        # throughput; 2048× (10.24M pages) amortizes it — the same
+        # methodology tools/bench_scaling.py already uses (4096×)
+        amplify = int(os.environ.get("GDAL_SPARK_BENCH_AMPLIFY", "2048"))
     tables.register_views(spark, sf_dir)
     base = (
         spark.sql(
