@@ -7,8 +7,9 @@ images, PCM WAV audio, and uncompressed RIFF/AVI video (raw BGR24 'DIB '
 frames). `attach_media_real` builds a media table whose payloads are
 genuine container bytes; `decode_media_real` dispatches on magic bytes
 and surfaces compressed-codec failures per-row in an `error` column
-(poison-pill tolerance). Only compressed codecs (JPEG/MP3/H.264) remain
-behind the NotImplementedError boundary, stated per-format.
+(poison-pill tolerance). Baseline JPEG is a real from-scratch codec too
+(operators/jpeg.py — T.81 Huffman + DCT); only MP3/H.264-class codecs
+remain behind the NotImplementedError boundary, stated per-format.
 
 The original `attach_media`/`decode_media(fake=True)` pair keeps the
 hash-derived-tensor variant for schema/plumbing tests.
@@ -258,6 +259,11 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                             float(x.std()),
                             int(sr),
                         )
+                    elif p[:3] == b"\xff\xd8\xff":
+                        from gdal_spark.operators.jpeg import decode_jpeg
+
+                        t = decode_jpeg(p).astype(np.float64)
+                        kind, mean, std = "image", float(t.mean()), float(t.std())
                     elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
                         fr, fps = decode_avi(p)
                         t = fr.astype(np.float64)

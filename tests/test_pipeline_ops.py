@@ -370,3 +370,45 @@ def test_multimodal_real_end_to_end(spark):
     )
     r = M.decode_media_real(bad).collect()[0]
     assert r.error is not None and r.kind is None
+
+
+def test_jpeg_codec_roundtrip_and_dispatch(spark):
+    """Baseline JPEG (T.81) from-scratch codec: flat images near-exact,
+    smooth content within quantization error for 4:4:4 and 4:2:0;
+    decode_media_real dispatches on the JPEG magic."""
+    import numpy as np
+
+    from gdal_spark.operators import multimodal as M
+    from gdal_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 24), 130, dtype=np.uint8)
+    assert np.abs(
+        decode_jpeg(encode_jpeg(flat, 90)).astype(int) - 130
+    ).max() <= 1
+
+    rng = np.random.default_rng(0)
+    smooth = rng.integers(60, 200, (3, 4, 3)).astype(np.float64)
+    big = np.kron(smooth, np.ones((12, 12, 1)))[:34, :44].astype(np.uint8)
+    for sub in (False, True):
+        out = decode_jpeg(encode_jpeg(big, quality=95, subsample=sub))
+        err = np.abs(out.astype(int) - big.astype(int))
+        assert out.shape == big.shape
+        assert err.mean() < 3.0 and err.max() < 25, (sub, err.max())
+
+    # progressive marker rejected by name
+    import pytest as _pt
+
+    bad = bytearray(encode_jpeg(flat, 90))
+    i = bad.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    with _pt.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(bad))
+
+    # media dispatch
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(big, 90)))],
+        "doc_id long, payload binary",
+    )
+    r = M.decode_media_real(media).collect()[0]
+    assert r.kind == "image" and r.error is None
+    assert abs(r.mean - big.astype(np.float64).mean()) < 3.0
