@@ -134,6 +134,15 @@ def main() -> None:
                 "queries": times,
                 "sf": sf_dir,
                 "cpus": cpus,
+                # frozen estimator (VERDICT r3 #9): round-over-round
+                # deltas are comparable only under the same methodology
+                "methodology": {
+                    "amplify": int(
+                        os.environ.get("GDAL_SPARK_BENCH_AMPLIFY", "2048")
+                    ),
+                    "headline_estimator": "warm-best-of-3",
+                    "per_query_estimator": "warm-best-of-2",
+                },
                 **h,
             }
         )

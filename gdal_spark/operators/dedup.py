@@ -107,8 +107,46 @@ def band_keys(
     )
 
 
-def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id_a, id_b) distinct pairs sharing ≥1 LSH band bucket."""
+def dropped_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """(band, sig, n) — the LSH buckets candidate_pairs(max_bucket=…)
+    will DROP (size > cap): the audit trail for the stop-bucket guard.
+    One map-side-combined aggregate; rows are O(#hot buckets)."""
+    return (
+        bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
+    )
+
+
+def candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
+    """(id_a, id_b) distinct pairs sharing ≥1 LSH band bucket.
+
+    Scale guard (the one real 100 TB risk in this family): a near-dup
+    cluster — boilerplate/template pages on a real crawl — lands its
+    whole mass in ONE (band, sig) bucket, and within-bucket candidate
+    generation is O(|bucket|²); AQE skew-join splits partitions, not
+    the pair blow-up. With `max_bucket` set, buckets larger than the
+    cap are excluded BEFORE the self-join — the stop-bucket analog of
+    ngram_jaccard_pairs' `max_df` stop-shingle cap, and the same
+    documented recall trade: docs in a dropped bucket can still pair
+    through their other (num_perm / rows_per_band − 1) bands. Audit the
+    drops with dropped_buckets(bands, max_bucket). For corpora with
+    massive EXACT-duplicate clusters, run dedup_exact first and pair
+    the per-content representatives only — a dup cluster of size g
+    then costs g rows, not g² pairs."""
+    if max_bucket is not None:
+        keep = (
+            bands.groupBy("band", "sig")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        # shuffle join on the same (band, sig) key the self-join uses;
+        # the aggregate is map-side combined so the cap costs one extra
+        # (cheap, pre-shrunk) shuffle, never a collect
+        bands = bands.join(keep, ["band", "sig"])
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("sig")
     )
@@ -160,14 +198,20 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hasher: str = "portable",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → LSH bands →
-    candidate pairs → exact-Jaccard verify → threshold."""
+    candidate pairs → exact-Jaccard verify → threshold.
+
+    `max_bucket` (default on) is the hot-bucket stop guard — see
+    candidate_pairs: a boilerplate cluster cannot go O(n²) through one
+    band bucket. Fixture-scale corpora never hit the default cap, so
+    results are identical to the unguarded pipeline there."""
     sh = shingles(df, k, id_col, text_col)
     bands = band_keys(
         minhash(sh, num_perm, id_col, hasher), rows_per_band, id_col, hasher
     )
-    cand = candidate_pairs(bands, id_col)
+    cand = candidate_pairs(bands, id_col, max_bucket=max_bucket)
     jac = jaccard_pairs(sh, cand, id_col)
     return jac.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

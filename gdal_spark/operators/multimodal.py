@@ -70,20 +70,29 @@ def _fake_decode(payload: bytes, w: int, h: int, nf: int) -> np.ndarray:
     return np.frombuffer(raw, dtype=np.uint8).reshape(nf, h, w)
 
 
-def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
-    """binary → decoded tensor stats. With fake=False this raises at
-    execution time: the real decoder (PIL/ffmpeg) is not available in
-    this environment — the STUB boundary is explicit."""
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """binary → decoded stats. The DEFAULT is the REAL codec path
+    (decode_media_real: netpbm/PNG/JPEG/WAV/AVI from-scratch decoders,
+    per-row `error` column for the remaining compressed-codec
+    boundaries). Pass fake=True — or call decode_media_synthetic — for
+    the deterministic hash-tensor stand-in used by schema/plumbing
+    tests. NOTE the two paths return different schemas: real emits
+    (doc_id, kind, mean, std, rate, error); synthetic emits
+    (doc_id, media_type, mean, std, vmin, vmax)."""
+    if not fake:
+        return decode_media_real(media)
+    return decode_media_synthetic(media)
+
+
+def decode_media_synthetic(media: DataFrame) -> DataFrame:
+    """binary → tensor stats over the deterministic _fake_decode tensor
+    (payload bytes tiled to the declared shape) — the schema/plumbing
+    variant; real codecs live in decode_media_real."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                if not fake:
-                    raise NotImplementedError(
-                        "real media decode requires PIL/ffmpeg; "
-                        "run with fake=True for the deterministic stub"
-                    )
                 t = _fake_decode(bytes(r.payload), r.width, r.height, r.n_frames)
                 rows.append(
                     (

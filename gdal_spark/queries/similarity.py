@@ -297,6 +297,18 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).unionByName(pert)
     sig = _rel_signatures(corpus)
+    # hot-bucket stop guard (operators.dedup.candidate_pairs semantics):
+    # drop signature buckets larger than the cap BEFORE the self-join so
+    # a template cluster cannot go O(n²) through one bucket. The corpus
+    # here is ≤ ~2·|embeddings| rows at any sf the oracle runs, far
+    # below the cap, so the guard never fires and the DuckDB oracle
+    # (which omits it) stays value-identical.
+    _cap = 10_000
+    _keep = (
+        sig.groupBy("sig").agg(F.count("*").alias("_bn"))
+        .where(F.col("_bn") <= _cap).drop("_bn")
+    )
+    sig = sig.join(_keep, "sig")
     pairs = (
         sig.alias("a")
         .join(sig.alias("b"), F.col("a.sig") == F.col("b.sig"))

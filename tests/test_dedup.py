@@ -96,6 +96,52 @@ def test_no_python_udf_in_dedup_plans(corpus):
     assert "ArrowEvalPython" not in plan
 
 
+def test_hot_bucket_cap_bounds_pair_blowup(spark):
+    """VERDICT r3 #1 adversarial case: a template cluster holding ~30%
+    of corpus mass lands in ONE (band, sig) bucket per band; without a
+    cap the within-bucket self-join is O(|cluster|²). With max_bucket
+    set the hot buckets are dropped BEFORE the join, pair counts stay
+    bounded, and non-cluster near-dups are still found."""
+    cluster = [(i, "breaking news subscribe to our newsletter today now")
+               for i in range(60)]  # 60 identical docs = 30% of 200
+    uniq = [(1000 + i,
+             f"document {i} talks about topic {i * 7} and subject {i * 13} in depth")
+            for i in range(138)]
+    near = [(5000, "spark engines process massive tables using columnar arrow data"),
+            (5001, "spark engines process massive tables using columnar arrow sets")]
+    df = spark.createDataFrame(
+        cluster + uniq + near, "doc_id long, text string"
+    ).repartition(8)
+
+    sh = dedup.shingles(df, k=3)
+    bands = dedup.band_keys(dedup.minhash(sh, num_perm=8), rows_per_band=2)
+
+    # uncapped: the cluster alone contributes 60*59/2 = 1770 pairs
+    uncapped = dedup.candidate_pairs(bands).count()
+    assert uncapped >= 1770
+
+    # capped: every cluster bucket (size 60) exceeds the cap and is
+    # dropped, so pairs are bounded by the non-cluster corpus
+    capped = dedup.candidate_pairs(bands, max_bucket=20)
+    n_capped = capped.count()
+    assert n_capped < 200  # vs >=1770: the quadratic mass is gone
+    cluster_pairs = capped.where("id_a < 60 AND id_b < 60").count()
+    assert cluster_pairs == 0
+
+    # the audit trail reports exactly the dropped hot buckets
+    dropped = dedup.dropped_buckets(bands, max_bucket=20).collect()
+    # the 60-doc cluster bucket appears once per band (8 perms / 2 rows)
+    assert sum(1 for r in dropped if r.n == 60) == 4
+    assert all(r.n > 20 for r in dropped)
+
+    # end-to-end with the guard on: the planted near-dup outside the
+    # cluster is still found with its exact Jaccard
+    pairs = dedup.minhash_lsh_pairs(df, k=3, threshold=0.5, max_bucket=20)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (5000, 5001) in got
+    assert not any(a < 60 and b < 60 for a, b in got)
+
+
 def test_minhash_fast_hasher(corpus):
     """The xxhash64 production hasher runs the same pipeline and still
     finds the planted duplicates (fingerprints differ, semantics don't)."""

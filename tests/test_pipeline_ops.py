@@ -64,14 +64,23 @@ def test_media_schema_and_determinism(spark, media):
     assert all(bytes(r.payload) == again[r.doc_id] for r in rows)
 
 
-def test_decode_fake_and_stub_boundary(spark, media):
-    feats = MM.decode_media(media, fake=True).collect()
+def test_decode_synthetic_and_real_default(spark, media):
+    feats = MM.decode_media_synthetic(media).collect()
     assert len(feats) == 12
     for f in feats:
         assert 0 <= f.vmin <= f.vmax <= 255
         assert f.vmin <= f.mean <= f.vmax
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        MM.decode_media(media, fake=False).collect()
+    # fake=True routes to the same synthetic path
+    legacy = MM.decode_media(media, fake=True).collect()
+    assert {(r.doc_id, r.mean) for r in legacy} == {
+        (r.doc_id, r.mean) for r in feats
+    }
+    # DEFAULT is the real-codec path: synthetic payloads are not valid
+    # containers, so every row lands in the poison-pill `error` column
+    # instead of failing the job (schema: doc_id, kind, ..., error)
+    real = MM.decode_media(media).collect()
+    assert len(real) == 12
+    assert all(r.error is not None and r.kind is None for r in real)
 
 
 def test_frame_sample(spark, media):

@@ -73,11 +73,66 @@ def test_lsh_bucket_topk_self_similarity(spark):
         assert got[i][1] == 1.0
 
 
+def test_lsh_bucket_topk_hot_bucket_cap(spark):
+    """VERDICT r3 #1: a near-identical embedding cluster (30%+ of the
+    corpus) shares one LSH bucket; with max_bucket set that bucket is
+    dropped before the self-join so pairing cannot go O(n²), while
+    vectors outside the hot bucket still rank normally."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(8).astype(np.float32)
+    rows = [(i, base.tolist()) for i in range(30)]  # identical cluster
+    mat = rng.standard_normal((10, 8)).astype(np.float32)
+    rows += [(100 + i, mat[i].tolist()) for i in range(10)]
+    rows += [(200 + i, mat[i].tolist()) for i in range(10)]  # dup partners
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = similarity.lsh_bucket_topk(df, k=1, bits=8, dim=8)
+    got_un = {r.id_a for r in uncapped.collect()}
+    assert 0 in got_un  # cluster pairs itself without the guard
+
+    capped = similarity.lsh_bucket_topk(df, k=1, bits=8, dim=8, max_bucket=20)
+    got = {r.id_a: (r.id_b, r.sim) for r in capped.collect()}
+    # cluster vectors dropped from THIS index (documented recall trade)
+    assert not any(a < 30 for a in got)
+    # non-cluster duplicates unaffected by the cap
+    hits = sum(
+        1 for i in range(10)
+        if 100 + i in got and got[100 + i][0] == 200 + i and got[100 + i][1] == 1.0
+    )
+    assert hits >= 8  # all pairs that share a bucket (bits=8 on dim-8)
+
+
 def test_ivf_default_k_sqrt_contract():
     assert similarity.ivf_default_k(4) == 2
     assert similarity.ivf_default_k(500) == 22
     assert similarity.ivf_default_k(1_000_000) == 1000
     assert similarity.ivf_default_k(1) == 2  # floor
+
+
+def test_ivf_train_codebook_parity_and_k_row_collect(spark):
+    """VERDICT r3 #2: ivf_train's per-iteration driver traffic must be
+    O(k) rows (one array row per centroid, assembled executor-side), and
+    the trained codebook must equal an independent driver-side Lloyd's
+    with the same deterministic contract (lowest-id init, 8-dp distance
+    rounding, ties→lowest cid, 6-dp centroid rounding)."""
+    rng = np.random.default_rng(19)
+    mat = rng.standard_normal((60, 6)).round(3)
+    rows = [(i, mat[i].tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = np.asarray(similarity.ivf_train(df, k=4, iters=3))
+
+    cents = mat[:4].astype(np.float64).copy()  # lowest-id init
+    for _ in range(3):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cid = np.argmin(np.round(d2, 8), axis=1)
+        new = cents.copy()
+        for c in range(4):
+            m = mat[cid == c]
+            if len(m):
+                new[c] = np.round(m.sum(axis=0) / len(m), 6)
+        cents = new
+    assert np.array_equal(got, cents)
 
 
 def test_ivf_salted_join_on_skewed_buckets(spark):
