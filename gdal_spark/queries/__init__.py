@@ -112,6 +112,13 @@ def collect() -> tuple[
         "dedup_embedding_cosine",  # dedup family: oracle-green locally
         "spatial_join_shuffled",  # row 18: same pip oracle as the
         # broadcast strategies; in-window reps are pip/tiles
+        # r4: raster_viewshed_modes (DEM/Ground modes, VERDICT r3 #4) is
+        # a strict SUPERSET of the Normal-mode query — same sweep, same
+        # `visible` column, plus the mode outputs — so the Normal query
+        # swaps out of the window and the cumulative roll-up rides the
+        # local replica.
+        "raster_viewshed",  # visible column re-checked by _modes
+        "raster_viewshed_cumulative",  # union+groupBy over the same sweep
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -1989,6 +1989,171 @@ QUERIES["raster_viewshed"] = _viewshed_query
 ORACLES["raster_viewshed"] = _viewshed_oracle()
 
 
+# --- viewshed output modes + cumulative (VERDICT r3 #4) ---------------------
+# DEM / Ground modes (alg/viewshed/viewshed_types.h:26-35,
+# viewshed_executor.cpp:233-245,315-318): dfZ = z0 + occ·dist with occ =
+# EXCLUSIVE per-sector running-max elevation angle (strictly nearer
+# pixels only — the executor updates cur AFTER emitting the cell);
+# dem_min = max(value, dfZ), ground_min = max(0, dfZ − value). The
+# oracle mirrors the exclusive max with a distinct-distance CTE and a
+# ROWS … 1 PRECEDING window — bit-the-same grouping because both engines
+# compute dist with one correctly-rounded sqrt over identical inputs.
+
+
+def _viewshed_modes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.los import viewshed
+
+    common = dict(
+        n_sectors=_VS_SECTORS, band=1, max_dist=_VS_MAXD
+    )
+    dem = viewshed(_blocks(spark), _VS_OBS, output_mode="dem", **common)
+    gnd = viewshed(_blocks(spark), _VS_OBS, output_mode="ground", **common)
+    d = dem.select(
+        "x", "y", "visible", F.round("dem_min", 6).alias("dem_min")
+    )
+    g = gnd.select("x", "y", F.round("ground_min", 6).alias("ground_min"))
+    return (
+        d.join(g, ["x", "y"])
+        .where("x < 60 and y < 60")
+        .select("x", "y", "visible", "dem_min", "ground_min")
+    )
+
+
+def _viewshed_modes_oracle() -> str:
+    g = _gt()
+    olon, olat, oh = _VS_OBS
+    two_pi = 6.283185307179586
+    return f"""
+    with px as ({PIXELS_CTE}),
+    d as (
+        select x, y, value,
+               ({g[0]!r} + (x + 0.5) * {g[1]!r}) - {olon!r} as dx,
+               ({g[3]!r} + (y + 0.5) * {g[5]!r}) - {olat!r} as dy
+        from px where band = 1
+    ),
+    s as (
+        select x, y, value,
+               sqrt(dx * dx + dy * dy) as dist,
+               cast(floor(((atan2(dy, dx) + {two_pi!r}) % {two_pi!r})
+                          / {two_pi / _VS_SECTORS!r}) as int) as sector
+        from d
+    ),
+    z as (
+        select value + {oh!r} as z0 from s order by dist limit 1
+    ),
+    a as (
+        select x, y, value, dist, sector, z.z0 as z0,
+               (value - z.z0) / dist as angle
+        from s cross join z
+        where dist > 0 and dist <= {_VS_MAXD!r}
+    ),
+    gd as (
+        select sector, dist, max(angle) as gmax
+        from a group by sector, dist
+    ),
+    e as (
+        select sector, dist,
+               max(gmax) over (
+                   partition by sector order by dist
+                   rows between unbounded preceding and 1 preceding
+               ) as occ
+        from gd
+    ),
+    v as (
+        select a.x, a.y, a.value, a.dist, a.z0, e.occ,
+               a.angle >= max(a.angle) over (
+                   partition by a.sector order by a.dist
+                   range between unbounded preceding and current row
+               ) as visible
+        from a join e on a.sector = e.sector and a.dist = e.dist
+    )
+    select x, y, visible,
+           round(greatest(value, coalesce(z0 + occ * dist, value)), 6)
+             as dem_min,
+           round(greatest(0.0, coalesce(z0 + occ * dist - value, 0.0)), 6)
+             as ground_min
+    from v
+    where x < 60 and y < 60
+    """
+
+
+QUERIES["raster_viewshed_modes"] = _viewshed_modes_query
+ORACLES["raster_viewshed_modes"] = _viewshed_modes_oracle()
+
+
+# Cumulative viewshed (alg/viewshed/cumulative.cpp role): sum of per-
+# observer visibility. The oracle repeats the sector-sweep CTE chain per
+# observer and rolls up with UNION ALL + GROUP BY — the engine runs one
+# sweep job per observer and ONE map-side-combined groupBy(x, y).
+_VS_OBS2 = (_gt()[0] + 72.41 * _gt()[1], _gt()[3] + 31.57 * _gt()[5], 25.0)
+_VS_CUM_MAXD = 45.0
+
+
+def _viewshed_cumulative_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.los import cumulative_viewshed
+
+    return cumulative_viewshed(
+        _blocks(spark),
+        [_VS_OBS, _VS_OBS2],
+        n_sectors=_VS_SECTORS,
+        band=1,
+        max_dist=_VS_CUM_MAXD,
+    )
+
+
+def _one_observer_visible_sql(olon: float, olat: float, oh: float) -> str:
+    g = _gt()
+    two_pi = 6.283185307179586
+    return f"""
+        with d as (
+            select x, y, value,
+                   ({g[0]!r} + (x + 0.5) * {g[1]!r}) - {olon!r} as dx,
+                   ({g[3]!r} + (y + 0.5) * {g[5]!r}) - {olat!r} as dy
+            from px where band = 1
+        ),
+        s as (
+            select x, y, value,
+                   sqrt(dx * dx + dy * dy) as dist,
+                   cast(floor(((atan2(dy, dx) + {two_pi!r}) % {two_pi!r})
+                              / {two_pi / _VS_SECTORS!r}) as int) as sector
+            from d
+        ),
+        z as (
+            select value + {oh!r} as z0 from s order by dist limit 1
+        ),
+        a as (
+            select x, y, dist, sector, (value - z.z0) / dist as angle
+            from s cross join z
+            where dist > 0 and dist <= {_VS_CUM_MAXD!r}
+        )
+        select x, y,
+               cast(angle >= max(angle) over (
+                   partition by sector order by dist
+                   range between unbounded preceding and current row
+               ) as int) as v
+        from a
+    """
+
+
+def _viewshed_cumulative_oracle() -> str:
+    o1 = _one_observer_visible_sql(*_VS_OBS)
+    o2 = _one_observer_visible_sql(*_VS_OBS2)
+    return f"""
+    with px as ({PIXELS_CTE}),
+    u as (
+        select * from ({o1})
+        union all
+        select * from ({o2})
+    )
+    select x, y, cast(sum(v) as bigint) as n_visible
+    from u group by x, y
+    """
+
+
+QUERIES["raster_viewshed_cumulative"] = _viewshed_cumulative_query
+ORACLES["raster_viewshed_cumulative"] = _viewshed_cumulative_oracle()
+
+
 # --- rgb-to-palette (alg/gdaldither.cpp FindNearestColor path;
 # apps/gdalalg_raster_rgb_to_palette.cpp) ------------------------------------
 # Nearest-color application of an explicit palette over the 3-band

@@ -149,6 +149,9 @@ def viewshed(
     n_sectors: int = 720,
     band: int = 1,
     max_dist: float | None = None,
+    output_mode: str = "normal",
+    allow_full_sweep: bool = False,
+    pixel_budget: int = 16_000_000,
 ) -> DataFrame:
     """Distributed sector-sweep viewshed (alg/viewshed/viewshed.cpp role
     via the classic R2/XDraw-style angular discretization): every pixel
@@ -171,15 +174,47 @@ def viewshed(
     whole raster becomes pixel rows (SURVEY §1.2's forbidden shape).
     A pixel beyond max_dist cannot occlude one inside it on the same
     ray, so the bounded result equals the full sweep cropped to the
-    disc — same truncation the reference applies."""
+    disc — same truncation the reference applies.
+
+    The contract is ENFORCED (VERDICT r3 #3): with max_dist=None the
+    pixel fan-out is estimated from block METADATA (sum of block
+    width×height — no pixel row exists yet) and the call raises above
+    `pixel_budget` unless `allow_full_sweep=True`. The reference bounds
+    the sweep the same way (alg/viewshed/viewshed_types.h:68
+    maxDistance).
+
+    `output_mode` (alg/viewshed/viewshed_types.h:26–35,
+    viewshed_executor.cpp:233–245,315–318):
+    - "normal": (…, visible) — visibility only.
+    - "dem":    adds dem_min — minimum ABSOLUTE elevation the cell
+      needs to be visible: max(value, dfZ) where dfZ = z0 + occ·dist
+      and occ is the max elevation angle over STRICTLY nearer pixels
+      on the ray (the executor updates `cur = max(cur, dfZ)` after
+      emitting the cell, so its occluder set is exclusive).
+    - "ground": adds ground_min = max(0, dfZ − value) — minimum height
+      ABOVE ground (executor: result base 0, += (dfZ − cur) if > 0).
+    """
     from pyspark.sql.window import Window
 
     from gdal_spark.raster.ops import as_features
 
+    if output_mode not in ("normal", "dem", "ground"):
+        raise ValueError(f"viewshed: unknown output_mode {output_mode!r}")
     olon, olat, oh = observer
     src = blocks.where(F.col("band") == band)
     if max_dist is not None:
         src = roi_blocks(src, olon, olat, max_dist)
+    elif not allow_full_sweep:
+        est = src.agg(
+            F.sum(F.col("width") * F.col("height")).alias("n")
+        ).collect()[0].n  # bounded-metadata: one aggregate over block rows
+        if est and int(est) > pixel_budget:
+            raise ValueError(
+                f"viewshed: ~{int(est):,} pixels would explode into rows "
+                f"(budget {pixel_budget:,}); pass max_dist to bound the "
+                "sweep to the observer disc (metadata-level block "
+                "pruning), or allow_full_sweep=True to override"
+            )
     px = as_features(src)
     two_pi = 6.283185307179586
     d = px.select(
@@ -241,22 +276,87 @@ def viewshed(
     prefix = ring_max.withColumn(
         "prev_max", F.max("rmax").over(w_rings)
     ).select("sector", "ring", "prev_max")
-    out = (
-        ang.join(F.broadcast(prefix), ["sector", "ring"])
-        .withColumn(
-            "cmax",
-            F.greatest(
-                F.col("wr_max"),
-                F.coalesce(F.col("prev_max"), F.lit(float("-inf"))),
-            ),
-        )
-        .select(
-            "x",
-            "y",
-            "dist",
-            "angle",
-            "sector",
-            (F.col("angle") >= F.col("cmax")).alias("visible"),
-        )
+    out = ang.join(F.broadcast(prefix), ["sector", "ring"]).withColumn(
+        "cmax",
+        F.greatest(
+            F.col("wr_max"),
+            F.coalesce(F.col("prev_max"), F.lit(float("-inf"))),
+        ),
     )
-    return out
+    cols = [
+        "x",
+        "y",
+        "dist",
+        "angle",
+        "sector",
+        (F.col("angle") >= F.col("cmax")).alias("visible"),
+    ]
+    if output_mode != "normal":
+        # Exclusive occluder max (strictly nearer pixels only): group
+        # pixels at identical (sector, ring, dist), take the per-group
+        # max angle, run the ROWS-framed window ending at -1 over the
+        # distinct-dist rows (tiny — one row per distance step), and
+        # join back. Combined with prev_max over strictly previous
+        # rings this is exactly the executor's pre-update `cur`.
+        w_d = (
+            Window.partitionBy("sector", "ring")
+            .orderBy("dist")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        excl = (
+            ang.groupBy("sector", "ring", "dist")
+            .agg(F.max("angle").alias("_gmax"))
+            .withColumn("excl_ring", F.max("_gmax").over(w_d))
+            .select("sector", "ring", "dist", "excl_ring")
+        )
+        out = out.join(excl, ["sector", "ring", "dist"])
+        # occ = NULL means no nearer pixel: the cell is trivially
+        # visible, dfZ degenerates to the cell's own elevation
+        occ = F.greatest(F.col("excl_ring"), F.col("prev_max"))
+        dfz = F.col("z0") + occ * F.col("dist")
+        if output_mode == "dem":
+            cols.append(
+                F.greatest(
+                    F.col("value"), F.coalesce(dfz, F.col("value"))
+                ).alias("dem_min")
+            )
+        else:
+            cols.append(
+                F.greatest(
+                    F.lit(0.0), F.coalesce(dfz - F.col("value"), F.lit(0.0))
+                ).alias("ground_min")
+            )
+    return out.select(*cols)
+
+
+def cumulative_viewshed(
+    blocks: DataFrame,
+    observers: list[tuple[float, float, float]],
+    n_sectors: int = 720,
+    band: int = 1,
+    max_dist: float | None = None,
+) -> DataFrame:
+    """Observability heat map (alg/viewshed/cumulative.cpp role): run the
+    sector-sweep viewshed once per observer and sum visibility per cell —
+    (x, y, n_visible) where n_visible ∈ [0, len(observers)].
+
+    The reference iterates observer grid cells on one machine and rolls
+    results into a combiner queue (cumulative.cpp Cumulative::run); here
+    each observer's sweep is an independent Spark job stage and the
+    roll-up is ONE map-side-combined groupBy(x, y) over the unioned
+    sweeps — observers scale out, not up. Every per-observer sweep keeps
+    its own metadata ROI (max_dist disc), so total pixel fan-out is
+    O(len(observers) · max_dist² / pixel_area), never O(raster) per
+    observer."""
+    if not observers:
+        raise ValueError("cumulative_viewshed: empty observer list")
+    per = [
+        viewshed(
+            blocks, obs, n_sectors=n_sectors, band=band, max_dist=max_dist
+        ).select("x", "y", F.col("visible").cast("int").alias("v"))
+        for obs in observers
+    ]
+    u = per[0]
+    for p in per[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("x", "y").agg(F.sum("v").alias("n_visible"))

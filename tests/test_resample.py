@@ -437,6 +437,143 @@ def test_viewshed_maxdist_roi(spark):
     assert bounded == full
 
 
+def _vs_blocks(spark, a, bs=16):
+    import numpy as np
+
+    from gdal_spark.raster import model
+
+    n = a.shape[0]
+    rows = []
+    for by in range(n // bs):
+        for bx in range(n // bs):
+            sub = a[by * bs : by * bs + bs, bx * bs : bx * bs + bs]
+            rows.append(
+                ("dem", 1, bx, by, bx * bs, by * bs, bs, bs,
+                 "float64", 0.0, 1.0, 0.0, float(n), 0.0, -1.0, None,
+                 bytearray(np.ascontiguousarray(sub).tobytes()))
+            )
+    return spark.createDataFrame(rows, model.BLOCK_SCHEMA)
+
+
+def test_viewshed_budget_enforced(spark):
+    """VERDICT r3 #3: max_dist=None on a raster whose metadata pixel
+    estimate exceeds the budget must RAISE (the full-raster pixel
+    explosion is SURVEY §1.2's forbidden shape), and allow_full_sweep
+    must override."""
+    import numpy as np
+    import pytest as _pt
+
+    from gdal_spark.raster.los import viewshed
+
+    blocks = _vs_blocks(spark, np.zeros((64, 64)))
+    with _pt.raises(ValueError, match="max_dist"):
+        viewshed(blocks, (8.0, 56.0, 3.0), n_sectors=16, pixel_budget=1000)
+    # override accepted; bounded call unaffected by the budget
+    viewshed(blocks, (8.0, 56.0, 3.0), n_sectors=16, pixel_budget=1000,
+             allow_full_sweep=True)
+    viewshed(blocks, (8.0, 56.0, 3.0), n_sectors=16, pixel_budget=1000,
+             max_dist=10.0)
+
+
+def test_viewshed_output_modes_vs_bruteforce(spark):
+    """DEM/Ground output modes (viewshed_executor.cpp:233-245,315-318):
+    dem_min = max(value, z0 + occ*dist), ground_min = max(0, dfZ-value),
+    where occ is the EXCLUSIVE (strictly-nearer) per-sector running max
+    elevation angle — verified against a direct numpy sweep."""
+    import numpy as np
+
+    from gdal_spark.raster.los import viewshed
+
+    rng = np.random.default_rng(23)
+    a = rng.uniform(0.0, 8.0, (32, 32)).round(3)
+    blocks = _vs_blocks(spark, a, bs=16)
+    obs = (10.37, 20.23, 4.0)  # off-lattice: unique nearest pixel
+    nsec = 64
+    md = 15.0
+
+    # numpy reference sweep (same discretization)
+    lon = np.arange(32) + 0.5
+    lat = 32.0 - (np.arange(32) + 0.5)
+    LON, LAT = np.meshgrid(lon, lat)
+    dx, dy = LON - obs[0], LAT - obs[1]
+    # NOT np.hypot: the engine computes sqrt(dx*dx+dy*dy) and the
+    # tie-grouping below relies on bit-identical distance equality
+    dist = np.sqrt(dx * dx + dy * dy)
+    two_pi = 6.283185307179586
+    sector = np.floor(((np.arctan2(dy, dx) + two_pi) % two_pi)
+                      / (two_pi / nsec)).astype(int)
+    iy, ix = np.unravel_index(np.argmin(dist), dist.shape)
+    z0 = a[iy, ix] + obs[2]
+    mask = (dist > 0) & (dist <= md)
+    angle = np.where(mask, (a - z0) / np.where(dist == 0, 1, dist), np.nan)
+
+    want_dem = {}
+    want_gnd = {}
+    for s in range(nsec):
+        sel = np.argwhere(mask & (sector == s))
+        order = sorted(sel, key=lambda p: dist[p[0], p[1]])
+        occ = None
+        i = 0
+        while i < len(order):
+            # group ties at identical distance: same exclusive occ
+            j = i
+            dcur = dist[order[i][0], order[i][1]]
+            grp = []
+            while j < len(order) and dist[order[j][0], order[j][1]] == dcur:
+                grp.append(order[j])
+                j += 1
+            for y, x in grp:
+                dfz = None if occ is None else z0 + occ * dist[y, x]
+                v = a[y, x]
+                want_dem[(x, y)] = v if dfz is None else max(v, dfz)
+                want_gnd[(x, y)] = 0.0 if dfz is None else max(0.0, dfz - v)
+            gmax = max(angle[y, x] for y, x in grp)
+            occ = gmax if occ is None else max(occ, gmax)
+            i = j
+
+    got_dem = {
+        (r.x, r.y): r.dem_min
+        for r in viewshed(blocks, obs, n_sectors=nsec, max_dist=md,
+                          output_mode="dem").collect()
+    }
+    got_gnd = {
+        (r.x, r.y): r.ground_min
+        for r in viewshed(blocks, obs, n_sectors=nsec, max_dist=md,
+                          output_mode="ground").collect()
+    }
+    assert set(got_dem) == set(want_dem)
+    for k, v in want_dem.items():
+        assert abs(got_dem[k] - v) < 1e-9, k
+    for k, v in want_gnd.items():
+        assert abs(got_gnd[k] - v) < 1e-9, k
+
+
+def test_cumulative_viewshed(spark):
+    """Cumulative heat map (alg/viewshed/cumulative.cpp role): per-cell
+    sum of visibility over the observer set equals the sum of the
+    individual sweeps."""
+    import numpy as np
+
+    from gdal_spark.raster.los import cumulative_viewshed, viewshed
+
+    rng = np.random.default_rng(31)
+    a = rng.uniform(0.0, 6.0, (32, 32)).round(3)
+    blocks = _vs_blocks(spark, a, bs=16)
+    observers = [(6.37, 25.23, 3.0), (24.61, 7.11, 3.0)]
+    cum = {
+        (r.x, r.y): r.n_visible
+        for r in cumulative_viewshed(
+            blocks, observers, n_sectors=48, max_dist=12.0
+        ).collect()
+    }
+    want = {}
+    for obs in observers:
+        for r in viewshed(blocks, obs, n_sectors=48, max_dist=12.0).collect():
+            want[(r.x, r.y)] = want.get((r.x, r.y), 0) + int(r.visible)
+    assert cum == want
+    assert max(cum.values()) >= 1
+
+
 def test_viewshed_roi_plan_has_block_filter(spark):
     """The ROI prune must appear as a Catalyst Filter over block metadata
     BEFORE any pixel explosion — i.e. the bounded plan reads fewer source
