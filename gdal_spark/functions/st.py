@@ -1025,11 +1025,67 @@ def _project_point(buf: bytes, dist_m: float, azimuth_deg: float) -> bytes:
     return W.points_to_wkb([np.degrees(lon2)], [np.degrees(lat2)])[0]
 
 
+def _collect_lines(parsed) -> list:
+    """Flatten a parsed WKB value into its constituent polylines —
+    LineStrings, MultiLineString parts, collection members, polygon
+    rings — the input linework set for polygonize/buildarea."""
+    t, payload = parsed
+    if t == W.LINESTRING:
+        return [payload]
+    if t == W.POLYGON:
+        return list(payload)
+    if t in (W.MULTILINESTRING, W.MULTIPOLYGON, W.COLLECTION):
+        out = []
+        for child in payload:
+            out.extend(_collect_lines(child))
+        return out
+    return []
+
+
+def _polygonize(b: bytes) -> bytes | None:
+    """ogr/ogr_geometry.h:588 OGRGeometry::Polygonize role: every
+    bounded face of the noded linework as a filled polygon."""
+    from gdal_spark.geometry import noding as N
+
+    faces = N.polygonize_lines(_collect_lines(W.parse_wkb(b)))
+    return W.multipolygon_to_wkb([[f] for f in faces]) if faces else None
+
+
+def _buildarea(b: bytes) -> bytes | None:
+    """ogr/ogr_geometry.h:589 BuildArea role: faces nested by
+    containment depth — odd-depth faces become holes."""
+    from gdal_spark.geometry import noding as N
+
+    polys = N.build_area(_collect_lines(W.parse_wkb(b)))
+    return W.multipolygon_to_wkb(polys) if polys else None
+
+
+def _cdt(b: bytes) -> bytes | None:
+    """ogr/ogr_geometry.h:591 ConstrainedDelaunayTriangulation role:
+    triangles partition the polygon, boundary edges never flipped."""
+    from gdal_spark.geometry import noding as N
+
+    t, payload = W.parse_wkb(b)
+    parts = (
+        [payload] if t == W.POLYGON
+        else [rs for (_, rs) in payload] if t == W.MULTIPOLYGON
+        else []
+    )
+    tris = [tri for rings in parts for tri in N.cdt_polygon(rings)]
+    return W.multipolygon_to_wkb([[t_] for t_ in tris]) if tris else None
+
+
 def register_extra_st(spark: SparkSession) -> None:
     """Additional vector-pipeline steps: swap-xy, num-geometries,
-    boundary/normalize/simplicity/union-cascade/project."""
+    boundary/normalize/simplicity/union-cascade/project, and the
+    linework constructors polygonize/buildarea/CDT."""
     reg = spark.udf.register
     P = F.pandas_udf
+    reg("st_polygonize", P(lambda s: _each(s, _polygonize), BinaryType()))
+    reg("st_buildarea", P(lambda s: _each(s, _buildarea), BinaryType()))
+    reg("st_constraineddelaunaytriangles", P(
+        lambda s: _each(s, _cdt), BinaryType()
+    ))
     reg("st_boundary", P(lambda s: _each(s, _boundary), BinaryType()))
     reg("st_normalize", P(lambda s: _each(s, _normalize), BinaryType()))
     reg("st_issimple", P(lambda s: _each(s, _is_simple, "boolean"), BooleanType()))

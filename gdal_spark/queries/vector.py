@@ -721,3 +721,76 @@ def _layer_suite_oracle() -> str:
 
 QUERIES["layer_algebra_suite"] = _layer_suite
 ORACLES["layer_algebra_suite"] = _layer_suite_oracle()
+
+
+# --- st_polygonize / st_buildarea (ogr/ogr_geometry.h:588-589) --------------
+# Per-region irregular grid linework built from the region's nation keys
+# (vertical lines x = n_nationkey crossed with horizontals y ∈ {0,1,3});
+# polygonize face count and total area have CLOSED FORMS the oracle
+# states directly: faces = 2·(nx−1), area = (max−min)·3. BuildArea on a
+# noded grid yields the same filled extent (no odd-depth faces), so its
+# area equals the polygonize total — both constructors ride one query.
+
+
+def _polygonize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from gdal_spark.functions.st import register_extra_st
+    from gdal_spark.geometry import wkb as W
+
+    register_st_functions(spark)
+    register_extra_st(spark)
+
+    _YS = (0.0, 1.0, 3.0)
+
+    def make_grid(xs_col):
+        out = []
+        for xs in xs_col:
+            vals = sorted(float(v) for v in xs)
+            lines = [
+                np.array([[x, _YS[0]], [x, _YS[-1]]]) for x in vals
+            ] + [
+                np.array([[vals[0], y], [vals[-1], y]]) for y in _YS
+            ]
+            out.append(W.multilinestring_to_wkb(lines))
+        return pd.Series(out)
+
+    spark.udf.register(
+        "grid_wkb", F.pandas_udf(make_grid, BinaryType())
+    )
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation_pg"
+    )
+    return spark.sql(
+        """
+        with g as (
+          select n_regionkey,
+                 grid_wkb(collect_list(cast(n_nationkey as double))) as lw
+          from nation_pg group by n_regionkey
+        )
+        select n_regionkey,
+               st_numgeometries(st_polygonize(lw)) as n_faces,
+               round(st_area(st_polygonize(lw)), 6) as total_area,
+               round(st_area(st_buildarea(lw)), 6) as built_area
+        from g
+        order by n_regionkey
+        """
+    )
+
+
+def _polygonize_grid_oracle() -> str:
+    return """
+    select n_regionkey,
+           2 * (count(distinct n_nationkey) - 1) as n_faces,
+           round(cast((max(n_nationkey) - min(n_nationkey)) * 3 as double), 6)
+             as total_area,
+           round(cast((max(n_nationkey) - min(n_nationkey)) * 3 as double), 6)
+             as built_area
+    from nation group by n_regionkey
+    order by n_regionkey
+    """
+
+
+QUERIES["st_polygonize_grid"] = _polygonize_grid
+ORACLES["st_polygonize_grid"] = _polygonize_grid_oracle()
