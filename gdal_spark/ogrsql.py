@@ -151,6 +151,138 @@ def split_union_all(sql: str) -> list[str]:
     return [p.strip() for p in parts]
 
 
+# --------------------------------------------------------------------------
+# DDL fast-paths (gcore/gdaldataset.cpp:7435-7515 — CREATE/DROP INDEX,
+# DROP TABLE, ALTER TABLE dispatched by string inspection BEFORE the
+# select parser, returning no result set).  Our layers are temp views
+# over immutable DataFrames, so every ALTER re-registers the view with
+# the transformed frame; CREATE INDEX re-registers the view sorted
+# within partitions by the indexed column — the Spark analog of an
+# attribute index (enables parquet min/max row-group skipping on any
+# subsequent write) — and records it in a session registry that DROP
+# INDEX clears.
+# --------------------------------------------------------------------------
+
+# OGR column types (ogr_core.h OGRFieldType surface) → Spark SQL types
+_OGR_TYPES = {
+    "integer": "int",
+    "int": "int",
+    "smallint": "short",
+    "bigint": "long",
+    "integer64": "long",
+    "float": "double",
+    "real": "double",
+    "double": "double",
+    "numeric": "decimal(38,18)",
+    "string": "string",
+    "varchar": "string",
+    "character": "string",
+    "char": "string",
+    "text": "string",
+    "date": "date",
+    "time": "string",
+    "timestamp": "timestamp",
+    "datetime": "timestamp",
+    "boolean": "boolean",
+}
+
+_INDEXES: dict[str, dict[str, str]] = {}  # view name -> {column: column}
+
+
+def _spark_type(ogr_type: str) -> str:
+    base = re.match(r"[a-z]+", ogr_type.strip().lower())
+    t = base.group(0) if base else ""
+    if t not in _OGR_TYPES:
+        raise ValueError(f"unknown column type {ogr_type!r}")
+    m = re.match(r"numeric\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", ogr_type.lower())
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    return _OGR_TYPES[t]
+
+
+def execute_ddl(spark: SparkSession, sql: str) -> bool:
+    """Handle one DDL statement; True if it was DDL (no result set),
+    False to fall through to the select path.  Statement shapes match
+    the reference tokenizer exactly:
+
+      CREATE INDEX ON <layer> USING <column>      (gdaldataset.cpp:6656)
+      DROP INDEX ON <layer> [USING <column>]      (:6741)
+      DROP TABLE <layer>                          (:6842)
+      ALTER TABLE <l> ADD [COLUMN] <c> <type>     (:6961)
+      ALTER TABLE <l> DROP [COLUMN] <c>           (:7052)
+      ALTER TABLE <l> RENAME [COLUMN] <a> TO <b>  (:7152)
+      ALTER TABLE <l> ALTER [COLUMN] <c> TYPE <t> (:7241)
+      ALTER TABLE <src> RENAME TO <dst>           (:7481)
+    """
+    from pyspark.sql import functions as F
+
+    toks = sql.split()
+    low = [t.lower() for t in toks]
+
+    def view(name: str) -> DataFrame:
+        return spark.table(name)
+
+    def put(name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+
+    if low[:3] == ["create", "index", "on"] and len(toks) >= 6 and low[4] == "using":
+        layer, col = toks[3], toks[5]
+        df = view(layer)
+        if col not in df.columns:
+            raise ValueError(f"no column {col!r} in layer {layer!r}")
+        put(layer, df.sortWithinPartitions(col))
+        _INDEXES.setdefault(layer, {})[col] = col
+        return True
+    if low[:3] == ["drop", "index", "on"] and len(toks) >= 4:
+        layer = toks[3]
+        if len(toks) >= 6 and low[4] == "using":
+            _INDEXES.get(layer, {}).pop(toks[5], None)
+        else:
+            _INDEXES.pop(layer, None)
+        return True
+    if low[:2] == ["drop", "table"] and len(toks) >= 3:
+        spark.catalog.dropTempView(toks[2])
+        _INDEXES.pop(toks[2], None)
+        return True
+    if low[:2] != ["alter", "table"] or len(toks) < 4:
+        return False
+    layer = toks[2]
+    verb = low[3]
+    rest = toks[4:]
+    if verb == "rename" and len(rest) >= 2 and rest[0].lower() == "to":
+        df = view(layer)
+        put(rest[1], df)
+        spark.catalog.dropTempView(layer)
+        _INDEXES[rest[1]] = _INDEXES.pop(layer, {})
+        return True
+    if rest and rest[0].lower() == "column":
+        rest = rest[1:]
+    if verb == "add" and len(rest) >= 2:
+        col, ogr_type = rest[0], " ".join(rest[1:])
+        put(
+            layer,
+            view(layer).withColumn(
+                col, F.lit(None).cast(_spark_type(ogr_type))
+            ),
+        )
+        return True
+    if verb == "drop" and len(rest) >= 1:
+        put(layer, view(layer).drop(rest[0]))
+        return True
+    if verb == "rename" and len(rest) >= 3 and rest[1].lower() == "to":
+        put(layer, view(layer).withColumnRenamed(rest[0], rest[2]))
+        return True
+    if verb == "alter" and len(rest) >= 3 and rest[1].lower() == "type":
+        col, ogr_type = rest[0], " ".join(rest[2:])
+        df = view(layer)
+        put(
+            layer,
+            df.withColumn(col, F.col(col).cast(_spark_type(ogr_type))),
+        )
+        return True
+    raise ValueError(f"Unsupported ALTER TABLE command : {sql}")
+
+
 def execute_sql(
     spark: SparkSession,
     sql: str,
@@ -159,9 +291,12 @@ def execute_sql(
     first_match_join: bool = False,
     ogr_like: bool = True,
     parser: bool = True,
-) -> DataFrame:
+) -> DataFrame | None:
     """Register layers as views (adding a `fid` column from fid_col or a
     monotonically-increasing id if absent), rewrite special fields, run.
+    DDL statements (CREATE/DROP INDEX, DROP TABLE, ALTER TABLE) take the
+    reference's string fast-paths and return None — no result set
+    (gcore/gdaldataset.cpp:7435-7515 returns nullptr for these).
     """
     from pyspark.sql import functions as F
 
@@ -174,6 +309,8 @@ def execute_sql(
                 first = df.columns[0]
                 df = df.withColumn("fid", F.col(first).cast("long"))
         df.createOrReplaceTempView(name)
+    if execute_ddl(spark, sql.strip()):
+        return None
     if parser:
         # full recursive-descent parse of the OGR dialect
         # (gdal_spark.ogrsql_parser, grammar per ogr/swq_parser.y):

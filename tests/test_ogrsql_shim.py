@@ -221,3 +221,54 @@ def test_parser_path_executes(spark):
         layers={"t": left},
     ).collect()
     assert [(r.fid, r.vv) for r in rows] == [(1, 9.0), (2, 19.0)]
+
+
+def test_ddl_alter_table_cycle(spark):
+    """ALTER TABLE string fast-paths (gcore/gdaldataset.cpp:7463-7515):
+    ADD/DROP/RENAME/ALTER COLUMN and table RENAME TO re-register the
+    temp view; each returns None (no result set)."""
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "fid long, k string")
+    assert (
+        ogrsql.execute_sql(
+            spark, "ALTER TABLE t ADD COLUMN score FLOAT", layers={"t": df}
+        )
+        is None
+    )
+    got = spark.table("t")
+    assert dict(got.dtypes)["score"] == "double"
+    assert ogrsql.execute_sql(spark, "ALTER TABLE t RENAME COLUMN score TO s2") is None
+    assert "s2" in spark.table("t").columns
+    assert ogrsql.execute_sql(spark, "ALTER TABLE t ALTER COLUMN fid TYPE STRING") is None
+    assert dict(spark.table("t").dtypes)["fid"] == "string"
+    assert ogrsql.execute_sql(spark, "ALTER TABLE t DROP COLUMN s2") is None
+    assert "s2" not in spark.table("t").columns
+    # ADD without the optional COLUMN keyword (reference accepts both)
+    assert ogrsql.execute_sql(spark, "ALTER TABLE t ADD n NUMERIC(10,2)") is None
+    assert dict(spark.table("t").dtypes)["n"] == "decimal(10,2)"
+    assert ogrsql.execute_sql(spark, "ALTER TABLE t RENAME TO t2") is None
+    assert spark.table("t2").count() == 2
+    assert ogrsql.execute_sql(spark, "DROP TABLE t2") is None
+    assert "t2" not in [v.name for v in spark.catalog.listTables()]
+
+
+def test_ddl_create_drop_index(spark):
+    df = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "fid long, k string")
+    assert (
+        ogrsql.execute_sql(
+            spark, "CREATE INDEX ON layer USING k", layers={"layer": df}
+        )
+        is None
+    )
+    assert ogrsql._INDEXES["layer"] == {"k": "k"}
+    # the view still answers queries (now sorted within partitions)
+    assert spark.table("layer").count() == 3
+    assert ogrsql.execute_sql(spark, "DROP INDEX ON layer USING k") is None
+    assert ogrsql._INDEXES.get("layer", {}) == {}
+    with pytest.raises(ValueError):
+        ogrsql.execute_sql(spark, "CREATE INDEX ON layer USING nope")
+
+
+def test_ddl_rejects_garbage_alter(spark):
+    df = spark.createDataFrame([(1,)], "fid long")
+    with pytest.raises(ValueError):
+        ogrsql.execute_sql(spark, "ALTER TABLE t FROBNICATE", layers={"t": df})
