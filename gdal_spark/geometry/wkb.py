@@ -290,3 +290,157 @@ def uniform_polygon_coords(wkbs) -> np.ndarray | None:
     if not (a[:, :13] == hdr).all():
         return None
     return a[:, 13:].copy().view("<f8").reshape(len(wkbs), npts, 2)
+
+
+# --------------------------------------------------------------------------
+# Curve-preserving parse + write (the write side of ogr/ogr_core.h:422-556:
+# CircularString/CompoundCurve/CurvePolygon/MultiCurve/MultiSurface and the
+# PolyhedralSurface/TIN/Triangle family).  parse_wkb() above deliberately
+# linearizes for the numpy kernels; these structured forms keep the curve
+# control points and Z/M ordinates intact so curve data can round-trip
+# byte-exactly to a curve-aware sink (e.g. GPKG) instead of silently
+# densifying.  Node shape: (base_type, has_z, has_m, payload) where payload
+# is an (n, dim) coord array (point/linestring/circularstring), a list of
+# coord arrays (polygon/triangle rings), or a list of child nodes
+# (compound/curvepoly/multi*/collection/surface types).
+# --------------------------------------------------------------------------
+
+_COORD_LEAF = (POINT, LINESTRING, CIRCULARSTRING)
+_RING_LEAF = (POLYGON, TRIANGLE)
+
+
+def parse_wkb_structured(buf: bytes):
+    node, _ = _parse_structured(buf, 0)
+    return node
+
+
+def _parse_structured(buf: bytes, off: int):
+    little = buf[off] == 1
+    off += 1
+    gtype, off = _rd_u32(buf, off, little)
+    ewkb_z = bool(gtype & 0x80000000)
+    ewkb_m = bool(gtype & 0x40000000)
+    ewkb_srid = bool(gtype & 0x20000000)
+    code = gtype & 0x0FFFFFFF
+    iso = code // 1000
+    base = code % 1000
+    has_z = ewkb_z or iso in (1, 3)
+    has_m = ewkb_m or iso in (2, 3)
+    if ewkb_srid:
+        _, off = _rd_u32(buf, off, little)
+    dim = 2 + int(has_z) + int(has_m)
+
+    def rd(n, off):
+        arr = np.frombuffer(
+            buf, dtype=("<f8" if little else ">f8"), count=n * dim, offset=off
+        ).reshape(n, dim)
+        return np.asarray(arr, dtype=np.float64), off + n * dim * 8
+
+    if base == POINT:
+        c, off = rd(1, off)
+        return (base, has_z, has_m, c), off
+    if base in (LINESTRING, CIRCULARSTRING):
+        n, off = _rd_u32(buf, off, little)
+        c, off = rd(n, off)
+        return (base, has_z, has_m, c), off
+    if base in _RING_LEAF:
+        nr, off = _rd_u32(buf, off, little)
+        rings = []
+        for _ in range(nr):
+            n, off = _rd_u32(buf, off, little)
+            c, off = rd(n, off)
+            rings.append(c)
+        return (base, has_z, has_m, rings), off
+    if base in (
+        COMPOUNDCURVE, CURVEPOLYGON, MULTIPOINT, MULTILINESTRING,
+        MULTIPOLYGON, COLLECTION, MULTICURVE, MULTISURFACE,
+        POLYHEDRALSURFACE, TIN,
+    ):
+        ng, off = _rd_u32(buf, off, little)
+        parts = []
+        for _ in range(ng):
+            child, off = _parse_structured(buf, off)
+            parts.append(child)
+        return (base, has_z, has_m, parts), off
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def structured_to_wkb(node) -> bytes:
+    """Emit little-endian ISO WKB (base + 1000·flags type codes) for a
+    structured node, preserving curve control points and Z/M ordinates.
+    parse_wkb_structured → structured_to_wkb is byte-identity for any
+    little-endian ISO input (tests pin this)."""
+    base, has_z, has_m, payload = node
+    code = base + 1000 * ((1 if has_z else 0) + (2 if has_m else 0))
+    out = [b"\x01", struct.pack("<I", code)]
+    dim = 2 + int(has_z) + int(has_m)
+
+    def coords(c) -> bytes:
+        a = np.ascontiguousarray(np.asarray(c, dtype="<f8").reshape(-1, dim))
+        return a.tobytes()
+
+    if base == POINT:
+        out.append(coords(payload))
+    elif base in (LINESTRING, CIRCULARSTRING):
+        a = np.asarray(payload)
+        out.append(struct.pack("<I", a.shape[0]))
+        out.append(coords(a))
+    elif base in _RING_LEAF:
+        out.append(struct.pack("<I", len(payload)))
+        for ring in payload:
+            a = np.asarray(ring)
+            out.append(struct.pack("<I", a.shape[0]))
+            out.append(coords(a))
+    else:
+        out.append(struct.pack("<I", len(payload)))
+        for child in payload:
+            out.append(structured_to_wkb(child))
+    return b"".join(out)
+
+
+def has_curve(node) -> bool:
+    """True if any component is a non-linear type (OGRGeometry::
+    hasCurveGeometry role, ogr/ogr_geometry.h)."""
+    base, _, _, payload = node
+    if base == CIRCULARSTRING:
+        return True
+    if base in (COMPOUNDCURVE, CURVEPOLYGON, MULTICURVE, MULTISURFACE):
+        return True
+    if base in _COORD_LEAF or base in _RING_LEAF:
+        return False
+    return any(has_curve(ch) for ch in payload)
+
+
+def linearize_structured(node) -> bytes:
+    """Structured node → plain (curve-free) WKB by round-tripping
+    through the stroking reader — same 4° arc step as parse_wkb
+    (getLinearGeometry role)."""
+    t, payload = parse_wkb(structured_to_wkb(node))
+    if t == POINT:
+        return points_to_wkb(payload[:, 0], payload[:, 1])[0]
+    if t == LINESTRING:
+        return linestring_to_wkb(payload)
+    if t == POLYGON:
+        return polygon_to_wkb(payload)
+    if t == MULTILINESTRING:
+        return multilinestring_to_wkb([c for (_, c) in payload])
+    if t == MULTIPOLYGON:
+        return multipolygon_to_wkb([rs for (_, rs) in payload])
+    raise ValueError(f"cannot linearize type {t}")
+
+
+def circularstring_to_wkb(pts: np.ndarray, has_z=False, has_m=False) -> bytes:
+    return structured_to_wkb((CIRCULARSTRING, has_z, has_m, pts))
+
+
+def compoundcurve_to_wkb(segments: list) -> bytes:
+    """segments: list of (base, has_z, has_m, coords) leaf nodes."""
+    hz = any(s[1] for s in segments)
+    hm = any(s[2] for s in segments)
+    return structured_to_wkb((COMPOUNDCURVE, hz, hm, segments))
+
+
+def curvepolygon_to_wkb(rings: list) -> bytes:
+    hz = any(r[1] for r in rings)
+    hm = any(r[2] for r in rings)
+    return structured_to_wkb((CURVEPOLYGON, hz, hm, rings))

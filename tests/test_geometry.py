@@ -223,3 +223,112 @@ def test_wkb_curve_types_linearize():
     t4, parts = W.parse_wkb(tin)
     assert t4 == W.MULTIPOLYGON
     assert parts[0][0] == W.POLYGON and len(parts[0][1][0]) == 4
+
+
+# --------------------------------------------------------------------------
+# Curve write side (ogr/ogr_core.h:422-556): structured parse preserves
+# control points + Z/M; structured_to_wkb round-trips byte-exactly.
+# --------------------------------------------------------------------------
+
+
+def _iso(code):
+    import struct as _s
+
+    return _s.pack("<I", code)
+
+
+def test_curve_roundtrip_byte_exact():
+    import struct as _s
+
+    import numpy as np
+
+    from gdal_spark.geometry import wkb as W
+
+    # CircularString Z: half-circle arc (0,0,5)-(1,1,6)-(2,0,7)
+    cs = (
+        b"\x01" + _iso(1008) + _s.pack("<I", 3)
+        + np.array(
+            [[0, 0, 5], [1, 1, 6], [2, 0, 7]], dtype="<f8"
+        ).tobytes()
+    )
+    node = W.parse_wkb_structured(cs)
+    assert node[0] == W.CIRCULARSTRING and node[1] and not node[2]
+    assert W.structured_to_wkb(node) == cs
+    assert W.has_curve(node)
+
+    # CompoundCurve: arc + straight segment, shared endpoint
+    seg1 = b"\x01" + _iso(8) + _s.pack("<I", 3) + np.array(
+        [[0, 0], [1, 1], [2, 0]], dtype="<f8"
+    ).tobytes()
+    seg2 = b"\x01" + _iso(2) + _s.pack("<I", 2) + np.array(
+        [[2, 0], [4, 0]], dtype="<f8"
+    ).tobytes()
+    cc = b"\x01" + _iso(9) + _s.pack("<I", 2) + seg1 + seg2
+    node = W.parse_wkb_structured(cc)
+    assert node[0] == W.COMPOUNDCURVE and len(node[3]) == 2
+    assert W.structured_to_wkb(node) == cc
+
+    # CurvePolygon whose ring is that compound curve closed
+    seg3 = b"\x01" + _iso(2) + _s.pack("<I", 2) + np.array(
+        [[4, 0], [0, 0]], dtype="<f8"
+    ).tobytes()
+    ring = b"\x01" + _iso(9) + _s.pack("<I", 3) + seg1 + seg2 + seg3
+    cp = b"\x01" + _iso(10) + _s.pack("<I", 1) + ring
+    node = W.parse_wkb_structured(cp)
+    assert node[0] == W.CURVEPOLYGON
+    assert W.structured_to_wkb(node) == cp
+    assert W.has_curve(node)
+
+    # MultiSurface of the curve polygon
+    ms = b"\x01" + _iso(12) + _s.pack("<I", 1) + cp
+    node = W.parse_wkb_structured(ms)
+    assert W.structured_to_wkb(node) == ms
+
+    # plain polygon: no curve, still byte-exact
+    pg = W.polygon_to_wkb(
+        [np.array([[0, 0], [1, 0], [1, 1], [0, 0]], dtype=np.float64)]
+    )
+    node = W.parse_wkb_structured(pg)
+    assert not W.has_curve(node)
+    assert W.structured_to_wkb(node) == pg
+
+
+def test_curve_linearize_matches_reader():
+    import struct as _s
+
+    import numpy as np
+
+    from gdal_spark.geometry import wkb as W
+
+    cs = (
+        b"\x01" + _iso(8) + _s.pack("<I", 3)
+        + np.array([[0, 0], [1, 1], [2, 0]], dtype="<f8").tobytes()
+    )
+    node = W.parse_wkb_structured(cs)
+    lin = W.linearize_structured(node)
+    t, coords = W.parse_wkb(lin)
+    assert t == W.LINESTRING
+    t2, coords2 = W.parse_wkb(cs)  # the stroking reader path
+    assert t2 == W.LINESTRING
+    assert np.allclose(coords, coords2)
+    assert len(coords) > 3  # actually densified
+
+
+def test_curve_builders():
+    import numpy as np
+
+    from gdal_spark.geometry import wkb as W
+
+    arc = np.array([[0, 0], [1, 1], [2, 0]], dtype=np.float64)
+    cs = W.circularstring_to_wkb(arc)
+    assert W.parse_wkb_structured(cs)[0] == W.CIRCULARSTRING
+    cc = W.compoundcurve_to_wkb(
+        [
+            (W.CIRCULARSTRING, False, False, arc),
+            (W.LINESTRING, False, False, np.array([[2, 0], [0, 0]])),
+        ]
+    )
+    cp = W.curvepolygon_to_wkb([W.parse_wkb_structured(cc)])
+    # the stroking reader accepts the emitted curve polygon
+    t, rings = W.parse_wkb(cp)
+    assert t == W.POLYGON and len(rings) == 1
