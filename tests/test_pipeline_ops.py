@@ -421,3 +421,44 @@ def test_jpeg_codec_roundtrip_and_dispatch(spark):
     r = M.decode_media_real(media).collect()[0]
     assert r.kind == "image" and r.error is None
     assert abs(r.mean - big.astype(np.float64).mean()) < 3.0
+
+
+def test_k_shortest_paths_yen(spark):
+    """Yen's classic example (gnm/gnmgraph.cpp:247 KShortestPaths):
+    C=0 D=1 E=2 F=3 G=4 H=5; the 3 best loopless C→H paths are
+    C-E-F-H (5), C-E-G-H (7), C-D-F-H (8)."""
+    from gdal_spark.operators.graph import (
+        k_shortest_paths,
+        shortest_path_with_route,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 3.0), (0, 2, 2.0), (1, 3, 4.0), (2, 1, 1.0),
+            (2, 3, 2.0), (2, 4, 3.0), (3, 4, 2.0), (3, 5, 1.0),
+            (4, 5, 2.0),
+        ],
+        "src long, dst long, w double",
+    )
+    # route-carrying SSSP agrees with the dist-only one
+    routes = {
+        r.node: (r.dist, r.path)
+        for r in shortest_path_with_route(edges, 0).collect()
+    }
+    assert routes[5] == (5.0, [0, 2, 3, 5])
+
+    got = k_shortest_paths(edges, source=0, target=5, k=3)
+    assert got == [
+        (5.0, [0, 2, 3, 5]),
+        (7.0, [0, 2, 4, 5]),
+        (8.0, [0, 1, 3, 5]),
+    ]
+    # K larger than the number of distinct paths: returns what exists
+    got_all = k_shortest_paths(edges, source=0, target=5, k=5)
+    assert len(got_all) == 5
+    assert got_all[:3] == got
+    costs = [c for c, _ in got_all]
+    assert costs == sorted(costs)
+    # no path → empty; k=0 → empty
+    assert k_shortest_paths(edges, source=5, target=0, k=3) == []
+    assert k_shortest_paths(edges, source=0, target=5, k=0) == []
