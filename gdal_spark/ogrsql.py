@@ -12,7 +12,9 @@ has to bridge the OGR-specific surface:
 - OGR's LIKE is case-INSENSITIVE (swq_op_general.cpp SwqGeneralEvaluator
   LIKE path) → token-aware rewrite to Spark `ilike` (string literals are
   never touched);
-- OGR_STYLE → typed NULL (layers carry no style strings);
+- OGR_STYLE → the layer's `ogr_style` column when it carries one
+  (ogr/ogr_featurestyle.h feature styles; functions/style.py parses the
+  PEN/BRUSH/SYMBOL/LABEL style-string grammar), else a typed NULL;
 - the OGR first-match JOIN rule (one output row per left feature, the
   secondary row with the LOWEST FID wins — ogr_gensql.cpp join
   evaluation) is applied to single `LEFT JOIN ... ON` statements via a
@@ -56,7 +58,7 @@ _TOKENS = re.compile(
 )
 
 
-def rewrite(sql: str, ogr_like: bool = True) -> str:
+def rewrite(sql: str, ogr_like: bool = True, style_col: bool = False) -> str:
     """OGR dialect → Spark SQL, token-aware: special fields
     (ogr/ogr_p.h:167-174) map to engine expressions, LIKE becomes the
     case-insensitive `ilike` (the OGR default), and string literals are
@@ -70,7 +72,9 @@ def rewrite(sql: str, ogr_like: bool = True) -> str:
         if t[0] not in "'\"":
             low = t.lower()
             if low in _SPECIAL:
-                repl = _SPECIAL[low]
+                repl = "ogr_style" if (
+                    style_col and low == "ogr_style"
+                ) else _SPECIAL[low]
             elif ogr_like and low in ("like", "ilike"):
                 repl = "ilike"
         if repl is not None:
@@ -311,6 +315,12 @@ def execute_sql(
         df.createOrReplaceTempView(name)
     if execute_ddl(spark, sql.strip()):
         return None
+    # OGR_STYLE resolves to the real per-feature style column when any
+    # registered layer carries one (ogr/ogr_featurestyle.h; layers
+    # without it keep the reference's typed-NULL behavior)
+    style_col = any(
+        "ogr_style" in df.columns for df in (layers or {}).values()
+    )
     if parser:
         # full recursive-descent parse of the OGR dialect
         # (gdal_spark.ogrsql_parser, grammar per ogr/swq_parser.y):
@@ -318,9 +328,9 @@ def execute_sql(
         # exactly like swq; the token rewrite remains as parser=False.
         from gdal_spark.ogrsql_parser import parse_ogr_sql
 
-        text = parse_ogr_sql(sql, ogr_like=ogr_like)
+        text = parse_ogr_sql(sql, ogr_like=ogr_like, style_col=style_col)
     else:
-        text = rewrite(sql, ogr_like=ogr_like)
+        text = rewrite(sql, ogr_like=ogr_like, style_col=style_col)
     if first_match_join:
         # apply the first-match rewrite per UNION ALL branch (the chained
         # swq_select shape, gcore/gdaldataset.cpp:7531-7560)

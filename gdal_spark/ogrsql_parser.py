@@ -108,8 +108,13 @@ def _lex(sql: str) -> list[Tok]:
 
 
 class _Parser:
-    def __init__(self, toks: list[Tok], ogr_like: bool = True):
+    def __init__(
+        self, toks: list[Tok], ogr_like: bool = True, style_col: bool = False
+    ):
+        # style_col: OGR_STYLE resolves to a real per-feature column
+        # (ogr/ogr_featurestyle.h) instead of the typed NULL
         self.toks = toks
+        self.style_col = style_col
         self.i = 0
         self.ogr_like = ogr_like
 
@@ -435,18 +440,24 @@ class _Parser:
                 self.i += 1
                 low = col.lower()
                 if low in _SPECIAL:
+                    if low == "ogr_style" and self.style_col:
+                        return f"{name}.ogr_style"
                     return _SPECIAL[low].replace(
                         "geometry", f"{name}.geometry"
                     ) if low != "fid" else f"{name}.fid"
                 return f"{name}.{col}"
             low = name.lower()
             if low in _SPECIAL:
+                if low == "ogr_style" and self.style_col:
+                    return "ogr_style"
                 return _SPECIAL[low]
             return name
         raise OGRSQLError(f"OGR SQL: unexpected token {t.text!r}")
 
 
-def parse_ogr_sql(sql: str, ogr_like: bool = True) -> str:
+def parse_ogr_sql(sql: str, ogr_like: bool = True, style_col: bool = False) -> str:
     """Parse an OGR-SQL-dialect statement and emit equivalent Spark SQL;
     raises OGRSQLError on constructs outside the dialect."""
-    return _Parser(_lex(sql), ogr_like=ogr_like).statement()
+    return _Parser(
+        _lex(sql), ogr_like=ogr_like, style_col=style_col
+    ).statement()

@@ -272,3 +272,60 @@ def test_ddl_rejects_garbage_alter(spark):
     df = spark.createDataFrame([(1,)], "fid long")
     with pytest.raises(ValueError):
         ogrsql.execute_sql(spark, "ALTER TABLE t FROBNICATE", layers={"t": df})
+
+
+def test_ogr_style_column_and_parser():
+    """OGR feature style strings (ogr/ogr_featurestyle.h): the grammar
+    parser handles quoted values, units, and multi-tool strings."""
+    from gdal_spark.functions.style import (
+        parse_style_string,
+        style_param,
+        style_param_px,
+        style_tools,
+    )
+
+    s = 'PEN(c:#FF0000,w:5px);BRUSH(fc:#0000FF);LABEL(f:"Arial, Bold",t:"a;b")'
+    parts = parse_style_string(s)
+    assert [t for t, _ in parts] == ["PEN", "BRUSH", "LABEL"]
+    assert parts[0][1] == {"c": "#FF0000", "w": "5px"}
+    assert parts[2][1]["f"] == "Arial, Bold"
+    assert parts[2][1]["t"] == "a;b"
+    assert style_tools(s) == "PEN,BRUSH,LABEL"
+    assert style_param(s, "brush", "fc") == "#0000FF"
+    assert style_param(s, "PEN", "nope") is None
+    assert style_param_px(s, "PEN", "w") == 5.0
+    assert style_param_px("PEN(w:2mm)", "PEN", "w") == pytest.approx(
+        2 * 72.0 / 25.4
+    )
+    assert parse_style_string(None) == []
+
+
+def test_ogr_style_resolves_to_column(spark):
+    """With an ogr_style column, OGR_STYLE is the real value; without,
+    the reference's typed NULL."""
+    from gdal_spark.functions.style import register_style_functions
+
+    register_style_functions(spark)
+    styled = spark.createDataFrame(
+        [(1, "PEN(c:#FF0000,w:5px)"), (2, "BRUSH(fc:#00FF00)")],
+        "fid long, ogr_style string",
+    )
+    rows = ogrsql.execute_sql(
+        spark,
+        "select fid, OGR_STYLE st from s order by fid",
+        layers={"s": styled},
+    ).collect()
+    assert [r.st for r in rows] == [
+        "PEN(c:#FF0000,w:5px)", "BRUSH(fc:#00FF00)",
+    ]
+    # style functions compose in SQL over the column
+    rows = spark.sql(
+        "select fid, ogr_style_param_px(ogr_style, 'PEN', 'w') w "
+        "from s order by fid"
+    ).collect()
+    assert rows[0].w == 5.0 and rows[1].w is None
+    plain = spark.createDataFrame([(1, "x")], "fid long, k string")
+    rows = ogrsql.execute_sql(
+        spark, "select fid, OGR_STYLE st from p", layers={"p": plain}
+    ).collect()
+    assert rows[0].st is None
