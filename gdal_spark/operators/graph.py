@@ -128,7 +128,9 @@ def k_shortest_paths(
         """dist+path per node, restricted to the rows we consume (the
         target and candidate-path nodes) — a bounded collect."""
         out = shortest_path_with_route(filtered, src, max_iters)
-        rows = out.where(F.col("node").isin([int(n) for n in need])).collect()
+        rows = out.where(
+            F.col("node").isin([int(n) for n in need])
+        ).collect()  # bounded-metadata: |need| <= path-length rows
         return {r["node"]: (float(r["dist"]), list(r["path"])) for r in rows}
 
     res = sssp(edges, source, {target})

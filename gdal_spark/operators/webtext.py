@@ -1,0 +1,261 @@
+"""Web-corpus curation operators: boilerplate line removal, global line
+dedup, Gopher-style repetition/quality filtering, PII scrubbing, and URL
+canonicalization + dedup.
+
+These are the document-preparation steps a 100 TB crawl pipeline runs
+BEFORE the document-level dedup family in operators/dedup.py (CCNet
+line dedup / RefinedWeb line-wise filtering ahead of MinHash; Gopher
+repetition rules ahead of model training).  Everything is built-in
+`pyspark.sql.functions` — JVM-side, whole-stage-codegen'd, zero Python
+in the hot path.
+
+Scale notes (100 TB):
+- `doc_lines` explode is map-local (no shuffle).
+- `heavy_lines` is ONE hash aggregate over (doc, line) then one over
+  (line): both map-side combined, and its OUTPUT — the boilerplate
+  dictionary — is tiny (only lines with df >= min_df), which is what
+  makes `remove_boilerplate`'s anti-join broadcastable: the 100 TB side
+  never shuffles.
+- `dedup_lines` (keep first global occurrence) is the one genuinely
+  shuffling op — a single hash partition on the line value, O(lines).
+  Run `remove_boilerplate` FIRST: the mega-duplicated lines (the skew
+  risk of this shuffle) are exactly the boilerplate dictionary, so the
+  residual line-frequency distribution is flat.  This is the same
+  stop-list-before-pairing discipline as dedup.candidate_pairs'
+  max_bucket / ngram max_df guards.
+- `gopher_metrics` / `pii_scrub` / `canonical_url` are per-row
+  expressions (narrow, codegen'd).  The 2-gram repetition scan is
+  doc-local O(L^2) on the distinct-gram count — bounded by document
+  length, independent of corpus size; for sketch-based corpus-level
+  repetition use dedup.minhash instead.
+- `dedup_by_url` aggregates on the canonical URL key — one shuffle with
+  map-side partial min; host-level skew (one domain with millions of
+  pages) stays a single key only if pages share the SAME canonical URL,
+  i.e. true duplicates, which the min-aggregate collapses map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Character-class-only regexes: portable between Java regex (Spark) and
+# RE2 (DuckDB), and free of backslash escapes so the same pattern text
+# survives both engines' string-literal handling.
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PHONE_RE = "[+][0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def doc_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 64,
+) -> DataFrame:
+    """(id, pos, line): fixed-width segmentation of the document text.
+
+    Real crawl text segments on newlines; the synthetic corpus is
+    single-line, so the unit of line-level processing is a fixed
+    `width`-char window — the mechanics (explode, df-count, anti-join,
+    reassembly) are identical.  Map-local, no shuffle.
+    """
+    chunks = F.expr(
+        f"transform(sequence(0, int(floor(greatest(length({text_col})-1, 0)"
+        f"/{width}))), i -> substring({text_col}, i*{width}+1, {width}))"
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "line")
+    )
+
+
+def heavy_lines(
+    lines: DataFrame, min_df: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Boilerplate dictionary: lines appearing in >= min_df documents.
+
+    Two map-side-combined hash aggregates; the output is the (small)
+    heavy-hitter set, sized by the df threshold — not by the corpus.
+    """
+    return (
+        lines.select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+
+
+def remove_boilerplate(
+    lines: DataFrame, heavy: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop boilerplate lines and reassemble documents.
+
+    The anti-join broadcasts the heavy-hitter dictionary, so the corpus
+    side stays un-shuffled; reassembly is one groupBy(id) whose
+    collect_list is bounded by a single document's line count.
+    Documents consisting ENTIRELY of boilerplate disappear — left-join
+    from the source ids to keep them as empty rows if needed.
+    """
+    kept = lines.join(F.broadcast(heavy.select("line")), "line", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.count("*").alias("n_lines_kept"),
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list("
+            "struct(pos, line))), s -> s.line))"
+        ).alias("text_kept"),
+    )
+
+
+def dedup_lines(lines: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style global line dedup: keep the FIRST occurrence of every
+    distinct line across the corpus (order = (id, pos)).
+
+    One shuffle, hash-partitioned on the line value.  Remove boilerplate
+    first (see module docstring) so no single line owns a pathological
+    share of the shuffle.
+    """
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    return (
+        lines.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def gopher_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_width: int = 32,
+) -> DataFrame:
+    """Gopher-rule document quality metrics (Rae et al. 2021 §A1.1):
+    word count, mean word length, fraction of characters in the most
+    frequent word 2-gram, fraction of duplicate fixed-width lines and
+    of characters inside them, and the combined keep/drop flag.
+
+    Every metric is a doc-local array expression (narrow, codegen'd).
+    """
+    t = F.col(text_col)
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"transform(sequence(0, greatest(size({toks})-2, 0)), "
+        f"i -> concat(element_at({toks}, i+1), ' ', element_at({toks}, i+2)))"
+    )
+    lines = (
+        f"transform(sequence(0, int(floor(greatest(length({text_col})-1, 0)"
+        f"/{line_width}))), i -> substring({text_col}, "
+        f"i*{line_width}+1, {line_width}))"
+    )
+    n_words = F.expr(f"size({toks})")
+    mean_word_len = F.round(
+        F.expr(f"aggregate({toks}, 0, (a, w) -> a + length(w))")
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    # chars inside the most frequent 2-gram, as a fraction of the text
+    top_2gram_frac = F.round(
+        F.when(
+            n_words < 2, F.lit(0.0)
+        ).otherwise(
+            F.expr(
+                f"array_max(transform(array_distinct({grams}), g -> "
+                f"size(filter({grams}, x -> x = g)) * length(g)))"
+            )
+            / F.greatest(F.length(t), F.lit(1))
+        ),
+        6,
+    )
+    dup_lines_expr = (
+        f"filter(array_distinct({lines}), "
+        f"g -> size(filter({lines}, x -> x = g)) > 1)"
+    )
+    n_lines = F.expr(f"size({lines})")
+    n_dup_lines = F.expr(
+        f"aggregate({dup_lines_expr}, 0, "
+        f"(a, g) -> a + size(filter({lines}, x -> x = g)))"
+    )
+    dup_line_char_frac = F.round(
+        F.expr(
+            f"aggregate({dup_lines_expr}, 0, (a, g) -> "
+            f"a + size(filter({lines}, x -> x = g)) * length(g))"
+        )
+        / F.greatest(F.length(t), F.lit(1)),
+        6,
+    )
+    dup_line_frac = F.round(n_dup_lines / F.greatest(n_lines, F.lit(1)), 6)
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        top_2gram_frac.alias("top_2gram_char_frac"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("top_2gram_char_frac") < 0.20)
+        & (F.col("dup_line_char_frac") < 0.20)
+    )
+    return out.withColumn("gopher_keep", keep)
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone numbers; count each.
+
+    Scrub order matters (an email contains digit runs): emails first,
+    then IPs, then phones.  Pure regexp expressions — narrow, codegen'd.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.expr(f"regexp_count({text_col}, '{EMAIL_RE}')").alias("n_emails"),
+        F.expr(f"regexp_count({text_col}, '{IPV4_RE}')").alias("n_ips"),
+        F.expr(f"regexp_count({text_col}, '{PHONE_RE}')").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL for exact URL-level dedup:
+    lowercase; strip the fragment; drop utm_* tracking params (fixing a
+    leftover '?&' / dangling separator); drop default :80/:443 ports;
+    strip a trailing slash.  Composition of codegen'd string ops.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, "#.*", "")  # fragment
+    # tracking params: strip every non-leading '&utm_*' globally first,
+    # so at most ONE leading '?utm_*' remains, then handle that one
+    # (followed by another param, or alone).
+    c = F.regexp_replace(c, "&utm_[a-z]+=[^&]*", "")
+    c = F.regexp_replace(c, "[?]utm_[a-z]+=[^&]*&", "?")
+    c = F.regexp_replace(c, "[?]utm_[a-z]+=[^&]*$", "")
+    c = F.regexp_replace(c, ":(80|443)/", "/")  # default ports
+    c = F.regexp_replace(c, ":(80|443)$", "")
+    c = F.regexp_replace(c, "/$", "")  # trailing slash
+    return c
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact URL-level dedup: one representative (min id) per canonical
+    URL, with the duplicate count.  One shuffle on the canonical key;
+    the min/count aggregates collapse duplicate groups map-side.
+    """
+    return (
+        df.withColumn("canon_url", canonical_url(url_col))
+        .groupBy("canon_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )

