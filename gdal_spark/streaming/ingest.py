@@ -169,3 +169,28 @@ def sessionize_stream(
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def dedup_stream(
+    pages: DataFrame,
+    key: str = "text",
+    watermark: str = "30 seconds",
+    hasher: str = "fast",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-crawled pages whose content
+    fingerprint was already emitted within the watermark horizon — the
+    incremental analog of operators/dedup.dedup_exact for a live crawl.
+
+    dropDuplicatesWithinWatermark is the scale-correct construct: the
+    dedup state holds O(distinct fingerprints per watermark window) and
+    is evicted by event time, so an unbounded stream never accumulates
+    unbounded state (a plain dropDuplicates on a stream would).  The
+    fingerprint defaults to xxhash64 (JVM intrinsic, same "fast" hasher
+    contract as the batch dedup family; pass hasher="portable" for the
+    md5-derived oracle-parity hash)."""
+    from gdal_spark.operators.dedup import H64
+
+    fp = pages.withColumn("fp", H64(key, hasher))
+    return fp.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )

@@ -462,3 +462,40 @@ def test_k_shortest_paths_yen(spark):
     # no path → empty; k=0 → empty
     assert k_shortest_paths(edges, source=5, target=0, k=3) == []
     assert k_shortest_paths(edges, source=0, target=5, k=0) == []
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based streaming exact dedup
+    (streaming analog of dedup_exact): a re-crawl drop with duplicated
+    page text emits each distinct fingerprint once."""
+    import pandas as pd
+
+    from gdal_spark.streaming.ingest import dedup_stream
+
+    rows = [
+        (f"https://h{i % 4}/p{i}",
+         pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=i),
+         f"content {i % 25}")  # 100 pages, 25 distinct texts
+        for i in range(100)
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+    inbox = str(tmp_path / "inbox_dedup")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(inbox)
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(inbox)
+    q = (
+        dedup_stream(stream, key="text", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_pages")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_pages").toPandas()
+    assert len(got) == 25
+    assert sorted(got.text.unique()) == sorted(
+        f"content {i}" for i in range(25)
+    )

@@ -166,3 +166,24 @@ def test_dedup_by_url(spark):
     assert out.loc["https://a.com/x", "keep_id"] == 3
     assert out.loc["https://a.com/x", "n_dups"] == 3
     assert out.loc["https://a.com/y", "n_dups"] == 1
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) over adversarial inputs."""
+    urls = [
+        "HTTPS://A.com:443/x/?utm_a=1&utm_b=2&utm_c=3",
+        "http://b.org:80/?utm_x=9",
+        "https://c.net/p/?id=1&utm_m=2&q=3#f#g",
+        "https://d.io:443/",
+        "https://e.gov/p?utm_a=x&utm_b=y",
+        "ftp://f.mil:80/deep/path/",
+        "https://g.edu/#only-frag",
+        "https://h.biz/p?&",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    once = df.select("i", canonical_url("url").alias("c1"))
+    twice = once.select("i", "c1", canonical_url("c1").alias("c2"))
+    bad = twice.where(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad
