@@ -259,3 +259,50 @@ def dedup_by_url(
             F.count("*").alias("n_dups"),
         )
     )
+
+
+def quality_score_linear(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed bag-of-words
+    features (the CCNet / LLaMA-pipeline "model-based quality filter"
+    slot): token -> feature bucket hash64(w) % dim, bucket weight
+    derived deterministically from the bucket id, logit = mean bucket
+    weight over the doc's tokens, keep = logit > 0.
+
+    The weights here are a deterministic synthetic codebook (hash-derived
+    integers in [-1000, 1000]); swapping in trained weights is a
+    broadcast map lookup with the same plan shape.  The logit
+    accumulates in INTEGER space (exact, order-independent) and divides
+    once at the end, so the DuckDB oracle is bit-identical.  Everything
+    is a doc-local array expression — narrow, codegen'd, zero shuffle.
+    """
+    from gdal_spark.portable import hash64
+
+    w_bucket = hash64("w", "spark")
+    w_weight = hash64(
+        f"concat('wt', cast(({w_bucket}) % {dim} as string))", "spark"
+    )
+    toks = f"split({text_col}, ' ')"
+    z_int = F.expr(
+        f"aggregate(transform({toks}, w -> ({w_weight}) % 2001 - 1000), "
+        f"cast(0 as bigint), (a, x) -> a + x)"
+    )
+    n = F.expr(f"size({toks})")
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        z_int.alias("logit_milli"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "logit_milli",
+        F.round(
+            F.col("logit_milli") / (1000.0 * F.col("n_tokens")), 6
+        ).alias("score"),
+        (F.col("logit_milli") > 0).alias("quality_keep"),
+    )

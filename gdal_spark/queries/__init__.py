@@ -146,6 +146,7 @@ def collect() -> tuple[
         "gopher_quality",
         "pii_scrub",
         "url_dedup",
+        "quality_linear",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -222,3 +222,36 @@ group by canon_url
 order by canon_url
 """
 QUERIES["url_dedup"] = _url_dedup
+
+
+def _quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.webtext import quality_score_linear
+
+    return quality_score_linear(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _quality_linear_oracle() -> str:
+    from gdal_spark.portable import hash64
+
+    dim = 1024
+    b = hash64("w", "duck")
+    wt = hash64(f"'wt' || (({b}) % {dim})::varchar", "duck")
+    return f"""
+with t as (
+  select doc_id, string_split(text, ' ') as toks from documents
+),
+z as (
+  select doc_id, len(toks) as n_tokens,
+         cast(list_sum(list_transform(toks,
+             w -> ({wt}) % 2001 - 1000)) as bigint) as logit_milli
+  from t
+)
+select doc_id, n_tokens, logit_milli,
+       round(logit_milli / (1000.0 * n_tokens), 6) as score,
+       (logit_milli > 0) as quality_keep
+from z order by doc_id
+"""
+
+
+ORACLES["quality_linear"] = _quality_linear_oracle()
+QUERIES["quality_linear"] = _quality_linear

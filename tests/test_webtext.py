@@ -187,3 +187,26 @@ def test_canonical_url_idempotent(spark):
     twice = once.select("i", "c1", canonical_url("c1").alias("c2"))
     bad = twice.where(F.col("c1") != F.col("c2")).collect()
     assert not bad, bad
+
+
+def test_quality_score_linear(spark):
+    import hashlib
+
+    from gdal_spark.operators.webtext import quality_score_linear
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def wt(word):
+        return h64(f"wt{h64(word) % 1024}") % 2001 - 1000
+
+    df = spark.createDataFrame(
+        [(0, "hello hello"), (1, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    out = quality_score_linear(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "logit_milli"] == 2 * wt("hello")
+    want1 = wt("alpha") + wt("beta") + wt("gamma")
+    assert out.loc[1, "logit_milli"] == want1
+    assert out.loc[1, "quality_keep"] == (want1 > 0)
+    assert out.loc[1, "score"] == round(want1 / 3000.0, 6)
