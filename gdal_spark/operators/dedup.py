@@ -295,3 +295,72 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "portable",
+) -> DataFrame:
+    """Per-document corpus-duplicated k-gram statistics — the
+    exact-substring dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") at gram granularity:
+    each doc's DISTINCT k-token windows are matched against the whole
+    corpus; a window seen in >= 2 documents is a duplicated span.
+    Returns (id, n_grams, n_dup_grams, dup_frac).
+
+    Scale (100 TB): shingling is map-local (zero shuffle); the
+    gram-document-frequency aggregate is map-side partially combined
+    on the 8-byte hash; the join back is a linear shuffle join (the
+    gram dictionary IS the corpus — never broadcast); the final
+    per-doc aggregate map-side combines.  3 shuffles, all O(tokens),
+    no pairwise blow-up anywhere (this is the statistic that REPLACES
+    an all-pairs substring comparison)."""
+    sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
+    g = sh.select(id_col, H64("shingle", hasher).alias("gh"))
+    dfreq = g.groupBy("gh").agg(F.count("*").alias("gdf"))
+    return (
+        g.join(dfreq, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("gdf") > 1, 1).otherwise(0)
+            ).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_grams") / F.col("n_grams"), 6)
+        )
+    )
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end near-dup resolution: duplicate-pair edges (id_a,
+    id_b) -> connected components -> per-cluster canonical = min doc
+    id.  Returns (id, cluster_id, keep) for EVERY input doc
+    (singletons form their own cluster via a self-edge).  This is the
+    keep-one-per-cluster step production minhash pipelines run after
+    candidate verification; transitivity matters (A~B, B~C keeps only
+    one of {A,B,C} even when A!~C directly).
+
+    Scale: the component solver is the alternating neighbor-min +
+    pointer-jumping loop (raster/polygonize.connected_components),
+    O(log n) rounds of linear shuffle joins with localCheckpoint
+    lineage truncation — never a driver-side union-find."""
+    from gdal_spark.raster.polygonize import connected_components
+
+    edges = pairs.select(
+        F.col("id_a").alias("la"), F.col("id_b").alias("lb")
+    ).unionByName(
+        df.select(F.col(id_col).alias("la"), F.col(id_col).alias("lb"))
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("label").alias(id_col),
+        F.col("root").alias("cluster_id"),
+        (F.col("label") == F.col("root")).alias("keep"),
+    )

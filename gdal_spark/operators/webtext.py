@@ -306,3 +306,31 @@ def quality_score_linear(
         ).alias("score"),
         (F.col("logit_milli") > 0).alias("quality_keep"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "smp",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the domain-mixing
+    / rebalancing step of corpus curation (down-weight over-crawled
+    domains, up-weight rare ones).  `rates` is a (stratum,
+    rate_permille) DataFrame; a row is kept iff
+    hash64(salt || id) % 1000 < rate_permille(stratum).
+
+    Determinism is the point: the hash gate gives an identical sample
+    at any parallelism, under task retry, and across resumed runs —
+    properties rand()-based sampling does not have — so a resumable
+    100 TB job re-derives exactly the same subset.  Plan shape: one
+    broadcast hash join (the domain-rate table is small even at 10^6
+    domains) + a map-side filter; the corpus side never shuffles.
+    Unknown strata default to rate 0 (dropped)."""
+    from gdal_spark.operators.dedup import H64
+
+    gate = H64(f"concat('{salt}', cast({id_col} as string))") % 1000
+    return df.join(F.broadcast(rates), stratum_col, "left").where(
+        gate < F.coalesce(F.col("rate_permille"), F.lit(0))
+    )

@@ -147,6 +147,17 @@ def collect() -> tuple[
         "pii_scrub",
         "url_dedup",
         "quality_linear",
+        # r4b: dedup_cluster_canonical (pairs -> connected components ->
+        # canonical keep, the end-to-end near-dup resolution step) takes
+        # the window slot of ann_lsh_signature — the raw-signature
+        # intermediate is re-exercised by ann_ivf_topk in-window and by
+        # dedup_embedding_cosine on the local replica.  The two sibling
+        # additions (corpus-duplicated k-gram spans, stratified
+        # sampling) ride the local replica like the rest of the
+        # curation family.
+        "ann_lsh_signature",
+        "dup_ngram_spans",
+        "sample_stratified",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

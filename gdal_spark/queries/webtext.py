@@ -255,3 +255,150 @@ from z order by doc_id
 
 ORACLES["quality_linear"] = _quality_linear_oracle()
 QUERIES["quality_linear"] = _quality_linear
+
+
+# --- corpus-duplicated k-gram spans (exact-substring dedup signal) ---
+
+# 10-token span appended to every 5th doc: those docs share 6 interior
+# 5-grams corpus-wide; the span/doc boundary grams stay unique per doc.
+_SPAN = " shared span alpha beta gamma delta epsilon zeta eta theta"
+_K = 5
+
+
+def _dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.dedup import dup_ngram_stats
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(_SPAN))
+        ).otherwise(F.col("text")),
+    )
+    return dup_ngram_stats(d, k=_K).orderBy("doc_id")
+
+
+ORACLES["dup_ngram_spans"] = f"""
+with corpus as (
+  select doc_id,
+         case when doc_id % 5 = 0 then text || '{_SPAN}' else text end as text
+  from documents
+),
+t as (select doc_id, string_split(text, ' ') as toks from corpus),
+sh as (
+  select distinct doc_id, gram from (
+    select doc_id, array_to_string(toks[i+1:i+{_K}], ' ') as gram
+    from t cross join (select unnest(range(0, 256)) as i)
+    where i + {_K} <= len(toks)
+  )
+),
+dfreq as (select gram, count(*) as gdf from sh group by gram)
+select doc_id, count(*) as n_grams,
+       cast(sum(case when gdf > 1 then 1 else 0 end) as bigint)
+           as n_dup_grams,
+       round(cast(sum(case when gdf > 1 then 1 else 0 end) as double)
+             / count(*), 6) as dup_frac
+from sh join dfreq using(gram)
+group by doc_id order by doc_id
+"""
+QUERIES["dup_ngram_spans"] = _dup_ngram_spans
+
+
+# --- end-to-end near-dup resolution: pairs -> components -> canonical ---
+
+
+def _dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators import dedup
+    from gdal_spark.operators.dedup import dedup_clusters
+    from gdal_spark.queries import textops
+
+    corpus = textops._near_dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus,
+        k=3,
+        num_perm=textops.NUM_PERM,
+        rows_per_band=textops.ROWS_PER_BAND,
+        threshold=textops.JACCARD_T,
+    )
+    return dedup_clusters(corpus, pairs).orderBy("doc_id")
+
+
+def _dedup_cluster_oracle() -> str:
+    from gdal_spark.queries import textops
+
+    return f"""
+with recursive pairs as (
+  {textops._minhash_oracle()}
+),
+corpus as ({textops.NEAR_DUP_CORPUS_SQL}),
+e as (
+  select id_a as la, id_b as lb from pairs
+  union select id_b as la, id_a as lb from pairs
+  union select doc_id as la, doc_id as lb from corpus
+),
+reach(node, r) as (
+  select la, la from e
+  union
+  select e.lb, reach.r from reach join e on e.la = reach.node
+)
+select node as doc_id, min(r) as cluster_id, (node = min(r)) as keep
+from reach group by node order by doc_id
+"""
+
+
+ORACLES["dedup_cluster_canonical"] = _dedup_cluster_oracle()
+QUERIES["dedup_cluster_canonical"] = _dedup_cluster_canonical
+
+
+# --- domain-stratified deterministic sampling (corpus mixing) ---
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.webtext import stratified_sample
+    from gdal_spark.portable import hash64
+
+    d = _docs(spark, sf_dir)
+    h_rate = hash64("concat('rate', source)", "spark")
+    rate = f"100 + ({h_rate}) % 800"
+    rates = (
+        d.select("source")
+        .distinct()
+        .withColumn("rate_permille", F.expr(rate))
+    )
+    samp = stratified_sample(d, rates)
+    tot = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    s = samp.groupBy("source").agg(F.count("*").alias("n_sampled"))
+    return (
+        tot.join(s, "source", "left")
+        .join(rates, "source")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            "rate_permille",
+        )
+        .orderBy("source")
+    )
+
+
+def _sample_stratified_oracle() -> str:
+    from gdal_spark.portable import hash64
+
+    h_rate = hash64("concat('rate', source)", "duckdb")
+    h_gate = hash64("concat('smp', cast(doc_id as varchar))", "duckdb")
+    return f"""
+with r as (
+  select doc_id, source,
+         100 + ({h_rate}) % 800 as rate_permille,
+         ({h_gate}) % 1000 as gate
+  from documents
+)
+select source, count(*) as n_total,
+       cast(sum(case when gate < rate_permille then 1 else 0 end)
+            as bigint) as n_sampled,
+       min(rate_permille) as rate_permille
+from r group by source order by source
+"""
+
+
+ORACLES["sample_stratified"] = _sample_stratified_oracle()
+QUERIES["sample_stratified"] = _sample_stratified

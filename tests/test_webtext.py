@@ -210,3 +210,66 @@ def test_quality_score_linear(spark):
     assert out.loc[1, "logit_milli"] == want1
     assert out.loc[1, "quality_keep"] == (want1 > 0)
     assert out.loc[1, "score"] == round(want1 / 3000.0, 6)
+
+
+# --- r4b additions: dup-span stats, cluster canonicalization, sampling ---
+
+
+def test_dup_ngram_stats_shared_span(spark):
+    from gdal_spark.operators.dedup import dup_ngram_stats
+
+    rows = [
+        (0, "a b c d e unique zero tail words here"),
+        (1, "a b c d e other one ending entirely different"),
+        (2, "nothing in common with anything else at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dup_ngram_stats(df, k=5).collect()
+    }
+    # docs 0 and 1 share exactly one 5-gram: "a b c d e"
+    assert out[0]["n_grams"] == 6 and out[0]["n_dup_grams"] == 1
+    assert out[1]["n_grams"] == 6 and out[1]["n_dup_grams"] == 1
+    assert out[2]["n_dup_grams"] == 0 and out[2]["dup_frac"] == 0.0
+
+
+def test_dedup_clusters_transitive(spark):
+    from gdal_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    )
+    # chain 0~1, 1~2 (0 and 2 never directly paired) + pair 4~5
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert len(out) == 6
+    assert [out[i]["cluster_id"] for i in range(6)] == [0, 0, 0, 3, 4, 4]
+    assert [out[i]["keep"] for i in range(6)] == [
+        True, False, False, True, True, False,
+    ]
+
+
+def test_stratified_sample_deterministic(spark):
+    from gdal_spark.operators.webtext import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+        "doc_id long, source string",
+    )
+    rates = spark.createDataFrame(
+        [("a", 1000), ("b", 250)], "source string, rate_permille int"
+    )
+    s1 = stratified_sample(docs, rates).select("doc_id").toPandas()
+    s2 = stratified_sample(docs, rates).select("doc_id").toPandas()
+    # deterministic: identical subset on re-run
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)
+    kept_a = sum(1 for i in s1.doc_id if i % 2 == 0)
+    kept_b = len(s1) - kept_a
+    assert kept_a == 200          # rate 1000 => keep all of stratum a
+    assert 20 <= kept_b <= 80     # ~25% of 200, hash-binomial bounds
+    # unknown stratum => dropped
+    extra = spark.createDataFrame([(999, "zz")], "doc_id long, source string")
+    assert stratified_sample(extra, rates).count() == 0
