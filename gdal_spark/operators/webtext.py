@@ -334,3 +334,90 @@ def stratified_sample(
     return df.join(F.broadcast(rates), stratum_col, "left").where(
         gate < F.coalesce(F.col("rate_permille"), F.lit(0))
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    hasher: str = "portable",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that contain
+    any k-token window of a held-out benchmark set (the GPT-3 appendix-C
+    / PaLM 13-gram overlap rule).  Returns the input plus
+    (n_contaminated_grams, contaminated).
+
+    Scale (100 TB corpus x small benchmark): the benchmark gram
+    dictionary is tiny (|benchmark| x tokens, hashed to 8 bytes) and is
+    BROADCAST — the corpus side shingles map-locally, left-semi
+    broadcast-joins, and aggregates per doc with map-side combine.  The
+    corpus never shuffles on content; the only shuffle is the final
+    per-doc count, carried as (doc, n) partials.  Docs shorter than k
+    tokens have zero windows and are trivially clean."""
+    from gdal_spark.operators.dedup import H64, shingles
+
+    bench = (
+        shingles(
+            benchmark.select(F.col(bench_text_col).alias("text")),
+            k=k,
+            id_col="text",
+            text_col="text",
+        )
+        .select(H64("shingle", hasher).alias("gh"))
+        .distinct()
+    )
+    g = shingles(df, k=k, id_col=id_col, text_col=text_col).select(
+        id_col, H64("shingle", hasher).alias("gh")
+    )
+    hits = (
+        g.join(F.broadcast(bench), "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_grams",
+            F.coalesce("n_contaminated_grams", F.lit(0)),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for training: assign documents to fixed
+    token-budget bins (greedy in a deterministic order), the step that
+    turns a curated corpus into dense training sequences.  A document's
+    bin is floor(cumulative_tokens_before_doc / budget) within its
+    partition stream, ordered by id — deterministic, resumable, and
+    independent of physical partitioning.  Returns (id, part, n_tokens,
+    seq_id, seq_pos) where seq_pos is the doc's token offset within its
+    packing stream.
+
+    Scale: ONE window shuffle partitioned by `part_col` (domain/shard
+    key) — never a global order-by; each stream's cumulative sum is
+    independent, so 10^6 shards pack in parallel.  Oversized docs
+    (n_tokens > budget) still get a bin (they span several); splitting
+    them is the tokenizer's job downstream."""
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    w = Window.partitionBy("part").orderBy(id_col)
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(id_col, F.col(part_col).alias("part"),
+                  n_tok.alias("n_tokens"))
+        .withColumn("seq_pos", F.coalesce(cum, F.lit(0)))
+        # integer division keeps both engines exact (ANSI double->int
+        # cast truncation trap, CLAUDE.md)
+        .withColumn("seq_id", F.expr(f"seq_pos div {budget}"))
+    )

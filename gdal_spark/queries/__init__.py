@@ -158,6 +158,8 @@ def collect() -> tuple[
         "ann_lsh_signature",
         "dup_ngram_spans",
         "sample_stratified",
+        "decontaminate",  # broadcast-semi-join overlap rule; family rep
+        "pack_sequences",  # shard-stream window packing; family rep
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

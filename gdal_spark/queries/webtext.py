@@ -402,3 +402,84 @@ from r group by source order by source
 
 ORACLES["sample_stratified"] = _sample_stratified_oracle()
 QUERIES["sample_stratified"] = _sample_stratified
+
+
+# --- benchmark decontamination (13-gram overlap rule) ---
+
+_DECON_K = 13
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.webtext import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 97 == 0).select("text")
+    out = decontaminate(d, bench, k=_DECON_K)
+    return out.select(
+        "doc_id", "n_contaminated_grams", "contaminated"
+    ).orderBy("doc_id")
+
+
+ORACLES["decontaminate"] = f"""
+with bt as (select text from documents where doc_id % 97 = 0),
+bg as (
+  select distinct array_to_string(toks[i+1:i+{_DECON_K}], ' ') as gram
+  from (select string_split(text, ' ') as toks from bt)
+  cross join (select unnest(range(0, 256)) as i)
+  where i + {_DECON_K} <= len(toks)
+),
+g as (
+  select distinct doc_id, array_to_string(toks[i+1:i+{_DECON_K}], ' ') as gram
+  from (select doc_id, string_split(text, ' ') as toks from documents)
+  cross join (select unnest(range(0, 256)) as i)
+  where i + {_DECON_K} <= len(toks)
+),
+hits as (
+  select doc_id, count(*) as n from g join bg using(gram) group by doc_id
+)
+select d.doc_id,
+       cast(coalesce(hits.n, 0) as bigint) as n_contaminated_grams,
+       coalesce(hits.n, 0) > 0 as contaminated
+from documents d left join hits using(doc_id)
+order by doc_id
+"""
+QUERIES["decontaminate"] = _decontaminate
+
+
+# --- sequence packing (token-budget bins per shard stream) ---
+
+_PACK_BUDGET = 256
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.webtext import pack_sequences
+
+    out = pack_sequences(_docs(spark, sf_dir), budget=_PACK_BUDGET)
+    return out.select(
+        "doc_id",
+        "part",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "seq_pos",
+        "seq_id",
+    ).orderBy("doc_id")
+
+
+ORACLES["pack_sequences"] = f"""
+with t as (
+  select doc_id, source as part,
+         len(string_split(text, ' ')) as n_tokens
+  from documents
+),
+c as (
+  select doc_id, part, n_tokens,
+         cast(coalesce(sum(n_tokens) over (
+             partition by part order by doc_id
+             rows between unbounded preceding and 1 preceding
+         ), 0) as bigint) as seq_pos
+  from t
+)
+select doc_id, part, n_tokens, seq_pos,
+       seq_pos // {_PACK_BUDGET} as seq_id
+from c order by doc_id
+"""
+QUERIES["pack_sequences"] = _pack_sequences

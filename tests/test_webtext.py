@@ -273,3 +273,35 @@ def test_stratified_sample_deterministic(spark):
     # unknown stratum => dropped
     extra = spark.createDataFrame([(999, "zz")], "doc_id long, source string")
     assert stratified_sample(extra, rates).count() == 0
+
+
+def test_decontaminate_flags_only_overlapping(spark):
+    from gdal_spark.operators.webtext import decontaminate
+
+    span = " ".join(f"w{i}" for i in range(13))
+    rows = [
+        (0, "clean doc with no benchmark overlap anywhere at all ok"),
+        (1, f"prefix words {span} suffix words"),
+        (2, "short doc"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(f"lead {span} tail",)], "text string")
+    out = {r["doc_id"]: r for r in decontaminate(d, bench, k=13).collect()}
+    assert not out[0]["contaminated"] and out[0]["n_contaminated_grams"] == 0
+    assert out[1]["contaminated"] and out[1]["n_contaminated_grams"] == 1
+    assert not out[2]["contaminated"]  # < k tokens: trivially clean
+
+
+def test_pack_sequences_budget_bins(spark):
+    from gdal_spark.operators.webtext import pack_sequences
+
+    rows = [(i, "s", " ".join(["w"] * 10)) for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(d, budget=32).collect()}
+    # 10-token docs, budget 32: seq_pos 0,10,20,30,40... -> bins 0,0,0,0,1,...
+    assert [out[i]["seq_pos"] for i in range(10)] == [
+        10 * i for i in range(10)
+    ]
+    assert [out[i]["seq_id"] for i in range(10)] == [
+        (10 * i) // 32 for i in range(10)
+    ]
