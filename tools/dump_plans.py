@@ -76,6 +76,44 @@ NOTES = {
         "reassembly. At 100 TB the crawl is read once, filtered "
         "in-place, shuffled once."
     ),
+    "dedup_cluster_canonical": (
+        "r4b end-to-end near-dup resolution. MinHash pairs feed the "
+        "pointer-jumping component solver: each round is a linear "
+        "hash-join + partial_min aggregate, lineage truncated by "
+        "localCheckpoint so the plan tree stays O(1) per round; the "
+        "canonical-keep projection is map-side. No driver union-find, "
+        "no quadratic pair blow-up (band buckets capped upstream)."
+    ),
+    "decontaminate": (
+        "r4b. The benchmark gram dictionary (distinct 13-gram hashes of "
+        "the held-out set) is aggregated once and BROADCAST; the corpus "
+        "side shingles map-locally and meets it in a BroadcastHashJoin — "
+        "the 100 TB side never shuffles on content. Per-doc hit counts "
+        "are a map-side-combined HashAggregate; the flag join back to "
+        "docs is a linear id join (AQE picks broadcast vs shuffle by "
+        "the hit-set's real size)."
+    ),
+    "pack_sequences": (
+        "r4b. ONE Exchange — hashpartitioning(part) for the per-shard "
+        "window cumulative sum — then codegen'd integer division for "
+        "the bin id. Never a global order-by: 10^6 shard streams pack "
+        "independently. (The trailing Sort is the query's presentation "
+        "orderBy, not the operator.)"
+    ),
+    "sample_stratified": (
+        "r4b. The domain-rate table is built by one small distinct "
+        "aggregate and BROADCAST; the corpus side is Scan → "
+        "BroadcastHashJoin → codegen'd md5-gate Filter — zero corpus "
+        "shuffle, deterministic under retry/resume."
+    ),
+    "dup_ngram_spans": (
+        "r4b exact-substring dup signal. Shingle windows are map-local "
+        "array ops; gram document frequency is a map-side-combined "
+        "aggregate on the 8-byte hash; the join back is linear on gh "
+        "(Catalyst broadcasts the dictionary at toy scale, "
+        "sort-merge-joins it at corpus scale — size-based, not "
+        "hand-forced). 3 shuffles, O(tokens), no pair enumeration."
+    ),
     "coverage_simplify_arcs": (
         "r4 coverage-hygiene family. Shared-arc decomposition: segment "
         "explode is map-side, owner-sets resolve in ONE hash aggregate "
