@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "text_stats",              # text analysis
     "dedup_minhash_lsh",       # MinHash + LSH near-dup
     "dedup_simhash",           # SimHash
+    "dedup_cluster_canonical", # r4b end-to-end near-dup resolution
     "boilerplate_removal",     # r4 web-curation (line-level pipeline)
     "knn_centers",             # kNN re-rank
     "ann_cosine_topk",         # similarity search

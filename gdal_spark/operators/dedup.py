@@ -349,18 +349,24 @@ def dedup_clusters(
 
     Scale: the component solver is the alternating neighbor-min +
     pointer-jumping loop (raster/polygonize.connected_components),
-    O(log n) rounds of linear shuffle joins with localCheckpoint
-    lineage truncation — never a driver-side union-find."""
+    O(log n) rounds of linear shuffle joins — never a driver-side
+    union-find — and it runs ONLY over nodes that appear in a pair:
+    the iterative state scales with |duplicates|, not |corpus|
+    (dup pairs are a tiny fraction of a 10^12-doc table; feeding
+    corpus self-loops into the loop would drag the whole table
+    through every round).  Singletons are restored by ONE final
+    left join against the solved (tiny) component map."""
     from gdal_spark.raster.polygonize import connected_components
 
-    edges = pairs.select(
-        F.col("id_a").alias("la"), F.col("id_b").alias("lb")
-    ).unionByName(
-        df.select(F.col(id_col).alias("la"), F.col(id_col).alias("lb"))
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("la"), F.col("id_b").alias("lb"))
     )
-    comp = connected_components(edges)
-    return comp.select(
-        F.col("label").alias(id_col),
-        F.col("root").alias("cluster_id"),
-        (F.col("label") == F.col("root")).alias("keep"),
+    return (
+        df.select(id_col)
+        .join(comp, F.col(id_col) == F.col("label"), "left")
+        .select(
+            id_col,
+            F.coalesce("root", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
     )

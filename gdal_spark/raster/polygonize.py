@@ -163,9 +163,16 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     """(label, root) — min label of each component. Alternating
     neighbor-min exchange + pointer jumping; each round at least halves
     chain lengths, so fixpoint in O(log n) rounds."""
-    sym = edges.unionByName(
-        edges.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
-    ).distinct()
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
+        )
+        .distinct()
+        # persist: every iteration joins sym; without this the ENTIRE
+        # upstream edge pipeline (e.g. the minhash band join feeding
+        # dedup_clusters) re-executes once per round
+        .persist()
+    )
     mapping = (
         sym.groupBy("la")
         .agg(F.min("lb").alias("nb"))
@@ -214,6 +221,7 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
         mapping = jumped
         if changed == 0:
             break
+    sym.unpersist()
     return mapping
 
 
