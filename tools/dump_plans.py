@@ -79,10 +79,11 @@ NOTES = {
     "dedup_cluster_canonical": (
         "r4b end-to-end near-dup resolution. MinHash pairs feed the "
         "pointer-jumping component solver: each round is a linear "
-        "hash-join + partial_min aggregate, lineage truncated by "
-        "localCheckpoint so the plan tree stays O(1) per round; the "
-        "canonical-keep projection is map-side. No driver union-find, "
-        "no quadratic pair blow-up (band buckets capped upstream)."
+        "hash-join + partial_min aggregate over a PERSISTED symmetric "
+        "edge set, and the loop runs ONLY over paired nodes — state "
+        "O(dup pairs), not O(corpus); singletons return via one final "
+        "left join. No driver union-find, no quadratic pair blow-up "
+        "(band buckets capped upstream)."
     ),
     "decontaminate": (
         "r4b. The benchmark gram dictionary (distinct 13-gram hashes of "
