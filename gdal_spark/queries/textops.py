@@ -259,7 +259,13 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    h_mh = hash64("concat(cast(perm as varchar), '|', shingle)", "duckdb")
+    # universal-hash MinHash mirror: same base hash, same affine
+    # constants (inlined VALUES table), same int64 arithmetic as
+    # operators.dedup.minhash — bit-identical signatures.
+    ab_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.mh_ab(NUM_PERM))
+    )
+    h_base = hash64("shingle", "duckdb")
     h_sig = hash64(
         "concat(cast(perm as varchar), ':', cast(mh as varchar))", "duckdb"
     )
@@ -281,9 +287,11 @@ def _minhash_oracle() -> str:
         ) where w2 is not null
     ),
     mh as (
-        select doc_id, perm, min({h_mh}) as mh
-        from sh cross join (select unnest(range({NUM_PERM})) as perm)
-        group by doc_id, perm
+        select doc_id, ab.perm,
+               min((ab.a * s.h + ab.b) % {dedup.MH_P}) as mh
+        from (select doc_id, ({h_base}) % {dedup.MH_M31} as h from sh) s
+        cross join (values {ab_rows}) ab(perm, a, b)
+        group by doc_id, ab.perm
     ),
     bands as (
         select doc_id, perm // {ROWS_PER_BAND} as band, sum({h_sig}) as sig

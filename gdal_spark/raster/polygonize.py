@@ -164,13 +164,25 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     neighbor-min exchange + pointer jumping; each round at least halves
     chain lengths, so fixpoint in O(log n) rounds."""
     sym = (
-        edges.unionByName(
-            edges.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
+        # symmetrize with ONE scan of edges (explode both directions
+        # from each row) — a union of edges with its flipped self would
+        # compute the upstream edge pipeline twice when it has no
+        # shuffle boundary of its own (e.g. minhash_bands' map-only
+        # signature phase feeding dedup_clusters)
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("la"), F.col("lb")),
+                    F.struct(
+                        F.col("lb").alias("la"), F.col("la").alias("lb")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.la", "_e.lb")
         .distinct()
         # persist: every iteration joins sym; without this the ENTIRE
-        # upstream edge pipeline (e.g. the minhash band join feeding
-        # dedup_clusters) re-executes once per round
+        # upstream edge pipeline re-executes once per round
         .persist()
     )
     mapping = (

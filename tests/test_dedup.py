@@ -88,6 +88,24 @@ def test_minhash_plan_has_partial_agg(corpus):
     assert "partial_min" in plan
 
 
+def test_minhash_bands_matches_rowagg_and_is_mapside(corpus):
+    """minhash_bands is bit-identical to band_keys(minhash(shingles()))
+    — same base hash, affine constants, band combine — and its plan has
+    ZERO shuffles: the signature phase is a pure map stage."""
+    via_rows = dedup.band_keys(
+        dedup.minhash(dedup.shingles(corpus, k=3), num_perm=8),
+        rows_per_band=2,
+    )
+    mapside = dedup.minhash_bands(corpus, k=3, num_perm=8, rows_per_band=2)
+    assert sorted(map(tuple, mapside.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, via_rows.select("doc_id", "band", "sig").collect()),
+        key=lambda t: t[:2],
+    )
+    plan = mapside._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_no_python_udf_in_dedup_plans(corpus):
     """Hot-path guard: dedup pipeline is pure Catalyst (no Python eval)."""
     pairs = dedup.minhash_lsh_pairs(corpus, k=3, threshold=0.5)

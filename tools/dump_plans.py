@@ -26,11 +26,16 @@ NOTES = {
         "Python; whole-stage codegen end to end."
     ),
     "dedup_minhash_lsh": (
-        "Shingling is entirely map-side (array transform + array_distinct "
-        "before explode). First shuffle = partial_min MinHash aggregate "
-        "(map-side combined: ~num_perm rows per doc cross the wire), then "
-        "the band self-join and the Jaccard verify joins. Shuffle volume "
-        "is O(docs), never O(tokens)."
+        "The ENTIRE signature phase is one map stage (minhash_bands: "
+        "shingle array → ONE base md5 per shingle → num_perm affine "
+        "mixes (a_i*h+b_i) mod 2^61-1 → band sigs, all higher-order "
+        "array functions) — the corpus is scanned once and first "
+        "shuffles at the band self-join. The hot-bucket cap is a window "
+        "count over exactly the self-join key, so cap + both join sides "
+        "share one exchange — the reuse appears in the FINAL adaptive "
+        "plan (ReusedExchange after execution; the static tree below is "
+        "pre-AQE-materialization). 2 shuffles total (band join, Jaccard "
+        "agg); shuffle volume O(docs), never O(tokens)."
     ),
     "groupby_agg": (
         "Standard two-phase aggregate: partial_sum/partial_count before "
