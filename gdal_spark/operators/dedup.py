@@ -292,6 +292,35 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_arrays(
+    df: DataFrame, pairs: DataFrame, k: int = 3, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, jaccard) exact n-gram Jaccard via shingle ARRAYS:
+    the (small, post-LSH) pair set joins the corpus twice on the doc id
+    to pick up each side's distinct-shingle array, and the intersection
+    is size(array_intersect(...)) on the pair row. The corpus is never
+    exploded to (id, shingle) rows nor shuffled on a shingle key — under
+    AQE the tiny pair side broadcasts and both joins are map-side scans
+    of the corpus; a row-level formulation instead exchanges the whole
+    O(tokens) shingle stream to verify a handful of candidates."""
+    arr = df.selectExpr(id_col, f"{shingle_array_sql(text_col, k)} as _sh")
+    a = arr.selectExpr(f"{id_col} as id_a", "_sh as _sha")
+    b = arr.selectExpr(f"{id_col} as id_b", "_sh as _shb")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.expr("size(array_intersect(_sha, _shb))")
+                / F.expr("size(_sha) + size(_shb) - size(array_intersect(_sha, _shb))")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 3,
@@ -311,19 +340,17 @@ def minhash_lsh_pairs(
     band bucket. Fixture-scale corpora never hit the default cap, so
     results are identical to the unguarded pipeline there.
 
-    Plan shape (2 shuffles total, both AFTER the corpus is reduced):
-    signatures and shingle counts are pure map stages (minhash_bands /
-    size(shingle array)); the only shuffles are the band self-join and
-    the candidate-intersection aggregate."""
-    sh = shingles(df, k, id_col, text_col)
+    Plan shape: the signature phase is a pure map stage
+    (minhash_bands), the ONLY corpus shuffle is the band self-join,
+    and the exact-Jaccard verify joins the small pair set back to the
+    corpus's shingle arrays (jaccard_pairs_arrays — under AQE the pair
+    side broadcasts, so verification is two map-side scans, never an
+    O(tokens) exchange)."""
     bands = minhash_bands(
         df, k, num_perm, rows_per_band, id_col, text_col, hasher
     )
     cand = candidate_pairs(bands, id_col, max_bucket=max_bucket)
-    sizes = df.selectExpr(
-        id_col, f"size({shingle_array_sql(text_col, k)}) as n"
-    ).where("n > 0")
-    jac = jaccard_pairs(sh, cand, id_col, sizes=sizes)
+    jac = jaccard_pairs_arrays(df, cand, k, id_col, text_col)
     return jac.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

@@ -34,8 +34,11 @@ NOTES = {
         "count over exactly the self-join key, so cap + both join sides "
         "share one exchange — the reuse appears in the FINAL adaptive "
         "plan (ReusedExchange after execution; the static tree below is "
-        "pre-AQE-materialization). 2 shuffles total (band join, Jaccard "
-        "agg); shuffle volume O(docs), never O(tokens)."
+        "pre-AQE-materialization). Exact-Jaccard verify joins the small "
+        "pair set back to the corpus's shingle ARRAYS "
+        "(size(array_intersect)) — under AQE the pair side broadcasts, "
+        "so verification is map-side scans. The band self-join is the "
+        "ONLY corpus shuffle; volume O(docs), never O(tokens)."
     ),
     "groupby_agg": (
         "Standard two-phase aggregate: partial_sum/partial_count before "
