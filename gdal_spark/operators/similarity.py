@@ -135,13 +135,16 @@ def lsh_bucket_topk(
     trade. Fixture-scale corpora never hit the default cap."""
     sigs = hyperplane_signature(corpus, bits, dim, seed, id_col, vec_col)
     if max_bucket is not None:
-        keep = (
-            sigs.groupBy("sig")
-            .agg(F.count("*").alias("_bn"))
+        # window count over exactly the self-join key — one scan of the
+        # (map-side) signature stage and one exchange that both sides
+        # of the self-join reuse, instead of an aggregate + join back
+        # (same shape as operators.dedup.candidate_pairs)
+        wb = Window.partitionBy("sig")
+        sigs = (
+            sigs.withColumn("_bn", F.count("*").over(wb))
             .where(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
-        sigs = sigs.join(keep, "sig")
     vecs = corpus.select(id_col, vec_col).join(sigs, id_col)
     a = vecs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "sig"

@@ -14,7 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gdal_spark import tables
@@ -304,11 +304,13 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below the cap, so the guard never fires and the DuckDB oracle
     # (which omits it) stays value-identical.
     _cap = 10_000
-    _keep = (
-        sig.groupBy("sig").agg(F.count("*").alias("_bn"))
-        .where(F.col("_bn") <= _cap).drop("_bn")
+    sig = (
+        sig.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("sig"))
+        )
+        .where(F.col("_bn") <= _cap)
+        .drop("_bn")
     )
-    sig = sig.join(_keep, "sig")
     pairs = (
         sig.alias("a")
         .join(sig.alias("b"), F.col("a.sig") == F.col("b.sig"))

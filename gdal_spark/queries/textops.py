@@ -37,7 +37,15 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" mutated")).alias("text"),
     )
-    return d.unionAll(mutated)
+    # the testdata parquet is a SINGLE row group, so the scan yields 1-2
+    # splits and every downstream map-side phase (the whole minhash
+    # signature stage) would run on 2 of N cores. Rebalance to the
+    # session's parallelism — on a real table the scan itself supplies
+    # the splits and this exchange disappears. Hash-partitioned by
+    # doc_id (deterministic, no round-robin sort).
+    return d.unionAll(mutated).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 NEAR_DUP_CORPUS_SQL = """

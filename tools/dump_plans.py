@@ -38,7 +38,11 @@ NOTES = {
         "pair set back to the corpus's shingle ARRAYS "
         "(size(array_intersect)) — under AQE the pair side broadcasts, "
         "so verification is map-side scans. The band self-join is the "
-        "ONLY corpus shuffle; volume O(docs), never O(tokens)."
+        "ONLY corpus shuffle the OPERATOR adds; volume O(docs), never "
+        "O(tokens). (The fixture corpus itself is rebalanced once at "
+        "load — the testdata parquet is a single row group = 2 scan "
+        "splits; on a real table the scan supplies the splits and that "
+        "exchange disappears.)"
     ),
     "groupby_agg": (
         "Standard two-phase aggregate: partial_sum/partial_count before "
