@@ -169,8 +169,20 @@ def minhash_bands(
     n_bands = (num_perm + rows_per_band - 1) // rows_per_band
 
     def sig_sql(b: int) -> str:
+        # Piece hash must match band_keys' H64 piece for the SAME
+        # hasher: xxhash64 for 'fast', portable md5 for 'portable' —
+        # otherwise an index built via band_keys probed with these sigs
+        # silently gets zero candidates. Combine mirrors band_keys too:
+        # sum (portable, 60-bit, can't overflow) vs bit_xor (fast,
+        # full-range xxhash64 would overflow an ANSI sum).
+        def piece(p: int) -> str:
+            arg = f"concat('{p}', ':', cast(_mh{p} as string))"
+            if hasher == "fast":
+                return f"xxhash64({arg})"
+            return hash64(arg, "spark")
+
         terms = [
-            hash64(f"concat('{p}', ':', cast(_mh{p} as string))", "spark")
+            piece(p)
             for p in range(b * rows_per_band, min((b + 1) * rows_per_band, num_perm))
         ]
         op = " + " if hasher == "portable" else " ^ "

@@ -287,7 +287,8 @@ t as (select doc_id, string_split(text, ' ') as toks from corpus),
 sh as (
   select distinct doc_id, gram from (
     select doc_id, array_to_string(toks[i+1:i+{_K}], ' ') as gram
-    from t cross join (select unnest(range(0, 256)) as i)
+    from t cross join (select unnest(range(0,
+         (select max(len(toks)) from t))) as i)
     where i + {_K} <= len(toks)
   )
 ),
@@ -425,13 +426,15 @@ with bt as (select text from documents where doc_id % 97 = 0),
 bg as (
   select distinct array_to_string(toks[i+1:i+{_DECON_K}], ' ') as gram
   from (select string_split(text, ' ') as toks from bt)
-  cross join (select unnest(range(0, 256)) as i)
+  cross join (select unnest(range(0,
+       (select max(len(string_split(text, ' '))) from bt))) as i)
   where i + {_DECON_K} <= len(toks)
 ),
 g as (
   select distinct doc_id, array_to_string(toks[i+1:i+{_DECON_K}], ' ') as gram
   from (select doc_id, string_split(text, ' ') as toks from documents)
-  cross join (select unnest(range(0, 256)) as i)
+  cross join (select unnest(range(0,
+       (select max(len(string_split(text, ' '))) from documents))) as i)
   where i + {_DECON_K} <= len(toks)
 ),
 hits as (

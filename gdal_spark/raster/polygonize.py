@@ -191,6 +191,24 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
         .select(F.col("la").alias("label"), F.least("la", "nb").alias("root"))
         .persist()
     )
+    try:
+        mapping = _cc_iterate(sym, mapping, max_iters)
+    except BaseException:
+        mapping.unpersist()
+        raise
+    finally:
+        # exception-safe (ADVICE r4): a failure mid-loop must not leak
+        # the cached edge set. On success the returned mapping was
+        # materialized by the in-loop count(), so dropping sym here only
+        # risks recomputation on cache eviction — a perf corner, not
+        # correctness.
+        sym.unpersist()
+    return mapping
+
+
+def _cc_iterate(sym: DataFrame, mapping: DataFrame, max_iters: int) -> DataFrame:
+    """The CC fixpoint loop: returns the final persisted mapping; every
+    superseded mapping (and a mid-failure candidate) is unpersisted."""
     for _ in range(max_iters):
         # neighbor exchange: root ← min(root, roots of neighbors)
         nbr = (
@@ -223,17 +241,20 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            jumped.alias("j")
-            .join(mapping.alias("o"), "label")
-            .where(F.col("j.root") != F.col("o.root"))
-            .count()
-        )
+        try:
+            changed = (
+                jumped.alias("j")
+                .join(mapping.alias("o"), "label")
+                .where(F.col("j.root") != F.col("o.root"))
+                .count()
+            )
+        except BaseException:
+            jumped.unpersist()
+            raise
         mapping.unpersist()
         mapping = jumped
         if changed == 0:
             break
-    sym.unpersist()
     return mapping
 
 

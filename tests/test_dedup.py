@@ -106,6 +106,24 @@ def test_minhash_bands_matches_rowagg_and_is_mapside(corpus):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_minhash_bands_matches_rowagg_fast_hasher(corpus):
+    """Same parity for hasher='fast' (xxhash64 pieces, bit_xor combine):
+    an index built via band_keys probed with minhash_bands sigs must not
+    silently get zero candidates (ADVICE r4 medium)."""
+    via_rows = dedup.band_keys(
+        dedup.minhash(dedup.shingles(corpus, k=3), num_perm=8, hasher="fast"),
+        rows_per_band=2,
+        hasher="fast",
+    )
+    mapside = dedup.minhash_bands(
+        corpus, k=3, num_perm=8, rows_per_band=2, hasher="fast"
+    )
+    assert sorted(map(tuple, mapside.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, via_rows.select("doc_id", "band", "sig").collect()),
+        key=lambda t: t[:2],
+    )
+
+
 def test_no_python_udf_in_dedup_plans(corpus):
     """Hot-path guard: dedup pipeline is pure Catalyst (no Python eval)."""
     pairs = dedup.minhash_lsh_pairs(corpus, k=3, threshold=0.5)

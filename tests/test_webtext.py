@@ -65,6 +65,43 @@ def test_remove_boilerplate_is_broadcast(spark, corpus):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_remove_boilerplate_size_checked_fallback(spark, corpus):
+    """VERDICT r4 #1: above broadcast_max the dictionary must NOT carry
+    an explicit broadcast hint (AQE never demotes one) — the plan falls
+    back to a shuffle anti-join; at/below the cap it broadcasts."""
+    lines = doc_lines(corpus, width=8)
+    heavy = heavy_lines(lines, min_df=3)  # dictionary = 1 line
+    over = (
+        remove_boilerplate(lines, heavy, broadcast_max=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in over and "LeftAnti" in over
+    under = (
+        remove_boilerplate(lines, heavy, broadcast_max=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in under and "LeftAnti" in under
+    # both strategies produce identical rows
+    a = remove_boilerplate(lines, heavy, broadcast_max=0).collect()
+    b = remove_boilerplate(lines, heavy, broadcast_max=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_heavy_lines_fractional_threshold(spark, corpus):
+    """CCNet-style min_df_frac: corpus has 5 docs; 'NAV HOME' appears in
+    4 of them (0.8) — kept at frac 0.5, dropped at frac 0.9. The plan
+    stays lazy (doc count via broadcast cross join, no driver action)."""
+    lines = doc_lines(corpus, width=8)
+    assert [r.line for r in heavy_lines(lines, min_df_frac=0.5).collect()] == [
+        "NAV HOME"
+    ]
+    assert heavy_lines(lines, min_df_frac=0.9).count() == 0
+
+
 def test_dedup_lines_first_occurrence(spark):
     df = spark.createDataFrame(
         [(0, "dup line dup line"), (1, "dup line fresh one")],
