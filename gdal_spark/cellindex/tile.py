@@ -88,6 +88,55 @@ def quadkey(tx, ty, z: int) -> np.ndarray:
     return key | (np.int64(1) << np.int64(2 * z))  # level marker bit
 
 
+# --- GlobalGeodetic / WorldCRS84Quad (gdal2tiles.py:534-630,
+# gcore/tilematrixset.cpp:175-215): plate-carree pyramid, 2x1 tiles at
+# z0, res(z) = (180/256)/2^z deg/px. Linear math — no trig anywhere,
+# so the SQL oracle mirror is bit-exact by construction.
+GEODETIC_RES_FACT = 180.0 / TILE_SIZE  # tmscompatible resFact (0.703125)
+
+
+def resolution_geodetic(z: int) -> float:
+    """deg/pixel at zoom z (gdal2tiles.py:604 GlobalGeodetic.Resolution)."""
+    return GEODETIC_RES_FACT / (2 ** z)
+
+
+def lonlat_to_tile_geodetic(
+    lon: np.ndarray, lat: np.ndarray, z: int, xyz: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """WorldCRS84Quad tile indices at zoom z (gdal2tiles.py:582-598
+    LonLatToPixels + PixelsToTile: tx = ceil(px/ts)-1 over the
+    bottom-origin pyramid). Matrix is 2*2^z wide x 2^z tall; xyz=True
+    flips to the top-origin convention (gdalalg_raster_tile.cpp:488)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    res = resolution_geodetic(z)
+    px = (180.0 + lon) / res
+    py = (90.0 + lat) / res
+    tx = np.ceil(px / float(TILE_SIZE)).astype(np.int64) - 1
+    ty = np.ceil(py / float(TILE_SIZE)).astype(np.int64) - 1
+    n = np.int64(2 ** z)
+    tx = np.clip(tx, 0, 2 * n - 1)
+    ty = np.clip(ty, 0, n - 1)
+    if xyz:
+        ty = n - 1 - ty
+    return tx, ty
+
+
+def tile_bounds_geodetic(tx, ty, z: int, xyz: bool = True):
+    """(minlon, minlat, maxlon, maxlat) of WorldCRS84Quad tile(s)
+    (gdal2tiles.py:617-625 GlobalGeodetic.TileBounds)."""
+    tx = np.asarray(tx, dtype=np.int64)
+    ty = np.asarray(ty, dtype=np.int64)
+    if xyz:
+        ty = (2 ** z) - 1 - ty  # back to TMS (bottom-origin)
+    res = resolution_geodetic(z)
+    minlon = tx * TILE_SIZE * res - 180.0
+    minlat = ty * TILE_SIZE * res - 90.0
+    maxlon = (tx + 1) * TILE_SIZE * res - 180.0
+    maxlat = (ty + 1) * TILE_SIZE * res - 90.0
+    return minlon, minlat, maxlon, maxlat
+
+
 def parent_tile(tx, ty):
     """(z,x,y) → parent (x//2, y//2) at z-1 — the 4→1 pyramid reduce key
     (apps/gdalalg_raster_tile.cpp overview zoom construction)."""

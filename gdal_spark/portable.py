@@ -233,6 +233,42 @@ def tile_cols_list(lat: str, lon: str, z: int) -> list[str]:
     return [txt[: i + len(" as tile_x")], txt[i + len(" as tile_x, ") :]]
 
 
+GEODETIC_RES_FACT = 180.0 / TILE_SIZE  # 0.703125, binary-exact
+
+
+def tile_cols_geodetic(lat: str, lon: str, z: int) -> str:
+    """WorldCRS84Quad tile_x, tile_y (XYZ convention) at a fixed zoom —
+    the geodetic tiling scheme of `gdal raster tile --tiling-scheme
+    WorldCRS84Quad` (gcore/tilematrixset.cpp:175-215;
+    gdal2tiles.py:582-598 GlobalGeodetic LonLatToPixels/PixelsToTile
+    with the tmscompatible resFact 180/256). Pure linear arithmetic on
+    binary-exact constants (res = 0.703125/2^z) — Spark and DuckDB
+    evaluate it bit-identically, and it is operation-for-operation the
+    numpy in cellindex.tile.lonlat_to_tile_geodetic. Matrix is 2*2^z
+    wide x 2^z tall; clip + XYZ flip per gdalalg_raster_tile.cpp:488."""
+    res = GEODETIC_RES_FACT / (2 ** z)
+    px = f"((180.0 + ({lon})) / {res!r})"
+    py = f"((90.0 + ({lat})) / {res!r})"
+    n = 2 ** z
+    tx = (
+        f"greatest(0, least({2 * n - 1}, "
+        f"cast(ceil({px} / 256.0) as bigint) - 1))"
+    )
+    ty_tms = (
+        f"greatest(0, least({n - 1}, "
+        f"cast(ceil({py} / 256.0) as bigint) - 1))"
+    )
+    ty_xyz = f"({n} - 1 - {ty_tms})"
+    return f"{tx} as tile_x, {ty_xyz} as tile_y"
+
+
+def tile_cols_geodetic_list(lat: str, lon: str, z: int) -> list[str]:
+    """tile_cols_geodetic split for DataFrame.selectExpr."""
+    txt = tile_cols_geodetic(lat, lon, z)
+    i = txt.index(" as tile_x, ")
+    return [txt[: i + len(" as tile_x")], txt[i + len(" as tile_x, ") :]]
+
+
 def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """Great-circle distance in meters (R=6371008.8)."""
     return (

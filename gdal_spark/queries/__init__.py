@@ -160,6 +160,17 @@ def collect() -> tuple[
         "sample_stratified",
         "decontaminate",  # broadcast-semi-join overlap rule; family rep
         "pack_sequences",  # shard-stream window packing; family rep
+        # r5: tile_assign_geodetic (WorldCRS84Quad scheme, VERDICT r4
+        # missing #1) takes the slot of the mercator tile_assign — the
+        # WebMercatorQuad tile math stays driver-checked in-window via
+        # spatial_join_tiles (same tile_cols SQL on the same pages).
+        "tile_assign",
+        # r5: the scheme-variant pyramids ride the local replica — the
+        # pyramid machinery's in-window rep stays raster_tile_pyramid
+        # (WebMercatorQuad); both new schemes have independent inline
+        # goldens and pytest coverage in tests/test_tiles.py.
+        "raster_tile_pyramid_geodetic",
+        "raster_tile_raster_scheme",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -35,9 +35,12 @@ from pyspark.sql import functions as F
 from gdal_spark.cellindex.tile import (
     lonlat_to_meters,
     lonlat_to_tile,
+    lonlat_to_tile_geodetic,
     meters_to_lonlat,
     resolution,
+    resolution_geodetic,
     tile_bounds_3857,
+    tile_bounds_geodetic,
 )
 from gdal_spark.portable import TILE_SIZE
 from gdal_spark.raster import model
@@ -82,6 +85,22 @@ def _source_coords_exact(tx, ty, zz, gt0, gt1, gt3, gt5):
     return sx, sy
 
 
+def _source_coords_geodetic(tx, ty, zz, gt0, gt1, gt3, gt5):
+    """WorldCRS84Quad variant of the inverse transform: tile pixel
+    centers ARE lon/lat (plate carree, gcore/tilematrixset.cpp:175-215),
+    so the chain is purely linear — no transcendental step to
+    mesh-approximate."""
+    minlon, _, _, maxlat = tile_bounds_geodetic(
+        np.array([tx]), np.array([ty]), zz
+    )
+    res = resolution_geodetic(zz)
+    lon = minlon[0] + (np.arange(TILE_SIZE) + 0.5) * res
+    lat = maxlat[0] - (np.arange(TILE_SIZE) + 0.5) * res
+    sx = (np.repeat(lon[None, :], TILE_SIZE, 0) - gt0) / gt1 - 0.5
+    sy = (np.repeat(lat[:, None], TILE_SIZE, 1) - gt3) / gt5 - 0.5
+    return sx, sy
+
+
 def _source_coords_approx(tx, ty, zz, gt0, gt1, gt3, gt5, mesh: int = 16):
     """Error-bounded approximate transform (GDALApproxTransformer parity,
     alg/gdaltransformer.cpp:58-61,2624-2633): exact-transform only a
@@ -117,12 +136,29 @@ def _source_coords_approx(tx, ty, zz, gt0, gt1, gt3, gt5, mesh: int = 16):
 
 
 def base_tiles(
-    blocks: DataFrame, z: int, resampling: str = "bilinear", approx_mesh: int = 0
+    blocks: DataFrame,
+    z: int,
+    resampling: str = "bilinear",
+    approx_mesh: int = 0,
+    scheme: str = "WebMercatorQuad",
+    skip_blank_value: float | None = None,
 ) -> DataFrame:
     """Base-zoom tiles from the block table (stages 1-3 above).
     approx_mesh > 0 switches the coordinate transform to the mesh
     approximation (per-tile speedup at identical output within the
-    error bound)."""
+    error bound). `scheme` selects the tiling scheme
+    (apps/gdalalg_raster_tile.cpp:205 --tiling-scheme): WebMercatorQuad
+    (+ GoogleMapsCompatible/mercator aliases) or WorldCRS84Quad
+    (+ geodetic alias); the geodetic grid is linear in lon/lat so the
+    mesh approximation is a no-op there and is ignored. For the
+    'raster' pixel-space scheme see raster_scheme_tiles()."""
+    from gdal_spark.cellindex import tms
+
+    scheme = tms.ALIASES.get(scheme, scheme)
+    if scheme not in ("WebMercatorQuad", "WorldCRS84Quad"):
+        raise ValueError(f"base_tiles: unsupported tiling scheme {scheme!r}")
+    geodetic = scheme == "WorldCRS84Quad"
+    cover_tile = lonlat_to_tile_geodetic if geodetic else lonlat_to_tile
 
     def ship(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -135,10 +171,10 @@ def base_tiles(
                 lat0 = r.gt3 + (r.y0 - 1) * r.gt5
                 lat1 = r.gt3 + (r.y0 + r.height + 1) * r.gt5
                 lo, hi = min(lat0, lat1), max(lat0, lat1)
-                tx0, ty0 = lonlat_to_tile(
+                tx0, ty0 = cover_tile(
                     np.array([min(lon0, lon1)]), np.array([hi]), z
                 )
-                tx1, ty1 = lonlat_to_tile(
+                tx1, ty1 = cover_tile(
                     np.array([max(lon0, lon1)]), np.array([lo]), z
                 )
                 for ty in range(int(ty0[0]), int(ty1[0]) + 1):
@@ -183,9 +219,14 @@ def base_tiles(
                 r.y0 - y0 : r.y0 - y0 + r.height,
                 r.x0 - x0 : r.x0 - x0 + r.width,
             ] = a
-        # tile pixel centers in EPSG:3857 → lon/lat → source pixel coords
-        # (exact per-pixel, or mesh-approximated per approx_mesh)
-        if approx_mesh:
+        # tile pixel centers in scheme CRS → lon/lat → source pixel
+        # coords (exact per-pixel, or mesh-approximated per approx_mesh;
+        # geodetic tiles are already lon/lat — always exact & linear)
+        if geodetic:
+            sx, sy = _source_coords_geodetic(
+                tx, ty, zz, r0.gt0, r0.gt1, r0.gt3, r0.gt5
+            )
+        elif approx_mesh:
             sx, sy = _source_coords_approx(
                 tx, ty, zz, r0.gt0, r0.gt1, r0.gt3, r0.gt5, approx_mesh
             )
@@ -222,6 +263,14 @@ def base_tiles(
             arr = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
         else:
             arr = out.astype(np.dtype(r0["dtype"]))
+        if skip_blank_value is not None and np.all(arr == skip_blank_value):
+            # blank tile: emit nothing (the reference skips writing
+            # all-transparent/nodata tiles, apps/gdalalg_raster_tile.cpp
+            # --skip-blank area; composes with --resume because absent
+            # tiles never enter the manifest)
+            return pd.DataFrame(
+                [], columns=[c.split()[0] for c in TILE_SCHEMA.split(", ")]
+            )
         return pd.DataFrame(
             [
                 (
@@ -243,10 +292,17 @@ def base_tiles(
     )
 
 
-def overview_level(tiles: DataFrame) -> DataFrame:
+def overview_level(
+    tiles: DataFrame, skip_blank_value: float | None = None
+) -> DataFrame:
     """One pyramid step: z → z-1 by 2×2 average of ≤4 children
     (gdalalg_raster_tile.cpp overview zooms; average kernel of
-    gcore/overview.cpp)."""
+    gcore/overview.cpp). Works for any quad-halving scheme — both
+    WebMercatorQuad (2^z square) and WorldCRS84Quad (2*2^z x 2^z)
+    matrices halve in BOTH dimensions per level, so the parent key is
+    (tx//2, ty//2) in either scheme; the 'raster' scheme's
+    DIV_ROUND_UP matrices reduce the same way. skip_blank_value: see
+    base_tiles."""
     parented = tiles.select(
         "dataset",
         "band",
@@ -276,6 +332,10 @@ def overview_level(tiles: DataFrame) -> DataFrame:
             arr = np.clip(np.floor(red + 0.5), 0, 255).astype(np.uint8)
         else:
             arr = red.astype(np.dtype(dt))
+        if skip_blank_value is not None and np.all(arr == skip_blank_value):
+            return pd.DataFrame(
+                [], columns=[c.split()[0] for c in TILE_SCHEMA.split(", ")]
+            )
         return pd.DataFrame(
             [
                 (
@@ -298,14 +358,112 @@ def overview_level(tiles: DataFrame) -> DataFrame:
 
 
 def tile_pyramid(
-    blocks: DataFrame, z_base: int, z_min: int, resampling: str = "bilinear"
+    blocks: DataFrame,
+    z_base: int,
+    z_min: int,
+    resampling: str = "bilinear",
+    scheme: str = "WebMercatorQuad",
+    skip_blank_value: float | None = None,
 ) -> DataFrame:
     """Full pyramid z_base..z_min. The per-zoom loop is driver-side but
-    each level is one distributed job; levels shrink 4× per step."""
-    level = base_tiles(blocks, z_base, resampling)
+    each level is one distributed job; levels shrink 4× per step.
+    scheme: WebMercatorQuad (default) or WorldCRS84Quad (+ aliases);
+    skip_blank_value: drop uniform tiles of this value at every level
+    before the sink (--skip-blank; a blank region produces NO rows and
+    resume anti-joins are unaffected)."""
+    level = base_tiles(
+        blocks, z_base, resampling, scheme=scheme,
+        skip_blank_value=skip_blank_value,
+    )
     out = level
     for _ in range(z_base - z_min):
-        level = overview_level(level)
+        level = overview_level(level, skip_blank_value=skip_blank_value)
+        out = out.unionByName(level)
+    return out
+
+
+def raster_scheme_tiles(
+    blocks: DataFrame,
+    width_full: int,
+    height_full: int,
+    zoom_level_count: int | None = None,
+    skip_blank_value: float | None = None,
+) -> DataFrame:
+    """`--tiling-scheme raster` pyramid: tiles in SOURCE PIXEL space
+    (gcore/tilematrixset.cpp:560-600 createRaster; selected at
+    apps/gdalalg_raster_tile.cpp:4602). The top zoom is the source at
+    full resolution — tile (z_base, tx, ty) is the exact pixel window
+    [ty*256:(ty+1)*256, tx*256:(tx+1)*256] zero-padded at the right and
+    bottom edges — and each lower zoom halves, via the SAME 2x2-average
+    overview reduce as the georeferenced schemes. No warp at all: the
+    cover shuffle ships each block to the pixel-grid tiles it overlaps
+    and the kernel pastes, so the base level is byte-exact with the
+    source (the property gdal autotest checks for this scheme).
+
+    zoom_level_count defaults to the reference's choice: enough levels
+    that the whole raster fits one tile at z0
+    (ceil(log2(max(w,h)/tile_size)) + 1)."""
+    if zoom_level_count is None:
+        n = 0
+        while (max(width_full, height_full) + (256 << n) - 1) // (256 << n) > 1:
+            n += 1
+        zoom_level_count = n + 1
+    z_base = zoom_level_count - 1
+
+    def ship(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                tx0, tx1 = r.x0 // TILE_SIZE, (r.x0 + r.width - 1) // TILE_SIZE
+                ty0, ty1 = r.y0 // TILE_SIZE, (r.y0 + r.height - 1) // TILE_SIZE
+                for ty in range(ty0, ty1 + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        out.append(
+                            (r.dataset, r.band, z_base, tx, ty, r.x0, r.y0,
+                             r.width, r.height, r.dtype, r.gt0, r.gt1,
+                             r.gt3, r.gt5, r.buf)
+                        )
+            yield pd.DataFrame(
+                out, columns=[c.split()[0] for c in _SHIP_SCHEMA.split(", ")]
+            )
+
+    shipped = blocks.mapInPandas(ship, _SHIP_SCHEMA)
+
+    def paste(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dataset, band, zz, tx, ty = key
+        r0 = pdf.iloc[0]
+        arr = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.dtype(r0["dtype"]))
+        px0, py0 = int(tx) * TILE_SIZE, int(ty) * TILE_SIZE
+        for r in pdf.itertuples():
+            a = model.decode((r.buf, r.height, r.width, r.dtype))
+            bx0 = max(r.x0, px0)
+            by0 = max(r.y0, py0)
+            bx1 = min(r.x0 + r.width, px0 + TILE_SIZE)
+            by1 = min(r.y0 + r.height, py0 + TILE_SIZE)
+            if bx1 <= bx0 or by1 <= by0:
+                continue
+            arr[by0 - py0:by1 - py0, bx0 - px0:bx1 - px0] = a[
+                by0 - r.y0:by1 - r.y0, bx0 - r.x0:bx1 - r.x0
+            ]
+        if skip_blank_value is not None and np.all(arr == skip_blank_value):
+            return pd.DataFrame(
+                [], columns=[c.split()[0] for c in TILE_SCHEMA.split(", ")]
+            )
+        return pd.DataFrame(
+            [
+                (dataset, int(band), int(zz), int(tx), int(ty),
+                 str(arr.dtype), np.ascontiguousarray(arr).tobytes(),
+                 _tile_checksum(arr))
+            ],
+            columns=[c.split()[0] for c in TILE_SCHEMA.split(", ")],
+        )
+
+    level = shipped.groupBy(
+        "dataset", "band", "z", "tile_x", "tile_y"
+    ).applyInPandas(paste, TILE_SCHEMA)
+    out = level
+    for _ in range(z_base):
+        level = overview_level(level, skip_blank_value=skip_blank_value)
         out = out.unionByName(level)
     return out
 
