@@ -199,7 +199,26 @@ def _batch_setop(
     return pd.Series(out, dtype=object)
 
 
+# ISO curve bases: measures dispatch to the closed-form kernels in
+# geometry/curve.py instead of measuring the 4°-stroked linearization
+# (ogrcircularstring.cpp get_Length/get_Area semantics, VERDICT r4 #3)
+_CURVE_BASES = {
+    W.CIRCULARSTRING, W.COMPOUNDCURVE, W.CURVEPOLYGON,
+    W.MULTICURVE, W.MULTISURFACE,
+}
+
+
+def _peek_base(buf: bytes) -> int:
+    little = buf[0] == 1
+    g = int.from_bytes(buf[1:5], "little" if little else "big")
+    return (g & 0x0FFFFFFF) % 1000
+
+
 def _area(buf: bytes) -> float:
+    if _peek_base(buf) in _CURVE_BASES:
+        from gdal_spark.geometry.curve import curve_area
+
+        return float(curve_area(W.parse_wkb_structured(buf)))
     t, payload = W.parse_wkb(buf)
     if t == W.POLYGON:
         return polygon_area(payload)
@@ -209,6 +228,10 @@ def _area(buf: bytes) -> float:
 
 
 def _length(buf: bytes) -> float:
+    if _peek_base(buf) in _CURVE_BASES:
+        from gdal_spark.geometry.curve import curve_length
+
+        return float(curve_length(W.parse_wkb_structured(buf)))
     t, payload = W.parse_wkb(buf)
     if t == W.LINESTRING:
         d = np.diff(payload, axis=0)

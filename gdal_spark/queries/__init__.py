@@ -171,6 +171,9 @@ def collect() -> tuple[
         # goldens and pytest coverage in tests/test_tiles.py.
         "raster_tile_pyramid_geodetic",
         "raster_tile_raster_scheme",
+        # r5: closed-form curve measures — analytic pi()-oracle; the ST
+        # registry's in-window reps stay st_geodesic/ogr_special_fields.
+        "st_curve_measures",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -794,3 +794,76 @@ def _polygonize_grid_oracle() -> str:
 
 QUERIES["st_polygonize_grid"] = _polygonize_grid
 ORACLES["st_polygonize_grid"] = _polygonize_grid_oracle()
+
+
+def _curve_fixture_rows() -> list[tuple[int, str]]:
+    """(id, wkb-hex) curve fixtures with analytic measures
+    (deterministic serialization of literal control points)."""
+    import numpy as np
+
+    from gdal_spark.geometry import wkb as W
+
+    def cs(pts):
+        return (W.CIRCULARSTRING, False, False, np.array(pts, dtype=float))
+
+    def ls(pts):
+        return (W.LINESTRING, False, False, np.array(pts, dtype=float))
+
+    full = cs([[3.0, 0.0], [-1.0, 0.0], [3.0, 0.0]])  # circle r=2 @ (1,0)
+    s = float(np.sqrt(2) / 2)
+    quarter = cs([[1.0, 0.0], [s, s], [0.0, 1.0]])  # quarter arc r=1
+    halfdisc = (
+        W.CURVEPOLYGON, False, False,
+        [(W.COMPOUNDCURVE, False, False,
+          [cs([[-1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]),
+           ls([[1.0, 0.0], [-1.0, 0.0]])])],
+    )  # clockwise: exact convex path
+    stadium = (
+        W.CURVEPOLYGON, False, False,
+        [(W.COMPOUNDCURVE, False, False,
+          [ls([[-2.0, 1.0], [2.0, 1.0]]),
+           cs([[2.0, 1.0], [3.0, 0.0], [2.0, -1.0]]),
+           ls([[2.0, -1.0], [-2.0, -1.0]]),
+           cs([[-2.0, -1.0], [-3.0, 0.0], [-2.0, 1.0]])])],
+    )  # 4x2 rect + two r=1 caps
+    annulus = (
+        W.CURVEPOLYGON, False, False,
+        [full, cs([[1.5, 0.0], [0.5, 0.0], [1.5, 0.0]])],
+    )  # r=2 disc minus r=0.5 hole
+    nodes = [full, quarter, halfdisc, stadium, annulus]
+    return [(i, W.structured_to_wkb(n).hex()) for i, n in enumerate(nodes)]
+
+
+def _curve_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form curve measures (VERDICT r4 next #3): st_length /
+    st_area dispatch to geometry/curve.py on curve-typed WKB
+    (ogrcircularstring.cpp:195 get_Length, :865 get_Area) — the oracle
+    states the ANALYTIC values (pi()-expressions in SQL), so any
+    stroking approximation would fail the 6-dp hash."""
+    register_st_functions(spark)
+    rows = _curve_fixture_rows()
+    vals = ", ".join(f"({i}, '{h}')" for i, h in rows)
+    return spark.sql(f"""
+    select id,
+           round(st_length(unhex(wkb_hex)), 6) as len,
+           round(st_area(unhex(wkb_hex)), 6) as area
+    from (select * from values {vals} as t(id, wkb_hex))
+    order by id
+    """)
+
+
+def _curve_measures_oracle() -> str:
+    return """
+    select * from (values
+      (0, round(4*pi(), 6), round(4*pi(), 6)),
+      (1, round(pi()/2, 6), cast(0.0 as double)),
+      (2, round(pi()+2, 6), round(pi()/2, 6)),
+      (3, round(8+2*pi(), 6), round(8+pi(), 6)),
+      (4, round(5*pi(), 6), round(3.75*pi(), 6))
+    ) as t(id, len, area)
+    order by id
+    """
+
+
+QUERIES["st_curve_measures"] = _curve_measures
+ORACLES["st_curve_measures"] = _curve_measures_oracle()
