@@ -92,3 +92,273 @@ def resumable_write(
         return None, 0
     rid = write_partitioned(todo, path, partition_cols)
     return rid, n
+
+
+# --- vector partition split options (VERDICT r4 next #5) ---------------
+
+
+def split_partitions(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    feature_limit: int | None = None,
+    max_file_size: int | None = None,
+) -> DataFrame:
+    """Assign each row a `part_seq` split number within its partition
+    value — `gdal vector partition --feature-limit / --max-file-size`
+    (apps/gdalalg_vector_partition.cpp:158-204). Deterministic: rows
+    are numbered in `order_col` order, so any retry/resume produces the
+    same split. feature-limit: part = floor(rank/limit). max-file-size:
+    part = floor(cumulative_bytes_before/max) over the measured
+    serialized row size (the same estimator the manifest records) —
+    like the reference, file sizes are approximate (a row is never
+    split, so a file may exceed the cap by less than one row).
+
+    ONE window shuffle partitioned by the partition value — each
+    value's stream numbers independently, so 10^6 partitions split in
+    parallel (no global order-by)."""
+    from pyspark.sql import Window
+
+    if (feature_limit is None) == (max_file_size is None):
+        raise ValueError("pass exactly one of feature_limit/max_file_size")
+    w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    if feature_limit is not None:
+        seq = F.floor(
+            (F.row_number().over(w) - F.lit(1)) / F.lit(feature_limit)
+        )
+        return df.withColumn("part_seq", seq.cast("int"))
+    nbytes = F.length(F.to_json(F.struct(*df.columns)))
+    cum = F.sum(nbytes).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = F.floor(F.coalesce(cum, F.lit(0)) / F.lit(max_file_size))
+    return df.withColumn("part_seq", seq.cast("int"))
+
+
+def write_vector_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    order_col: str,
+    scheme: str = "hive",
+    feature_limit: int | None = None,
+    max_file_size: int | None = None,
+    layer_name: str = "layer",
+    digits: int = 10,
+) -> str:
+    """`gdal vector partition` writer with split + scheme options
+    (apps/gdalalg_vector_partition.cpp:85-96,158-204):
+
+    - scheme=hive  → <path>/field=value/part_%0<digits>d.parquet
+    - scheme=flat  → <path>/<layer>_<value>_%0<digits>d.parquet
+    - feature-limit / max-file-size split each partition value into
+      numbered part files (split_partitions), one data file per
+      (value, part_seq)
+
+    The distributed write stages hive-style with part_seq as an extra
+    partition column, then renames files into the scheme layout (one
+    rename per OUTPUT FILE — bounded by file count, not rows). The
+    manifest gains the part_seq column, so resume/lineage queries see
+    every split."""
+    import shutil
+
+    spark = df.sparkSession
+    run_id = uuid.uuid4().hex[:12]
+    split = (
+        split_partitions(
+            df, partition_cols, order_col, feature_limit, max_file_size
+        )
+        if (feature_limit is not None or max_file_size is not None)
+        else df.withColumn("part_seq", F.lit(0))
+    )
+    staging = os.path.join(path, "_staging", run_id)
+    # hive re-derives the field from the directory name, so partitionBy
+    # on the field itself; flat keeps the field IN the data file (the
+    # reference's flat files carry it unless --omit-partitioned-field),
+    # so stage on aliased copies used only for directory layout
+    if scheme == "hive":
+        stage_df, pb = split, list(partition_cols)
+    else:
+        stage_df = split.select(
+            "*", *[F.col(c).alias(f"_pv_{c}") for c in partition_cols]
+        )
+        pb = [f"_pv_{c}" for c in partition_cols]
+    # one task — hence one file — per (partition value, part_seq)
+    stage_df.repartition(
+        *[F.col(c) for c in partition_cols], F.col("part_seq")
+    ).write.partitionBy(*pb, "part_seq").parquet(staging)
+    for root, _dirs, files in os.walk(staging):
+        rel = os.path.relpath(root, staging)
+        if "part_seq=" not in rel:
+            continue
+        *value_dirs, seq_dir = rel.split(os.sep)
+        seq = int(seq_dir.split("=", 1)[1])
+        data = sorted(f for f in files if not f.startswith(("_", ".")))
+        for i, f in enumerate(data):
+            # normally one file per dir; suffix any extras defensively
+            stem = f"part_{seq:0{digits}d}" if scheme == "hive" else (
+                layer_name + "_"
+                + "_".join(v.split("=", 1)[1] for v in value_dirs)
+                + f"_{seq:0{digits}d}"
+            )
+            name = (stem if i == 0 else f"{stem}_{i}") + ".parquet"
+            dst_dir = (
+                os.path.join(path, *value_dirs) if scheme == "hive" else path
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            shutil.move(os.path.join(root, f), os.path.join(dst_dir, name))
+    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        os.rmdir(os.path.join(path, "_staging"))
+    except OSError:
+        pass
+    metrics = split.groupBy(*partition_cols, "part_seq").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length(F.to_json(F.struct(*df.columns)))).alias("n_bytes"),
+    )
+    manifest = metrics.select(
+        F.lit(run_id).alias("run_id"),
+        *partition_cols,
+        "part_seq",
+        "n_rows",
+        "n_bytes",
+        F.lit(int(time.time())).alias("written_at"),
+    )
+    manifest.write.mode("append").parquet(manifest_path(path))
+    return run_id
+
+
+# --- transactions (VERDICT r4 next #4) ---------------------------------
+#
+# StartTransaction/CommitTransaction/RollbackTransaction
+# (ogr/ogrsf_frmts/generic/ogrlayer.cpp:2757-2891) mapped onto
+# snapshot-pinned writes over the manifest:
+#
+# - writes inside a transaction STAGE under <path>/_staging/<txn_id>/
+#   (same partition layout) — never visible to readers;
+# - commit publishes in two steps: (1) move the staged files into the
+#   table's partition directories (file-level metadata moves; an
+#   Iceberg catalog swap replaces this on object stores), then (2)
+#   append the manifest rows in ONE write — the manifest append IS the
+#   atomic publish point, because committed readers (read_committed)
+#   see only partitions present in the manifest;
+# - rollback deletes the staging directory; table + manifest unchanged.
+#
+# Isolation granularity is the PARTITION (the tile/shard append model
+# this engine writes): a transaction appends partitions disjoint from
+# committed ones, so a crash between steps (1) and (2) leaves orphan
+# files only in not-yet-manifested partitions — invisible to committed
+# readers and safely redone by a resumed run.
+
+
+class Transaction:
+    """One open transaction on a partitioned dataset."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.txn_id = uuid.uuid4().hex[:12]
+        self.staging = os.path.join(path, "_staging", self.txn_id)
+        self._partition_cols: list[str] | None = None
+        self._metrics: list[tuple] = []
+        self._open = True
+
+    def write(self, df: DataFrame, partition_cols: list[str]) -> int:
+        """Stage one batch (OGR CreateFeature analog at batch grain).
+        Returns rows staged. Raises if the transaction was closed."""
+        if not self._open:
+            raise RuntimeError("transaction already committed/rolled back")
+        if self._partition_cols is None:
+            self._partition_cols = list(partition_cols)
+        elif self._partition_cols != list(partition_cols):
+            raise ValueError("partition columns must match within a txn")
+        df.write.mode("append").partitionBy(*partition_cols).parquet(
+            self.staging
+        )
+        metrics = df.groupBy(*partition_cols).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.length(F.to_json(F.struct("*")))).alias("n_bytes"),
+        )
+        # bounded-metadata: one row per partition value in this batch
+        rows = metrics.collect()
+        self._metrics.extend(tuple(r) for r in rows)
+        return int(sum(r["n_rows"] for r in rows))
+
+    def commit(self) -> str | None:
+        """Publish: move staged files into the table, then append the
+        manifest rows (single write = the snapshot swap). Returns the
+        run_id, or None for an empty transaction."""
+        if not self._open:
+            raise RuntimeError("transaction already committed/rolled back")
+        self._open = False
+        if not self._metrics:
+            self._cleanup()
+            return None
+        import shutil
+
+        for root, _dirs, files in os.walk(self.staging):
+            rel = os.path.relpath(root, self.staging)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue  # _SUCCESS / .crc markers stay behind
+                dst_dir = (
+                    self.path if rel == "." else os.path.join(self.path, rel)
+                )
+                os.makedirs(dst_dir, exist_ok=True)
+                shutil.move(
+                    os.path.join(root, f), os.path.join(dst_dir, f)
+                )
+        pc = self._partition_cols or []
+        manifest = self.spark.createDataFrame(
+            [
+                (self.txn_id, *m, int(time.time()))
+                for m in self._metrics
+            ],
+            ["run_id", *pc, "n_rows", "n_bytes", "written_at"],
+        )
+        manifest.coalesce(1).write.mode("append").parquet(
+            manifest_path(self.path)
+        )
+        self._cleanup()
+        return self.txn_id
+
+    def rollback(self) -> None:
+        """Discard all staged writes; the table and manifest are
+        untouched (ogrlayer.cpp RollbackTransaction contract)."""
+        self._open = False
+        self._cleanup()
+
+    def _cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+        # drop the _staging parent when this was the last open txn
+        parent = os.path.dirname(self.staging)
+        try:
+            os.rmdir(parent)
+        except OSError:
+            pass
+
+
+def start_transaction(spark: SparkSession, path: str) -> Transaction:
+    """OGRLayer::StartTransaction analog."""
+    return Transaction(spark, path)
+
+
+def read_committed(
+    spark: SparkSession, path: str, partition_cols: list[str]
+) -> DataFrame:
+    """Snapshot reader: only rows whose partition value appears in the
+    COMMITTED manifest — uncommitted/staged/orphaned files are
+    invisible (the parquet reader skips _staging/_manifest as
+    _-prefixed paths). Returns None when nothing was ever committed.
+    This is the read side of the manifest-swap publish."""
+    m = read_manifest(spark, path)
+    if m is None:
+        return None
+    df = spark.read.option("basePath", path).parquet(path)
+    return df.join(
+        F.broadcast(m.select(*partition_cols).distinct()),
+        partition_cols,
+        "left_semi",
+    )

@@ -174,6 +174,9 @@ def collect() -> tuple[
         # r5: closed-form curve measures — analytic pi()-oracle; the ST
         # registry's in-window reps stay st_geodesic/ogr_special_fields.
         "st_curve_measures",
+        # r5: feature-limit split manifest — the writer family's
+        # in-window rep stays partition_write_manifest.
+        "partition_write_splits",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -397,6 +397,43 @@ QUERIES["partition_write_manifest"] = _partition_write
 ORACLES["partition_write_manifest"] = PARTITION_WRITE_ORACLE
 
 
+def _partition_write_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector partition --feature-limit splits (VERDICT r4 next #5,
+    apps/gdalalg_vector_partition.cpp:158): pages partitioned by lang,
+    each partition split into numbered parts of <= 100 features; the
+    manifest carries (lang, part_seq, n_rows)."""
+    import tempfile
+
+    from gdal_spark.operators import checkpoint as CP
+
+    tables.register_views(spark, sf_dir)
+    pages = spark.sql("select url, text, lang from pages")
+    out = tempfile.mkdtemp(prefix="gdal_spark_partsplit_")
+    CP.write_vector_partitioned(
+        pages, out, ["lang"], order_col="url", feature_limit=100
+    )
+    m = CP.read_manifest(spark, out)
+    return m.select("lang", "part_seq", "n_rows").orderBy("lang", "part_seq")
+
+
+# split sizes depend only on per-lang counts: part k of n rows holds
+# min(100, n - 100k) — enumerable in SQL without knowing the order key
+PARTITION_SPLITS_ORACLE = """
+with c as (select lang, count(*) as n from documents group by lang),
+s as (
+  select lang, cast(i as int) as part_seq,
+         cast(least(100, n - i * 100) as bigint) as n_rows
+  from c cross join (select unnest(range(0,
+       (select cast(ceil(max(n) / 100.0) as bigint) from c))) as i)
+  where i * 100 < n
+)
+select lang, part_seq, n_rows from s order by lang, part_seq
+"""
+
+QUERIES["partition_write_splits"] = _partition_write_splits
+ORACLES["partition_write_splits"] = PARTITION_SPLITS_ORACLE
+
+
 # --- column exclusion (OGR 'SELECT * EXCLUDE (...)', swq_parser.y:76-77) ---
 
 SELECT_EXCEPT_SQL = """

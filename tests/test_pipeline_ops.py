@@ -40,6 +40,134 @@ def test_resumable_write_and_resume(spark, tmp_path):
     assert CP.read_manifest(spark, path).count() == 5
 
 
+def test_vector_partition_splits_and_schemes(spark, tmp_path):
+    """--feature-limit / --max-file-size splits + hive/flat scheme
+    layout (VERDICT r4 next #5, apps/gdalalg_vector_partition.cpp:
+    85-96,158-204)."""
+    import os
+
+    df = spark.range(250).select(
+        (F.when(F.col("id") < 130, "a").otherwise("b")).alias("grp"),
+        F.col("id").alias("v"),
+    )
+    # feature-limit 50: grp a (130 rows) -> parts 50/50/30; b (120) -> 50/50/20
+    hive = str(tmp_path / "hive")
+    CP.write_vector_partitioned(
+        df, hive, ["grp"], order_col="v", feature_limit=50
+    )
+    m = {
+        (r.grp, r.part_seq): r.n_rows
+        for r in CP.read_manifest(spark, hive).collect()
+    }
+    assert m == {("a", 0): 50, ("a", 1): 50, ("a", 2): 30,
+                 ("b", 0): 50, ("b", 1): 50, ("b", 2): 20}
+    assert sorted(os.listdir(os.path.join(hive, "grp=a"))) == [
+        "part_0000000000.parquet", "part_0000000001.parquet",
+        "part_0000000002.parquet",
+    ]
+    back = spark.read.parquet(hive)
+    assert back.count() == 250
+    assert back.where("grp = 'a'").count() == 130
+    # split assignment is deterministic in order_col: rows 0..49 -> seq 0
+    from gdal_spark.operators.checkpoint import split_partitions
+
+    s = split_partitions(df, ["grp"], "v", feature_limit=50)
+    rows = {r.v: r.part_seq for r in s.collect()}
+    assert rows[0] == 0 and rows[49] == 0 and rows[50] == 1 and rows[129] == 2
+
+    # flat scheme: value + seq in the FILENAME, field kept in the file
+    flat = str(tmp_path / "flat")
+    CP.write_vector_partitioned(
+        df, flat, ["grp"], order_col="v", scheme="flat",
+        feature_limit=100, layer_name="pages", digits=4,
+    )
+    names = sorted(
+        f for f in os.listdir(flat) if not f.startswith("_")
+    )
+    assert names == [
+        "pages_a_0000.parquet", "pages_a_0001.parquet",
+        "pages_b_0000.parquet", "pages_b_0001.parquet",
+    ]
+    one = spark.read.parquet(os.path.join(flat, "pages_b_0001.parquet"))
+    assert one.columns == ["grp", "v"] or set(one.columns) == {"grp", "v"}
+    assert one.count() == 20 and one.select("grp").distinct().collect()[0].grp == "b"
+
+    # max-file-size: byte-budget bins never split a row and only the
+    # last part of each value may be under-full
+    sized = split_partitions(df, ["grp"], "v", max_file_size=400)
+    agg = sized.groupBy("grp", "part_seq").count().collect()
+    assert all(r["count"] >= 1 for r in agg)
+    nparts = {r.grp: 0 for r in agg}
+    for r in agg:
+        nparts[r.grp] = max(nparts[r.grp], r.part_seq + 1)
+    assert nparts["a"] > 1 and nparts["b"] > 1
+    with pytest.raises(ValueError):
+        split_partitions(df, ["grp"], "v")
+    with pytest.raises(ValueError):
+        split_partitions(df, ["grp"], "v", feature_limit=1, max_file_size=1)
+
+
+def test_transaction_rollback_leaves_pre_state(spark, tmp_path):
+    """OGR Start/Commit/RollbackTransaction over the manifest (VERDICT
+    r4 next #4): a transaction that fails BETWEEN partition writes and
+    rolls back leaves committed readers seeing exactly the pre-state;
+    a committed transaction publishes atomically via the manifest
+    append."""
+    path = str(tmp_path / "tx")
+    base = spark.range(20).select(
+        (F.col("id") % 2).alias("part"), F.col("id").alias("v")
+    )
+    # pre-state: one committed transaction
+    t0 = CP.start_transaction(spark, path)
+    assert t0.write(base, ["part"]) == 20
+    rid0 = t0.commit()
+    assert rid0 is not None
+    pre = CP.read_committed(spark, path, ["part"])
+    assert pre.count() == 20
+
+    # failing transaction: writes partition 5, "crashes" before 6
+    t1 = CP.start_transaction(spark, path)
+    t1.write(
+        spark.range(7).select(F.lit(5).alias("part"), F.col("id").alias("v")),
+        ["part"],
+    )
+    # mid-txn: committed readers see NONE of the staged rows
+    assert CP.read_committed(spark, path, ["part"]).count() == 20
+    t1.rollback()
+    after = CP.read_committed(spark, path, ["part"])
+    assert after.count() == 20
+    assert sorted(r.part for r in after.select("part").distinct().collect()) == [0, 1]
+    # manifest unchanged; staging gone
+    assert CP.read_manifest(spark, path).count() == 2
+    import os
+
+    assert not os.path.exists(os.path.join(path, "_staging"))
+    # writes after close are refused (ogrlayer.cpp: no txn in progress)
+    with pytest.raises(RuntimeError):
+        t1.write(base, ["part"])
+
+    # committed transaction: both partitions publish together
+    t2 = CP.start_transaction(spark, path)
+    t2.write(
+        spark.range(3).select(F.lit(6).alias("part"), F.col("id").alias("v")),
+        ["part"],
+    )
+    t2.write(
+        spark.range(4).select(F.lit(7).alias("part"), F.col("id").alias("v")),
+        ["part"],
+    )
+    rid2 = t2.commit()
+    got = CP.read_committed(spark, path, ["part"])
+    assert got.count() == 27
+    m = {r.part: r for r in CP.read_manifest(spark, path).collect()}
+    assert m[6].n_rows == 3 and m[7].n_rows == 4 and m[6].run_id == rid2
+    # resume interop: the committed partitions anti-join away
+    assert CP.resume_antijoin(got, path, ["part"]).count() == 0
+    # empty transaction commits to None
+    t3 = CP.start_transaction(spark, path)
+    assert t3.commit() is None
+
+
 # --- multimodal stubs ---
 
 
