@@ -21,10 +21,43 @@ from gdal_spark.cellindex.hilbert import hilbert_code
 NODE_SIZE = 16  # parity: flatgeobuf packedrtree.h:140 default
 
 
+def str_leaf_order(
+    cx: np.ndarray, cy: np.ndarray, node_size: int = 10
+) -> np.ndarray:
+    """Leaf order of a Sort-Tile-Recursive packed tree (Leutenegger et
+    al. 1997) — the packing GEOS STRtree uses, which `gdal vector sort
+    --method strtree` iterates (apps/gdalalg_vector_sort.cpp:419
+    GEOSSTRtree_create(10), :517 GEOSSTRtree_iterate). One x-sort into
+    ceil(sqrt(P)) vertical slices of S*cap consecutive items, then a
+    y-sort within each slice. Ties break on the original index (stable
+    sorts), so callers pass items in a deterministic order. Returns the
+    permutation mapping leaf slot -> item index."""
+    cx = np.asarray(cx, dtype=np.float64)
+    cy = np.asarray(cy, dtype=np.float64)
+    n = len(cx)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    pages = -(-n // node_size)
+    s = int(np.ceil(np.sqrt(float(pages))))
+    slice_sz = s * node_size
+    by_x = np.argsort(cx, kind="stable")
+    out = np.empty(n, dtype=np.int64)
+    for i in range(0, n, slice_sz):
+        sl = by_x[i:i + slice_sz]
+        out[i:i + len(sl)] = sl[np.argsort(cy[sl], kind="stable")]
+    return out
+
+
 class PackedRTree:
-    def __init__(self, boxes: np.ndarray, node_size: int = NODE_SIZE):
-        """boxes: (N,4) [minx,miny,maxx,maxy]. Item order is Hilbert-sorted;
-        self.order maps tree leaf slot → original item index."""
+    def __init__(
+        self, boxes: np.ndarray, node_size: int = NODE_SIZE,
+        method: str = "hilbert",
+    ):
+        """boxes: (N,4) [minx,miny,maxx,maxy]. Item order is
+        Hilbert-sorted (flatgeobuf parity, default) or Sort-Tile-
+        Recursive (method='str', GEOS STRtree parity); self.order maps
+        tree leaf slot → original item index. Query semantics are
+        identical either way — packing only affects leaf locality."""
         boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
         n = len(boxes)
         self.node_size = node_size
@@ -34,14 +67,17 @@ class PackedRTree:
             return
         cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
         cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
-        ext = (
-            float(boxes[:, 0].min()),
-            float(boxes[:, 1].min()),
-            float(boxes[:, 2].max()),
-            float(boxes[:, 3].max()),
-        )
-        h = hilbert_code(cx, cy, ext[0], ext[1], ext[2], ext[3])
-        self.order = np.argsort(h, kind="stable").astype(np.int64)
+        if method == "str":
+            self.order = str_leaf_order(cx, cy, node_size)
+        else:
+            ext = (
+                float(boxes[:, 0].min()),
+                float(boxes[:, 1].min()),
+                float(boxes[:, 2].max()),
+                float(boxes[:, 3].max()),
+            )
+            h = hilbert_code(cx, cy, ext[0], ext[1], ext[2], ext[3])
+            self.order = np.argsort(h, kind="stable").astype(np.int64)
         # level 0 = sorted leaf boxes; parents = groupwise min/max of 16
         lvl = boxes[self.order]
         self.levels = [lvl]

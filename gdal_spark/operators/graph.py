@@ -101,6 +101,87 @@ def shortest_path_with_route(
     return dist
 
 
+def multi_source_shortest_paths(
+    edges: DataFrame,
+    sources: list[tuple[int, int]],
+    max_iters: int = 30,
+    excluded_edges: list[tuple[int, int, int]] | None = None,
+    excluded_nodes: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """(sid, node, dist, path) — Bellman-Ford from MANY sources in ONE
+    relaxation loop, each source id carrying its OWN exclusion set
+    (sid-scoped removed edges / removed nodes, anti-joined against tiny
+    broadcast tables each round).  This is the batched spur solver of
+    VERDICT r4 next #7: all spur SSSPs of one Yen iteration share one
+    frontier, so the job count per iteration is O(max_iters) instead of
+    O(path_length · max_iters).  Ties break on min(struct(dist, path))
+    — identical to shortest_path_with_route."""
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), int(n), 0.0, [int(n)]) for s, n in sources],
+        "sid int, node long, dist double, path array<long>",
+    )
+    ee = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in (excluded_edges or [])]
+        or [(-1, -1, -1)],
+        "xsid int, xsrc long, xdst long",
+    )
+    en = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in (excluded_nodes or [])] or [(-1, -1)],
+        "nsid int, xnode long",
+    )
+    for _ in range(max_iters):
+        relaxed = (
+            dist.alias("d")
+            .join(edges.alias("e"), F.col("d.node") == F.col("e.src"))
+            .select(
+                F.col("d.sid").alias("sid"),
+                F.col("e.src").alias("esrc"),
+                F.col("e.dst").alias("node"),
+                (F.col("d.dist") + F.col("e.w")).alias("dist"),
+                F.concat(F.col("d.path"), F.array(F.col("e.dst"))).alias(
+                    "path"
+                ),
+            )
+            .join(
+                F.broadcast(ee),
+                (F.col("sid") == F.col("xsid"))
+                & (F.col("esrc") == F.col("xsrc"))
+                & (F.col("node") == F.col("xdst")),
+                "left_anti",
+            )
+            .join(
+                F.broadcast(en),
+                (F.col("sid") == F.col("nsid"))
+                & (
+                    (F.col("esrc") == F.col("xnode"))
+                    | (F.col("node") == F.col("xnode"))
+                ),
+                "left_anti",
+            )
+            .drop("esrc")
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("sid", "node")
+            .agg(F.min(F.struct("dist", "path")).alias("best"))
+            .select("sid", "node", "best.dist", "best.path")
+        )
+        new = new.localCheckpoint(eager=True)  # lineage truncation
+        improved = (
+            new.alias("n")
+            .join(dist.alias("o"), ["sid", "node"], "left")
+            .where(
+                F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .count()
+        )
+        dist = new
+        if improved == 0:
+            break
+    return dist
+
+
 def k_shortest_paths(
     edges: DataFrame,
     source: int,
@@ -110,37 +191,35 @@ def k_shortest_paths(
 ) -> list[tuple[float, list[int]]]:
     """Yen's K-shortest loopless paths (GNMGraph::KShortestPaths,
     gnm/gnmgraph.cpp:247-381): the best path from the distributed SSSP,
-    then for every spur node of every accepted path, re-run SSSP on the
+    then for every spur node of every accepted path, solve SSSP on the
     graph minus (a) the following edge of every accepted path sharing
     the root and (b) the root's interior nodes, keeping the K cheapest
     candidates.  Returns [(cost, [nodes])] sorted by (cost, path) —
     equal-cost paths ordered lexicographically, matching the
     reference's cost-keyed multimap.
 
-    Driver state is the candidate paths plus their per-node cumulative
-    costs — O(K · path length), bounded.  Each spur SSSP is fully
-    distributed; Yen's inherent O(K · |path|) SSSP invocations are the
-    same loop the reference runs single-node."""
+    All spurs of one Yen iteration are BATCHED into one multi-source
+    Bellman-Ford (sid column + sid-scoped exclusion anti-joins), so the
+    Spark job count is O(K · max_iters), not O(K · L · max_iters)
+    (VERDICT r4 next #7).  Driver state is the candidate paths plus
+    their per-node cumulative costs — O(K · path length), bounded."""
     if k <= 0:
         return []
-
-    def sssp(filtered: DataFrame, src: int, need: "set[int]"):
-        """dist+path per node, restricted to the rows we consume (the
-        target and candidate-path nodes) — a bounded collect."""
-        out = shortest_path_with_route(filtered, src, max_iters)
-        rows = out.where(
-            F.col("node").isin([int(n) for n in need])
-        ).collect()  # bounded-metadata: |need| <= path-length rows
-        return {r["node"]: (float(r["dist"]), list(r["path"])) for r in rows}
-
-    res = sssp(edges, source, {target})
-    if target not in res:
+    base = multi_source_shortest_paths(
+        edges, [(0, source)], max_iters
+    )
+    rows = base.where(
+        F.col("node") == int(target)
+    ).collect()  # bounded-metadata: one row (the target)
+    if not rows:
         return []
-    first_cost, first_path = res[target]
-    # re-fetch dists of the path's own nodes → cumulative costs
-    res = sssp(edges, source, set(first_path))
-    first_cum = [res[n][0] for n in first_path]
-    # A entries: (cost, path, cumulative costs per node)
+    first_cost = float(rows[0]["dist"])
+    first_path = list(rows[0]["path"])
+    cum_rows = base.where(
+        F.col("node").isin([int(n) for n in first_path])
+    ).collect()  # bounded-metadata: path-length rows
+    cum_map = {r["node"]: float(r["dist"]) for r in cum_rows}
+    first_cum = [cum_map[n] for n in first_path]
     A: list[tuple[float, list[int], list[float]]] = [
         (first_cost, first_path, first_cum)
     ]
@@ -148,30 +227,43 @@ def k_shortest_paths(
 
     for _ in range(k - 1):
         _, path_k, cum_k = A[-1]
+        spurs: list[tuple[int, int]] = []
+        spec: dict[int, tuple[int, list[int], float]] = {}
+        excl_e: list[tuple[int, int, int]] = []
+        excl_n: list[tuple[int, int]] = []
         for i in range(len(path_k) - 1):
+            sid = i
             spur = path_k[i]
             root = path_k[: i + 1]
-            root_cost = cum_k[i]
-            removed_edges = set()
+            spurs.append((sid, spur))
+            spec[sid] = (i, root, cum_k[i])
             for _, p, _c in A:
                 if len(p) > i + 1 and p[: i + 1] == root:
-                    removed_edges.add((p[i], p[i + 1]))
-            root_interior = set(root[:-1])
-            cond = ~F.concat_ws("|", F.col("src"), F.col("dst")).isin(
-                [f"{a}|{b}" for a, b in removed_edges]
+                    excl_e.append((sid, p[i], p[i + 1]))
+            for n in set(root[:-1]):
+                excl_n.append((sid, n))
+        res = multi_source_shortest_paths(
+            edges, spurs, max_iters, excl_e, excl_n
+        )
+        # bounded-metadata: ≤ |spurs| target rows + Σ path-length rows
+        t_rows = res.where(F.col("node") == int(target)).collect()
+        by_sid = {r["sid"]: (float(r["dist"]), list(r["path"])) for r in t_rows}
+        need = {
+            (r["sid"], n) for r in t_rows for n in r["path"]
+        }
+        d_rows = res.where(
+            F.concat_ws(":", F.col("sid"), F.col("node")).isin(
+                [f"{int(s)}:{int(n)}" for s, n in need]
             )
-            if root_interior:
-                ri = [int(n) for n in root_interior]
-                cond = cond & ~F.col("src").isin(ri) & ~F.col("dst").isin(ri)
-            filtered = edges.where(cond)
-            r1 = sssp(filtered, spur, {target})
-            if target not in r1:
-                continue
-            spur_cost, spur_path = r1[target]
-            r2 = sssp(filtered, spur, set(spur_path))
+            if need
+            else F.lit(False)
+        ).collect()  # bounded-metadata: Σ spur-path-length rows
+        dmap = {(r["sid"], r["node"]): float(r["dist"]) for r in d_rows}
+        for sid, (spur_cost, spur_path) in sorted(by_sid.items()):
+            i, root, root_cost = spec[sid]
             cand_path = root[:-1] + spur_path
             cand_cum = cum_k[:i] + [
-                root_cost + r2[n][0] for n in spur_path
+                root_cost + dmap[(sid, n)] for n in spur_path
             ]
             cand = (root_cost + spur_cost, cand_path, cand_cum)
             if all(cand_path != p for _, p, _c in A) and all(

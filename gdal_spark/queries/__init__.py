@@ -177,6 +177,9 @@ def collect() -> tuple[
         # r5: feature-limit split manifest — the writer family's
         # in-window rep stays partition_write_manifest.
         "partition_write_splits",
+        # r5: STR leaf-order sort — the sort family's in-window rep
+        # stays spatial_sort_morton (hilbert + strtree green locally).
+        "spatial_sort_strtree",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

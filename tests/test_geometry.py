@@ -440,3 +440,78 @@ def test_st_length_area_dispatch_curve_wkb(spark):
     ).collect()[0]
     assert r.l == pytest.approx(4 * math.pi, abs=1e-9)
     assert r.a == pytest.approx(4 * math.pi, abs=1e-9)
+
+
+# --- STR leaf-order spatial sort (VERDICT r4 next #6) ---
+
+
+def test_str_leaf_order_parity_with_packed_tree():
+    """The sort key IS the packed tree's leaf order: str_leaf_order ==
+    PackedRTree(method='str').order, and slices obey the STR shape
+    (x-ranges of slices non-overlapping, y-sorted within)."""
+    from gdal_spark.geometry.strtree import PackedRTree, str_leaf_order
+
+    rng = np.random.RandomState(7)
+    n = 137
+    cx, cy = rng.rand(n) * 100, rng.rand(n) * 50
+    boxes = np.column_stack([cx - 1, cy - 1, cx + 1, cy + 1])
+    order = str_leaf_order(cx, cy, node_size=10)
+    tree = PackedRTree(boxes, node_size=10, method="str")
+    assert np.array_equal(tree.order, order)
+    assert sorted(order.tolist()) == list(range(n))
+    # slice structure: ceil(sqrt(ceil(137/10))) = 4 -> slice size 40
+    sl = 40
+    for i in range(0, n, sl):
+        chunk = order[i:i + sl]
+        assert np.all(np.diff(cy[chunk]) >= 0)  # y-sorted within slice
+        if i + sl < n:
+            nxt = order[i + sl:i + 2 * sl]
+            assert cx[chunk].max() <= cx[nxt].min() + 1e-12  # x-sliced
+    # an STR-packed tree answers queries identically to the hilbert one
+    hil = PackedRTree(boxes, node_size=10)
+    qi, qj = tree.query_points(cx[:20], cy[:20])
+    hi, hj = hil.query_points(cx[:20], cy[:20])
+    assert sorted(zip(qi.tolist(), qj.tolist())) == sorted(
+        zip(hi.tolist(), hj.tolist())
+    )
+
+
+def test_strtree_sort_query_matches_numpy_leaf_order(spark):
+    """The distributed spatial_sort_strtree query produces EXACTLY the
+    numpy leaf order on the same points (same slice math, same
+    tie-breaks), and its locality is comparable to hilbert's and far
+    better than unsorted."""
+    from gdal_spark.cellindex.hilbert import hilbert_code
+    from gdal_spark.geometry.strtree import str_leaf_order
+    from gdal_spark.queries.spatial import _spatial_sort_strtree
+
+    df = _spatial_sort_strtree(spark, "/root/testdata/sf0.001")
+    rows = sorted(
+        ((r.leaf_pos, r.url, r.slice) for r in df.collect())
+    )
+    urls_sorted = [u for (_, u, _) in rows]
+    # recompute lon/lat for each url via the engine's geocode SQL
+    from gdal_spark import tables
+
+    gp = {
+        r.url: (r.lon, r.lat)
+        for r in tables.geo_pages(spark, "/root/testdata/sf0.001")
+        .select("url", "lon", "lat").collect()
+    }
+    # numpy leaf order with the SAME tie-break (url order = input order)
+    urls = sorted(gp)
+    lon = np.array([gp[u][0] for u in urls])
+    lat = np.array([gp[u][1] for u in urls])
+    order = str_leaf_order(lon, lat, node_size=10)
+    assert [urls[i] for i in order] == urls_sorted
+    # locality: mean consecutive center distance
+    def loc(seq):
+        p = np.array([gp[u] for u in seq])
+        return float(np.hypot(*(np.diff(p, axis=0).T)).mean())
+
+    str_loc = loc(urls_sorted)
+    h = hilbert_code(lon, lat, lon.min(), lat.min(), lon.max(), lat.max())
+    hil_loc = loc([urls[i] for i in np.argsort(h, kind="stable")])
+    unsorted_loc = loc(urls)  # url order ~ random spatially
+    assert str_loc < 0.35 * unsorted_loc
+    assert str_loc < 2.0 * hil_loc

@@ -592,6 +592,45 @@ def test_k_shortest_paths_yen(spark):
     assert k_shortest_paths(edges, source=0, target=5, k=0) == []
 
 
+def test_multi_source_sssp_batches_spurs(spark):
+    """VERDICT r4 next #7: one relaxation loop solves MANY sources with
+    per-source exclusions — each sid sees its own filtered graph."""
+    from gdal_spark.operators.graph import (
+        multi_source_shortest_paths,
+        shortest_path_with_route,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 3.0), (0, 2, 2.0), (1, 3, 4.0), (2, 1, 1.0),
+            (2, 3, 2.0), (2, 4, 3.0), (3, 4, 2.0), (3, 5, 1.0),
+            (4, 5, 2.0),
+        ],
+        "src long, dst long, w double",
+    )
+    # sid 0: plain from 0; sid 1: from 0 minus edge (2,3);
+    # sid 2: from 2 with node 0 removed (a no-op for forward reach)
+    res = multi_source_shortest_paths(
+        edges,
+        [(0, 0), (1, 0), (2, 2)],
+        excluded_edges=[(1, 2, 3)],
+        excluded_nodes=[(2, 0)],
+    )
+    got = {
+        (r.sid, r.node): (r.dist, list(r.path)) for r in res.collect()
+    }
+    # sid 0 matches the single-source solver on every node
+    single = {
+        r.node: (r.dist, list(r.path))
+        for r in shortest_path_with_route(edges, 0).collect()
+    }
+    assert {n: got[(0, n)] for (s, n) in got if s == 0} == single
+    # sid 1: without (2,3), best 0->5 detours via 4: 0-2-4-5 = 7
+    assert got[(1, 5)] == (7.0, [0, 2, 4, 5])
+    # sid 2: from node 2, 2-3-5 = 3
+    assert got[(2, 5)] == (3.0, [2, 3, 5])
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark-based streaming exact dedup
     (streaming analog of dedup_exact): a re-crawl drop with duplicated
