@@ -228,6 +228,75 @@ def get(name: str) -> TileMatrixSet:
     return _PREDEFINED[name]
 
 
+def from_json(obj: "dict | str", meters_per_unit: float = 1.0) -> TileMatrixSet:
+    """Parse an OGC TileMatrixSet definition — TMS 2.0 ("id" +
+    "tileMatrices"/"pointOfOrigin") or TMS 1.0 ("identifier" +
+    "tileMatrix"/"topLeftCorner") — the format of the reference's
+    tms_*.json registry files (gcore/tilematrixset.cpp:256-470).
+    Resolution derives from the scale denominator per OGC 17-083r2
+    Table 2 note g: res = scaleDenominator * 0.28e-3 / metersPerUnit.
+    Scale denominators must be a strictly decreasing positive series;
+    variable matrix widths are unsupported (like the reference's tile
+    app, which skips such schemes, apps/gdalalg_raster_tile.cpp:195)."""
+    import json as _json
+
+    if isinstance(obj, str):
+        obj = _json.loads(obj)
+    v2 = "crs" in obj and "tileMatrices" in obj
+    if not v2 and obj.get("type") != "TileMatrixSetType":
+        raise ValueError("expected TMS 2.0 or type=TileMatrixSetType")
+    ident = obj.get("id" if v2 else "identifier", "")
+    crs = obj.get("crs", "")
+    if isinstance(crs, dict):  # TMS 2.0 allows {"uri": ...}
+        crs = crs.get("uri", "")
+    bbox = obj.get("boundingBox", {})
+    lower = bbox.get("lowerCorner", [float("nan")] * 2)
+    upper = bbox.get("upperCorner", [float("nan")] * 2)
+    mats = []
+    last_sd = float("inf")
+    for i, tm in enumerate(obj.get("tileMatrices" if v2 else "tileMatrix", [])):
+        sd = float(tm["scaleDenominator"])
+        if sd >= last_sd or sd <= 0:
+            raise ValueError(
+                "invalid or non-decreasing scale denominator series"
+            )
+        last_sd = sd
+        if v2 and tm.get("cornerOfOrigin", "topLeft") != "topLeft":
+            raise ValueError("cornerOfOrigin != topLeft not supported")
+        if tm.get("variableMatrixWidths" if v2 else "variableMatrixWidth"):
+            raise ValueError("variable matrix widths not supported")
+        origin = tm["pointOfOrigin" if v2 else "topLeftCorner"]
+        res = sd * 0.28e-3 / meters_per_unit
+        tw, th = int(tm["tileWidth"]), int(tm["tileHeight"])
+        mw, mh = int(tm["matrixWidth"]), int(tm["matrixHeight"])
+        if min(tw, th, mw, mh) <= 0:
+            raise ValueError("invalid tile/matrix dimensions")
+        mats.append(
+            TileMatrix(
+                z=i,
+                res_x=res,
+                res_y=res,
+                top_left_x=float(origin[0]),
+                top_left_y=float(origin[1]),
+                tile_width=tw,
+                tile_height=th,
+                matrix_width=mw,
+                matrix_height=mh,
+                scale_denominator=sd,
+            )
+        )
+    return TileMatrixSet(
+        ident,
+        obj.get("title", ident),
+        crs,
+        (
+            float(lower[0]), float(lower[1]),
+            float(upper[0]), float(upper[1]),
+        ),
+        tuple(mats),
+    )
+
+
 def create_raster(
     width: int,
     height: int,

@@ -88,3 +88,72 @@ def test_hilbert_locality_beats_row_major():
     order = np.argsort(h)
     dx = np.abs(np.diff(x[order])) + np.abs(np.diff(y[order]))
     assert np.max(dx) <= 1.0 / n + 1e-9  # every hilbert step is one cell
+
+
+def test_tms_from_json_both_versions():
+    """OGC TMS JSON parsing (gcore/tilematrixset.cpp:256-470): a TMS 2.0
+    WebMercatorQuad definition reproduces the built-in matrices; TMS 1.0
+    field names also parse; invalid series rejected."""
+    import pytest
+
+    from gdal_spark.cellindex import tms
+
+    web = tms.get("WebMercatorQuad")
+    m0, m1 = web.matrix(0), web.matrix(1)
+    v2 = {
+        "id": "MyWebMerc",
+        "crs": {"uri": "http://www.opengis.net/def/crs/EPSG/0/3857"},
+        "boundingBox": {
+            "lowerCorner": [-20037508.342789244, -20037508.342789244],
+            "upperCorner": [20037508.342789244, 20037508.342789244],
+        },
+        "tileMatrices": [
+            {
+                "id": "0",
+                "scaleDenominator": m0.scale_denominator,
+                "pointOfOrigin": [m0.top_left_x, m0.top_left_y],
+                "tileWidth": 256, "tileHeight": 256,
+                "matrixWidth": 1, "matrixHeight": 1,
+            },
+            {
+                "id": "1",
+                "scaleDenominator": m1.scale_denominator,
+                "pointOfOrigin": [m1.top_left_x, m1.top_left_y],
+                "tileWidth": 256, "tileHeight": 256,
+                "matrixWidth": 2, "matrixHeight": 2,
+            },
+        ],
+    }
+    t = tms.from_json(v2)
+    assert t.identifier == "MyWebMerc"
+    assert t.crs.endswith("EPSG/0/3857")
+    for z in (0, 1):
+        assert t.matrix(z).res_x == pytest.approx(web.matrix(z).res_x, rel=1e-15)
+        assert t.matrix(z).matrix_width == web.matrix(z).matrix_width
+    # same tile assignment as the built-in
+    import numpy as np
+    tx, ty = t.matrix(1).tile_for(np.array([1e7]), np.array([-1e7]))
+    wx, wy = web.matrix(1).tile_for(np.array([1e7]), np.array([-1e7]))
+    assert (tx[0], ty[0]) == (wx[0], wy[0]) == (1, 1)
+
+    v1 = {
+        "type": "TileMatrixSetType",
+        "identifier": "Legacy",
+        "tileMatrix": [
+            {
+                "identifier": "0",
+                "scaleDenominator": 1000.0,
+                "topLeftCorner": [0.0, 100.0],
+                "tileWidth": 512, "tileHeight": 512,
+                "matrixWidth": 3, "matrixHeight": 2,
+            }
+        ],
+    }
+    t1 = tms.from_json(v1)
+    assert t1.matrix(0).tile_width == 512
+    assert t1.matrix(0).res_x == pytest.approx(0.28, rel=1e-15)
+    # non-decreasing scale denominators rejected
+    bad = dict(v2)
+    bad["tileMatrices"] = [v2["tileMatrices"][1], v2["tileMatrices"][0]]
+    with pytest.raises(ValueError):
+        tms.from_json(bad)
