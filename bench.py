@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "spatial_join_tiles",      # flagship family (also headline below)
     "spatial_join_sql",        # pure-Catalyst strategy
     "tile_assign",             # tile math only
+    "tile_assign_geodetic",    # r5 WorldCRS84Quad scheme (linear math)
+    "spatial_sort_strtree",    # r5 STR leaf-order sort
     "groupby_agg",             # relational / aggregation
     "join_first_match",        # OGR join semantics
     "text_stats",              # text analysis

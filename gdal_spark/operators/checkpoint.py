@@ -279,8 +279,7 @@ class Transaction:
             F.count("*").alias("n_rows"),
             F.sum(F.length(F.to_json(F.struct("*")))).alias("n_bytes"),
         )
-        # bounded-metadata: one row per partition value in this batch
-        rows = metrics.collect()
+        rows = metrics.collect()  # bounded-metadata: one row per partition value in this batch
         self._metrics.extend(tuple(r) for r in rows)
         return int(sum(r["n_rows"] for r in rows))
 

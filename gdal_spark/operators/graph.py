@@ -245,8 +245,9 @@ def k_shortest_paths(
         res = multi_source_shortest_paths(
             edges, spurs, max_iters, excl_e, excl_n
         )
-        # bounded-metadata: ≤ |spurs| target rows + Σ path-length rows
-        t_rows = res.where(F.col("node") == int(target)).collect()
+        t_rows = res.where(
+            F.col("node") == int(target)
+        ).collect()  # bounded-metadata: ≤ |spurs| target rows
         by_sid = {r["sid"]: (float(r["dist"]), list(r["path"])) for r in t_rows}
         need = {
             (r["sid"], n) for r in t_rows for n in r["path"]

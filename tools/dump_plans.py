@@ -137,6 +137,29 @@ NOTES = {
         "is a groupBy(fid). 4 shuffles total, all O(segments), no "
         "driver geometry."
     ),
+    "tile_assign_geodetic": (
+        "r5 WorldCRS84Quad tiling scheme. Pure map: the plate-carree "
+        "tile math is linear column arithmetic (no trig), fully inside "
+        "WholeStageCodegen over the page scan — zero Exchange, zero "
+        "Python; identical plan shape to the mercator assign but with "
+        "a cheaper expression tree."
+    ),
+    "spatial_sort_strtree": (
+        "r5 STR leaf-order sort. One unpartitioned window for the "
+        "global x-rank (the documented single-node stage at fixture "
+        "scale — at 100 TB this becomes repartitionByRange(lon) + "
+        "partition-local ranks with broadcast offsets, semantics "
+        "identical), then repartitionByRange(leaf_pos) + "
+        "sortWithinPartitions so the persisted layout IS the packed "
+        "tree's leaf order."
+    ),
+    "raster_tile_pyramid_geodetic": (
+        "r5 geodetic pyramid: same cover-shuffle + applyInPandas warp "
+        "+ 4→1 reduce plan as the mercator pyramid — only the "
+        "coordinate expressions differ (linear plate-carree instead of "
+        "inverse web-mercator), so the per-tile kernel is strictly "
+        "cheaper. ONE shuffle per level keyed (band,z,x,y)."
+    ),
 }
 
 
