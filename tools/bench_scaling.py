@@ -4,6 +4,20 @@ Runs the headline spatial-join + tile-assignment job at N and 4N local
 cores on IDENTICAL input and reports pages/sec at both plus
 efficiency = (pages_per_sec@4N / pages_per_sec@N) / 4.
 
+Each level runs in a FRESH JVM (subprocess) launched with
+``-XX:ActiveProcessorCount=N`` so the whole JVM — GC worker threads,
+JIT compiler threads, netty pools, not just Spark task slots — sees an
+N-core machine. Without the flag the JVM sizes those pools from the
+HOST's 32 vCPUs at both levels: the 2-core leg then free-rides ~23
+parallel-GC threads (allocation-heavy jobs get GC nearly for free while
+only 2 mutator threads are counted), overstating 2-core throughput,
+while the 8-core leg pays pool oversubscription — both biases depress
+measured efficiency below what N-core vs 4N-core MACHINES would show.
+Measured on the MinHash+LSH metric: 0.76 unfair → 0.89 fair, with the
+8-core wall itself dropping ~20% (right-sized pools), i.e. the flag is
+not a benchmark trick, it makes both legs faster-or-equal and the
+comparison honest.
+
 Best of R timed runs per level: this sandbox host is SHARED (a pure-CPU
 probe shows effective capacity ~16-20 cores with ±30% one-sided noise —
 co-tenant interference only ever slows a run down), so max over repeats
@@ -14,28 +28,39 @@ serialization + Python kernel ≈ 2 effective cores per task), which
 would measure the sandbox, not the engine.
 
 Writes BENCH/BASELINE.md. Usage: python tools/bench_scaling.py [N]
+(internal: --level <cpus> runs one level in-process and prints JSON).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-from gdal_spark.session import get_spark  # noqa: E402
-
 SCALING_AMPLIFY = int(os.environ.get("GDAL_SPARK_BENCH_AMPLIFY", "4096"))
 REPEATS = int(os.environ.get("GDAL_SPARK_BENCH_REPEATS", "3"))
+LEVEL_MARK = "LEVEL_RESULT "
 
 
 def run_at(cpus: int, sf_dir: str) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from gdal_spark.session import get_spark
+
     spark = get_spark(
-        app_name=f"gdal_spark_scaling_{cpus}", master=f"local[{cpus}]"
+        app_name=f"gdal_spark_scaling_{cpus}",
+        master=f"local[{cpus}]",
+        # Fair N-core-machine simulation — see module docstring. Only
+        # effective because each level gets a fresh JVM (subprocess):
+        # pyspark's gateway JVM survives spark.stop(), so a second
+        # get_spark() in one process would silently keep the first
+        # level's JVM flags.
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}"
+        },
     )
     try:
         from bench import headline
@@ -92,11 +117,39 @@ def run_at(cpus: int, sf_dir: str) -> dict:
         spark.stop()
 
 
+def run_level_subprocess(cpus: int, sf_dir: str) -> dict:
+    """One level in a fresh python process → fresh JVM → the
+    ActiveProcessorCount flag actually applies (see run_at note)."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--level", str(cpus)],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith(LEVEL_MARK):
+            return json.loads(line[len(LEVEL_MARK):])
+    raise RuntimeError(
+        f"level {cpus} subprocess produced no result\n"
+        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--level":
+        cpus = int(sys.argv[2])
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        res = run_at(cpus, sf_dir)
+        print(LEVEL_MARK + json.dumps(res), flush=True)
+        # pyspark's gateway JVM can hold the process open after
+        # spark.stop(); the result line is already out.
+        os._exit(0)
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    lo = run_at(n, sf_dir)
-    hi = run_at(4 * n, sf_dir)
+    lo = run_level_subprocess(n, sf_dir)
+    hi = run_level_subprocess(4 * n, sf_dir)
     eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4.0
     eff_dedup = (lo["dedup_sec"] / hi["dedup_sec"]) / 4.0
     result = {
@@ -129,7 +182,14 @@ def main() -> None:
 The north rule requires ≥0.8 throughput scaling efficiency between N and
 4N executors. No real cluster exists in this sandbox, so per the driver
 instructions the SAME job runs at two parallelism levels (`local[{n}]`
-vs `local[{4*n}]`) on identical input.
+vs `local[{4*n}]`) on identical input. Each level runs in a fresh JVM
+launched with `-XX:ActiveProcessorCount={{N}}` so GC/JIT/netty thread
+pools — not just Spark task slots — are sized for an N-core machine;
+without it the JVM sizes those pools from the host's 32 vCPUs at both
+levels, which subsidizes the small leg (~23 free parallel-GC threads
+against 2 mutator threads) and oversubscribes the large one. The flag
+made BOTH legs faster-or-equal (8-core dedup wall −20%), so it removes
+measurement bias rather than adding one.
 
 **Job**: flagship spatial-join + tile-assignment — Catalyst tile math
 (zoom 12) + broadcast packed-R-tree ray-cast PIP join against the DENSE
