@@ -471,3 +471,138 @@ def pack_sequences(
         # cast truncation trap, CLAUDE.md)
         .withColumn("seq_id", F.expr(f"seq_pos div {budget}"))
     )
+
+
+def _sized_side(side: DataFrame, broadcast_max: int | None) -> DataFrame:
+    """Size-checked join side (the remove_boilerplate discipline): probe
+    the row count with a bounded limit; broadcast at or under the cap,
+    shuffle-hash above it.  An explicit broadcast hint is never demoted
+    by AQE, so every derived dictionary (LM table, document-frequency
+    table) goes through this probe instead of assuming broadcastability.
+    """
+    if broadcast_max is None:
+        return F.broadcast(side)
+    # bounded-metadata: probe scans at most broadcast_max+1 side rows
+    # (limit pushes into the probe job); never corpus rows.
+    small = side.limit(broadcast_max + 1).count() <= broadcast_max
+    return F.broadcast(side) if small else side.hint("shuffle_hash")
+
+
+def doc_bigrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, prev, w) bigram rows with a BOS sentinel: position i's
+    context is token i-1, position 0's is '<s>'.  Doc-local transform +
+    explode — narrow, codegen'd, no shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).select(
+        id_col,
+        F.expr(
+            "explode(transform(_toks, (w, i) -> struct("
+            "if(i = 0, '<s>', element_at(_toks, i)) as prev, w)))"
+        ).alias("_bg"),
+    ).select(id_col, "_bg.prev", "_bg.w")
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+    n_buckets: int = 3,
+    broadcast_max: int | None = 4_000_000,
+) -> DataFrame:
+    """CCNet-style model-based quality scoring (Wenzek et al. 2020 §4.3
+    "LM filtering"): train an add-k-smoothed bigram LM on the corpus,
+    score every document's per-token cross-entropy, and bucket into
+    head/middle/tail terciles — the other half of the CCNet recipe next
+    to `dedup_lines`.  p(w|prev) = (c(prev,w)+k) / (c(prev)+k·V).
+
+    Returns (id, n_bigrams, xent, ppl, bucket).  Exactness discipline:
+    each position's log-prob is rounded to 6 dp and accumulated as
+    DECIMAL(18,6) — an exact, order-independent integer-space sum — so
+    the DuckDB oracle matches bit-for-bit regardless of either engine's
+    aggregation order; xent is one IEEE-exact double division of that
+    sum, and only ppl = exp(xent) (rounded 4 dp) re-enters float land.
+
+    Scale (100 TB): LM training is two hash aggregates on gram keys,
+    both map-side combined.  Scoring joins the corpus bigrams to the LM
+    on (prev,w) — size-checked broadcast via `_sized_side`, shuffle-hash
+    fallback; the context table is vocab-sized (V+1 rows), so its join
+    effectively always broadcasts (the '<s>' context would otherwise be
+    a one-row-per-document hot key in a shuffle join).  The tercile
+    bucket uses a global ntile — fine at oracle scale; a production run
+    precomputes the two xent thresholds from a sample (CCNet trains its
+    cutoffs per-language offline) and applies them map-side.
+    """
+    big = doc_bigrams(df, id_col, text_col)
+    lm = big.groupBy("prev", "w").agg(F.count("*").alias("c_bi"))
+    ctx = lm.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
+    vocab = big.agg(F.countDistinct("w").alias("_v"))
+    p = (F.col("c_bi") + F.lit(add_k)) / (
+        F.col("c_ctx") + F.lit(add_k) * F.col("_v")
+    )
+    scored = (
+        big.join(_sized_side(lm, broadcast_max), ["prev", "w"])
+        .join(_sized_side(ctx, broadcast_max), ["prev"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_logp", F.round(F.log(p), 6).cast("decimal(18,6)"))
+    )
+    doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("_logp").alias("_s"),
+    )
+    doc = doc.withColumn(
+        "xent",
+        F.round(-(F.col("_s").cast("double")) / F.col("n_bigrams"), 6),
+    ).withColumn("ppl", F.round(F.exp("xent"), 4))
+    w = Window.orderBy("xent", id_col)
+    return doc.withColumn("bucket", F.ntile(n_buckets).over(w)).drop("_s")
+
+
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    broadcast_max: int | None = 4_000_000,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the scikit-learn smoothing), the
+    keyword-extraction / topic-fingerprint step of a curation pipeline.
+
+    Returns (id, term, tf, df, score, rank); rank orders by
+    (rounded score DESC, term ASC) — ranking on ROUNDED values with an
+    explicit lexicographic tie-break keeps both engines' orders
+    identical (CLAUDE.md oracle discipline).
+
+    Scale (100 TB): tf is one hash aggregate on (id, term) (map-side
+    combined); df is a second, vocab-sized aggregate derived from tf
+    (never re-reads the corpus); the df join is size-checked broadcast
+    with shuffle-hash fallback; the top-k window shuffles once on the
+    document id — per-doc state is bounded by the doc's distinct-term
+    count, never corpus-global."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.countDistinct(id_col).alias("_n"))
+    idf = F.round(
+        F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        + F.lit(1.0),
+        6,
+    )
+    scored = (
+        tf.join(_sized_side(dfreq, broadcast_max), ["term"])
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

@@ -180,6 +180,16 @@ def collect() -> tuple[
         # r5: STR leaf-order sort — the sort family's in-window rep
         # stays spatial_sort_morton (hilbert + strtree green locally).
         "spatial_sort_strtree",
+        # r5: lm_perplexity (CCNet bigram-LM quality scoring, the
+        # model-based half of the CCNet recipe) takes the slot of
+        # text_stats — its heuristic-quality near-duplicate (both score
+        # document quality over the same corpus; lang_id stays as the
+        # text family's second in-window rep).  text_stats remains the
+        # bench row and stays green on the local replica.
+        "text_stats",
+        # r5: TF-IDF keyword extraction rides the local replica like
+        # the rest of the curation family; pinned in tests/test_webtext.
+        "tfidf_terms",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -486,3 +486,79 @@ select doc_id, part, n_tokens, seq_pos,
 from c order by doc_id
 """
 QUERIES["pack_sequences"] = _pack_sequences
+
+
+def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality scoring (operators/webtext.py
+    lm_perplexity): add-1 bigram LM trained on the corpus itself,
+    per-doc cross-entropy from a 6-dp-rounded DECIMAL log-prob sum
+    (order-independent), tercile head/middle/tail bucket."""
+    from gdal_spark.operators.webtext import lm_perplexity
+
+    return lm_perplexity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# DuckDB mirror: the two unnests zip positionally, rebuilding the exact
+# (prev, w) bigram rows; the decimal cast mirrors the engine's exact
+# accumulation, so xent matches bit-for-bit and only ppl = exp(xent)
+# (rounded 4 dp) re-enters float land.
+ORACLES["lm_perplexity"] = """
+with t as (select doc_id, string_split(text, ' ') as toks from documents),
+bg as (
+  select doc_id,
+         unnest(list_transform(range(1, len(toks) + 1),
+             i -> case when i = 1 then '<s>' else toks[i - 1] end)) as prev,
+         unnest(toks) as w
+  from t
+),
+lm as (select prev, w, count(*) as c_bi from bg group by 1, 2),
+ctx as (select prev, sum(c_bi) as c_ctx from lm group by 1),
+v as (select count(distinct w) as v from bg),
+s as (
+  select bg.doc_id,
+         cast(round(ln((lm.c_bi + 1.0) / (ctx.c_ctx + 1.0 * v.v)), 6)
+              as decimal(18,6)) as logp
+  from bg join lm using (prev, w) join ctx using (prev) cross join v
+),
+d as (
+  select doc_id, count(*) as n_bigrams,
+         round(-cast(sum(logp) as double) / count(*), 6) as xent
+  from s group by doc_id
+)
+select doc_id, n_bigrams, xent, round(exp(xent), 4) as ppl,
+       cast(ntile(3) over (order by xent, doc_id) as int) as bucket
+from d order by doc_id
+"""
+QUERIES["lm_perplexity"] = _lm_perplexity
+
+
+def _tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF terms (operators/webtext.py tfidf_terms),
+    ranked on ROUNDED scores with a term-asc tie-break."""
+    from gdal_spark.operators.webtext import tfidf_terms
+
+    return tfidf_terms(_docs(spark, sf_dir)).orderBy("doc_id", "rank")
+
+
+ORACLES["tfidf_terms"] = """
+with tok as (
+  select doc_id, unnest(string_split(text, ' ')) as term from documents
+),
+tf as (select doc_id, term, count(*) as tf from tok group by 1, 2),
+dfreq as (select term, count(*) as df from tf group by 1),
+n as (select count(distinct doc_id) as n from documents),
+s as (
+  select tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * round(ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1, 6), 6)
+           as score
+  from tf join dfreq using (term) cross join n
+),
+r as (
+  select *, cast(row_number() over (
+      partition by doc_id order by score desc, term) as int) as rank
+  from s
+)
+select doc_id, term, tf, df, score, rank
+from r where rank <= 5 order by doc_id, rank
+"""
+QUERIES["tfidf_terms"] = _tfidf_terms

@@ -342,3 +342,75 @@ def test_pack_sequences_budget_bins(spark):
     assert [out[i]["seq_id"] for i in range(10)] == [
         (10 * i) // 32 for i in range(10)
     ]
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Add-1 bigram LM on a 2-doc corpus, every probability verified by
+    hand: counts (<s>,a)=2 (a,b)=2 (b,a)=1 (b,c)=1; contexts <s>=2 a=2
+    b=2; V=3."""
+    import math
+
+    from gdal_spark.operators.webtext import lm_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_perplexity(df).collect()
+    }
+    # p(a|<s>) = 3/5, p(b|a) = 3/5, p(a|b) = p(c|b) = 2/5
+    logp = lambda p: round(math.log(p), 6)
+    xent = round(-(logp(0.6) + logp(0.6) + logp(0.4)) / 3, 6)
+    for d in (1, 2):
+        assert out[d]["n_bigrams"] == 3
+        assert out[d]["xent"] == pytest.approx(xent, abs=1e-9)
+        assert out[d]["ppl"] == pytest.approx(round(math.exp(xent), 4))
+    # identical xent -> ntile tie-break on doc_id
+    assert (out[1]["bucket"], out[2]["bucket"]) == (1, 2)
+
+
+def test_lm_perplexity_ranks_quality(spark):
+    """A doc made of the corpus's dominant pattern scores lower xent
+    (head bucket) than a doc of hapax tokens (tail bucket)."""
+    from gdal_spark.operators.webtext import lm_perplexity
+
+    common = [(i, "the cat sat on the mat") for i in range(8)]
+    rare = [(100, "zq xv wk jj pq lm")]
+    df = spark.createDataFrame(common + rare, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+    assert out[0]["xent"] < out[100]["xent"]
+    assert out[0]["bucket"] == 1
+    assert out[100]["bucket"] == 3
+
+
+def test_tfidf_terms_hand_computed(spark):
+    """N=2: doc1 'a a b', doc2 'b c'. df(a)=1 df(b)=2 df(c)=1;
+    idf(a)=idf(c)=ln(1.5)+1, idf(b)=ln(1)+1=1."""
+    import math
+
+    from gdal_spark.operators.webtext import tfidf_terms
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = tfidf_terms(df, k=2).collect()
+    rows = {(r["doc_id"], r["rank"]): r for r in out}
+    idf_rare = round(math.log(1.5) + 1, 6)
+    # doc1: a scores 2*idf_rare > b scores 1.0
+    assert rows[(1, 1)]["term"] == "a"
+    assert rows[(1, 1)]["score"] == pytest.approx(round(2 * idf_rare, 6))
+    assert rows[(1, 2)]["term"] == "b"
+    assert rows[(1, 2)]["score"] == pytest.approx(1.0)
+    # doc2: c (rare) outranks b (common)
+    assert rows[(2, 1)]["term"] == "c"
+    assert rows[(2, 2)]["term"] == "b"
+
+
+def test_tfidf_rank_tie_breaks_on_term(spark):
+    from gdal_spark.operators.webtext import tfidf_terms
+
+    # both terms appear once in the only doc -> equal scores -> term asc
+    df = spark.createDataFrame([(1, "zz aa")], "doc_id long, text string")
+    out = tfidf_terms(df, k=2).orderBy("rank").collect()
+    assert [r["term"] for r in out] == ["aa", "zz"]
