@@ -190,6 +190,14 @@ def collect() -> tuple[
         # r5: TF-IDF keyword extraction rides the local replica like
         # the rest of the curation family; pinned in tests/test_webtext.
         "tfidf_terms",
+        # r5: BPE tokenizer — no in-window near-duplicate to displace
+        # (the text family's in-window rep stays lang_id), so both the
+        # trainer (golden oracle from an independent single-machine
+        # implementation) and the encoder (shared replace-chain SQL)
+        # ride the local replica; trainer-vs-independent parity is
+        # additionally pinned in tests/test_bpe.py.
+        "bpe_train_merges",
+        "bpe_encode",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

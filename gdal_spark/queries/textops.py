@@ -526,3 +526,88 @@ def _ngram_jaccard_oracle() -> str:
 
 QUERIES["dedup_ngram_jaccard"] = _dedup_ngram_jaccard
 ORACLES["dedup_ngram_jaccard"] = _ngram_jaccard_oracle()
+
+
+# --- BPE tokenizer (operators/bpe.py) ---
+
+# Golden merge table for sf0.01, computed at oracle-build time by an
+# INDEPENDENT single-machine dict-based BPE trainer (pure python over
+# the DuckDB word histogram; greedy left-to-right merge, max-count rule,
+# (a, b)-lexicographic tie-break) — the same discipline as the raster
+# goldens.  Valid at the gate scale only, like every golden oracle.
+_BPE_K = 16
+_BPE_GOLDEN = [
+    (1, "e", "r", 4568),
+    (2, "i", "n", 2760),
+    (3, "o", "w", 2747),
+    (4, "o", "r", 2696),
+    (5, "s", "t", 2676),
+    (6, "m", "er", 1852),
+    (7, "a", "t", 1845),
+    (8, "l", "u", 1831),
+    (9, "a", "r", 1758),
+    (10, "p", "ar", 1758),
+    (11, "j", "o", 964),
+    (12, "jo", "in", 964),
+    (13, "a", "s", 947),
+    (14, "as", "h", 947),
+    (15, "h", "ash", 947),
+    (16, "r", "ow", 943),
+]
+
+
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (operators/bpe.py bpe_train): word
+    histogram collapse, then k argmax-pair rounds over the histogram."""
+    from gdal_spark.operators.bpe import bpe_train, merges_df
+
+    m = bpe_train(_docs(spark, sf_dir), k=_BPE_K)
+    return merges_df(spark, m).orderBy("rank")
+
+
+ORACLES["bpe_train_merges"] = (
+    "select * from (values "
+    + ", ".join(
+        f"({r}, '{a}', '{b}', cast({t} as bigint))"
+        for r, a, b, t in _BPE_GOLDEN
+    )
+    + ") as t(rank, a, b, total) order by rank"
+)
+QUERIES["bpe_train_merges"] = _bpe_train_merges
+
+
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with the fixed golden merge list — a per-word
+    nested-replace chain over the pipe-wrapped representation, one
+    narrow codegen'd expression (operators/bpe.py bpe_encode)."""
+    from gdal_spark.operators.bpe import bpe_encode
+
+    m = [(a, b) for _, a, b, _ in _BPE_GOLDEN]
+    return bpe_encode(_docs(spark, sf_dir), m).orderBy("doc_id")
+
+
+def _bpe_encode_oracle() -> str:
+    from gdal_spark.operators.bpe import merge_chain_sql
+
+    m = [(a, b) for _, a, b, _ in _BPE_GOLDEN]
+    # same replace chain text as the engine; only the char-split and
+    # list-fold syntax differ per engine.
+    init = "'|' || array_to_string(string_split(w, ''), '||') || '|'"
+    chain = merge_chain_sql(m, init)
+    return f"""
+with enc as (
+  select doc_id,
+         list_transform(string_split(text, ' '), w -> {chain}) as rs
+  from documents
+)
+select doc_id,
+       cast(list_sum(list_transform(rs, r ->
+           (length(r) - length(replace(r, '|', ''))) // 2))
+         as bigint) as n_bpe_tokens,
+       md5(array_to_string(rs, ' ')) as bpe_md5
+from enc order by doc_id
+"""
+
+
+ORACLES["bpe_encode"] = _bpe_encode_oracle()
+QUERIES["bpe_encode"] = _bpe_encode
