@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "dedup_simhash",           # SimHash
     "dedup_cluster_canonical", # r4b end-to-end near-dup resolution
     "boilerplate_removal",     # r4 web-curation (line-level pipeline)
+    "lm_perplexity",           # r5b CCNet bigram-LM quality filter
+    "bpe_encode",              # r5b BPE tokenizer apply (pure map)
     "knn_centers",             # kNN re-rank
     "ann_cosine_topk",         # similarity search
     "layer_intersection_area", # layer algebra / clipping

@@ -513,6 +513,7 @@ def lm_perplexity(
     add_k: float = 1.0,
     n_buckets: int = 3,
     broadcast_max: int | None = 4_000_000,
+    bucket_thresholds: tuple[float, ...] | None = None,
 ) -> DataFrame:
     """CCNet-style model-based quality scoring (Wenzek et al. 2020 §4.3
     "LM filtering"): train an add-k-smoothed bigram LM on the corpus,
@@ -532,10 +533,13 @@ def lm_perplexity(
     on (prev,w) — size-checked broadcast via `_sized_side`, shuffle-hash
     fallback; the context table is vocab-sized (V+1 rows), so its join
     effectively always broadcasts (the '<s>' context would otherwise be
-    a one-row-per-document hot key in a shuffle join).  The tercile
-    bucket uses a global ntile — fine at oracle scale; a production run
-    precomputes the two xent thresholds from a sample (CCNet trains its
-    cutoffs per-language offline) and applies them map-side.
+    a one-row-per-document hot key in a shuffle join).  Bucketing has
+    two paths: pass `bucket_thresholds` (ascending xent cutoffs, e.g.
+    the two tercile boundaries precomputed from a sample — CCNet trains
+    its cutoffs per-language offline) and bucket assignment is a pure
+    map-side comparison with NO extra stage; leave it None and the
+    terciles come from a global ntile — the convenient exact path at
+    oracle/fixture scale, a documented non-path at 100 TB.
     """
     big = doc_bigrams(df, id_col, text_col)
     lm = big.groupBy("prev", "w").agg(F.count("*").alias("c_bi"))
@@ -558,6 +562,11 @@ def lm_perplexity(
         "xent",
         F.round(-(F.col("_s").cast("double")) / F.col("n_bigrams"), 6),
     ).withColumn("ppl", F.round(F.exp("xent"), 4))
+    if bucket_thresholds is not None:
+        bucket = F.lit(1)
+        for t in sorted(bucket_thresholds):
+            bucket = bucket + F.when(F.col("xent") > t, 1).otherwise(0)
+        return doc.withColumn("bucket", bucket).drop("_s")
     w = Window.orderBy("xent", id_col)
     return doc.withColumn("bucket", F.ntile(n_buckets).over(w)).drop("_s")
 

@@ -414,3 +414,28 @@ def test_tfidf_rank_tie_breaks_on_term(spark):
     df = spark.createDataFrame([(1, "zz aa")], "doc_id long, text string")
     out = tfidf_terms(df, k=2).orderBy("rank").collect()
     assert [r["term"] for r in out] == ["aa", "zz"]
+
+
+def test_lm_perplexity_threshold_path_is_mapside(spark):
+    """Production bucketing: explicit xent thresholds assign buckets
+    with a plain comparison (no window stage), matching the ntile
+    terciles when the thresholds are the tercile boundaries."""
+    from gdal_spark.operators.webtext import lm_perplexity
+
+    common = [(i, "the cat sat on the mat") for i in range(8)]
+    rare = [(100, "zq xv wk jj pq lm")]
+    df = spark.createDataFrame(common + rare, "doc_id long, text string")
+    base = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+    # cutoffs strictly between the two xent populations
+    lo = base[0]["xent"]
+    hi = base[100]["xent"]
+    t1 = lo + (hi - lo) / 3
+    t2 = lo + 2 * (hi - lo) / 3
+    out = lm_perplexity(df, bucket_thresholds=(t1, t2))
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "ntile" not in plan and "window" not in plan
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    # bucket = 1 + number of cutoffs strictly below the doc's xent
+    for d, r in base.items():
+        want = 1 + (r["xent"] > t1) + (r["xent"] > t2)
+        assert got[d] == want, d

@@ -153,6 +153,34 @@ NOTES = {
         "sortWithinPartitions so the persisted layout IS the packed "
         "tree's leaf order."
     ),
+    "lm_perplexity": (
+        "r5b CCNet model-based quality filter. Bigram explode is "
+        "map-local (transform over the token array); LM training is two "
+        "map-side-combined HashAggregates on gram keys; scoring meets "
+        "the LM and the vocab-sized context table in size-checked "
+        "BroadcastHashJoins (shuffle-hash fallback above the cap — the "
+        "'<s>' context would be a per-doc hot key in a shuffled join, "
+        "so the context side broadcasting is the skew guard); the "
+        "per-doc cross-entropy is one partial-agg'd DECIMAL sum. The "
+        "tercile ntile is the documented fixture-scale stage — "
+        "production applies precomputed sample thresholds map-side "
+        "(the CCNet protocol)."
+    ),
+    "tfidf_terms": (
+        "r5b keyword extraction. tf = one map-side-combined aggregate "
+        "on (doc, term); df derives from tf (vocab-sized, never "
+        "re-reads the corpus) and comes back via a size-checked "
+        "broadcast; the top-k window shuffles once on doc_id with "
+        "per-doc state bounded by the doc's distinct-term count."
+    ),
+    "bpe_encode": (
+        "r5b tokenizer apply. The whole encoder is ONE codegen'd "
+        "projection: per-word nested `replace` chain over the "
+        "pipe-wrapped representation (merge list constant-folded into "
+        "the expression) — zero Python, scales as a pure map over the "
+        "crawl. (The trailing Sort/Exchange is the query's presentation "
+        "orderBy, not the operator.)"
+    ),
     "raster_tile_pyramid_geodetic": (
         "r5 geodetic pyramid: same cover-shuffle + applyInPandas warp "
         "+ 4→1 reduce plan as the mercator pyramid — only the "
