@@ -421,3 +421,49 @@ area as (
 select a_id as input_id, b_id as method_id, round(a, 6) as inter_area
 from area where a > 1e-9
 """
+
+
+SQRT3_3 = 0.5773502691896258  # sqrt(3)/3, binary double literal
+
+
+def hex_cells_sql(src: str, size: float = 100000.0) -> str:
+    """H3-style hexagonal binning: (url, lang, hex_q, hex_r) rows from a
+    geo_pages-shaped source subquery `src` — pointy-top axial hex
+    coordinates of cell size `size` meters over web-mercator, with the
+    standard cube rounding (largest-residual coordinate re-derived so
+    q+r+s == 0 holds exactly).
+
+    The hexagonal counterpart of `tile_cols` for the north rule's
+    "H3-indexed" binning: same published lattice math as H3's planar
+    layer (axial coords + cube round, redblobgames/Uber H3 docs), minus
+    the icosahedral projection (out of scope like PROJ).  Every step is
+    +,-,*,/ on IEEE doubles plus round() (ties-away in BOTH Spark and
+    DuckDB), so the SAME text is the engine (codegen'd, zero-shuffle
+    map) and the oracle."""
+    mx, my = mercator_xy("lat", "lon")
+    return f"""
+      select url, lang,
+             case when dq > ds and dq > dr
+                  then cast(-rs - rr as bigint)
+                  else cast(rq as bigint) end as hex_q,
+             case when not (dq > ds and dq > dr) and not (ds > dr)
+                  then cast(-rq - rs as bigint)
+                  else cast(rr as bigint) end as hex_r
+      from (
+        select url, lang, rq, rr, rs,
+               abs(rq - qf) as dq, abs(rr - rf) as dr, abs(rs - sf) as ds
+        from (
+          select url, lang, qf, rf, sf,
+                 round(qf) as rq, round(rf) as rr, round(sf) as rs
+          from (
+            select url, lang, qf, rf, (- qf - rf) as sf
+            from (
+              select url, lang,
+                     ({SQRT3_3!r} * {mx} - {my} / 3.0) / {size!r} as qf,
+                     (2.0 * {my} / 3.0) / {size!r} as rf
+              from ({src})
+            )
+          )
+        )
+      )
+"""

@@ -198,6 +198,10 @@ def collect() -> tuple[
         # additionally pinned in tests/test_bpe.py.
         "bpe_train_merges",
         "bpe_encode",
+        # r5: H3-style hexagonal cell binning — the cell-index family's
+        # in-window reps stay spatial_join_tiles / tile_assign_geodetic
+        # (square schemes); the hex variant rides the local replica.
+        "hex_density",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -309,3 +309,37 @@ def _hilbert_oracle() -> str:
 
 QUERIES["spatial_sort_hilbert"] = _hilbert_codes
 ORACLES["spatial_sort_hilbert"] = _hilbert_oracle()
+
+
+# --- H3-style hexagonal cell binning (north rule "H3/S2-indexed") ---
+
+_HEX_SIZE = 100000.0  # 100 km pointy-top hex circumradius (mercator m)
+
+
+def _hex_density_sql(dialect: str) -> str:
+    hexed = portable.hex_cells_sql(
+        "select url, lang, lat, lon from g", _HEX_SIZE
+    )
+    return f"""
+    with g as ({portable.geo_pages_cte(dialect)}),
+    h as ({hexed})
+    select hex_q, hex_r,
+           count(*) as n_pages,
+           count(distinct lang) as n_langs
+    from h group by hex_q, hex_r order by hex_q, hex_r
+    """
+
+
+def _hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages binned to H3-style pointy-top hexagonal cells (axial
+    coords + cube rounding, the published H3 planar lattice math —
+    portable.hex_cells_sql) with per-cell page/language counts.  The
+    hex assignment is a zero-shuffle codegen'd map; the density roll-up
+    is ONE map-side-combined aggregate on the cell key — the same plan
+    shape as tile_assign + groupBy at any scale."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_hex_density_sql("spark"))
+
+
+QUERIES["hex_density"] = _hex_density
+ORACLES["hex_density"] = _hex_density_sql("duckdb")

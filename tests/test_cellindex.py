@@ -157,3 +157,80 @@ def test_tms_from_json_both_versions():
     bad["tileMatrices"] = [v2["tileMatrices"][1], v2["tileMatrices"][0]]
     with pytest.raises(ValueError):
         tms.from_json(bad)
+
+
+def test_hex_cells_match_independent_numpy(spark):
+    """portable.hex_cells_sql vs an independent numpy cube-round hex
+    binning over the geocoded pages — same cells, bit-for-bit."""
+    import numpy as np
+
+    from gdal_spark import portable, tables
+
+    tables.register_views(spark, "/root/testdata/sf0.001")
+    rows = spark.sql(
+        "with g as ({g}) select url, lat, lon from g".format(
+            g=portable.geo_pages_cte("spark")
+        )
+    ).collect()
+    got = {
+        r["url"]: (r["hex_q"], r["hex_r"])
+        for r in spark.sql(
+            "with g as ({g}), h as ({h}) select url, hex_q, hex_r from h"
+            .format(
+                g=portable.geo_pages_cte("spark"),
+                h=portable.hex_cells_sql(
+                    "select url, lang, lat, lon from g", 100000.0
+                ),
+            )
+        ).collect()
+    }
+    size = 100000.0
+    shift = 20037508.342789244
+    for r in rows:
+        mx = r["lon"] * shift / 180.0
+        my = (
+            np.log(np.tan((90.0 + r["lat"]) * np.pi / 360.0))
+            / (np.pi / 180.0)
+            * shift
+            / 180.0
+        )
+        qf = (np.sqrt(3.0) / 3.0 * mx - my / 3.0) / size
+        rf = (2.0 * my / 3.0) / size
+        sf = -qf - rf
+        # ties-away round (numpy rounds half-to-even -> emulate)
+        rnd = lambda v: float(np.floor(v + 0.5)) if v >= 0 else float(
+            np.ceil(v - 0.5)
+        )
+        rq, rr, rs = rnd(qf), rnd(rf), rnd(sf)
+        dq, dr, ds = abs(rq - qf), abs(rr - rf), abs(rs - sf)
+        if dq > ds and dq > dr:
+            rq = -rs - rr
+        elif not (ds > dr):
+            rr = -rq - rs
+        assert got[r["url"]] == (int(rq), int(rr)), r["url"]
+
+
+def test_hex_cells_axial_adjacency(spark):
+    """Points a hair apart land in the same cell; points a full cell
+    apart land in different cells (sanity of the size parameter)."""
+    from gdal_spark import portable
+
+    df = spark.createDataFrame(
+        [
+            ("a", "en", 10.0, 20.0),
+            ("b", "en", 10.001, 20.001),
+            ("c", "en", 12.0, 22.0),
+        ],
+        "url string, lang string, lat double, lon double",
+    )
+    df.createOrReplaceTempView("_hexpts")
+    out = {
+        r["url"]: (r["hex_q"], r["hex_r"])
+        for r in spark.sql(
+            "select url, hex_q, hex_r from ({})".format(
+                portable.hex_cells_sql("select * from _hexpts", 100000.0)
+            )
+        ).collect()
+    }
+    assert out["a"] == out["b"]
+    assert out["a"] != out["c"]
