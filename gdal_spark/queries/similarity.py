@@ -28,7 +28,13 @@ SIG_BITS = 16
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables.register_views(spark, sf_dir)
-    return spark.table("embeddings")
+    # The testdata parquet is a SINGLE row group, so the scan yields one
+    # split and the dot-product map phase would run on 1 of N cores.
+    # Rebalance to the session's parallelism — on a real table the scan
+    # itself supplies the splits and this exchange disappears.
+    return spark.table("embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
 
 
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +177,7 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_train,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     cents = ivf_train(emb, k=None, iters=_IVF_ITERS)  # k derived ≈ √N
     assert len(cents) == ivf_default_k(emb.count())
     out = ivf_topk(

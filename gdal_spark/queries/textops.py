@@ -28,11 +28,19 @@ STOPWORDS = ("a", "the")
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables.register_views(spark, sf_dir)
-    return spark.table("documents")
+    # Single-row-group testdata parquet → 1 scan split; rebalance so the
+    # tokenize/regex map phases use the session's parallelism (a real
+    # table's scan supplies the splits and this exchange disappears).
+    return spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # raw view (not _docs): this builder does its own post-union
+    # rebalance below, so the loader's exchange would be redundant.
+    tables.register_views(spark, sf_dir)
+    d = spark.table("documents").select("doc_id", "text")
     mutated = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" mutated")).alias("text"),

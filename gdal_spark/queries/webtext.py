@@ -24,7 +24,11 @@ _MIN_DF = 20
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Single-row-group testdata parquet → 1 scan split; rebalance so the
+    # line-split/regex map phases use the session's parallelism (a real
+    # table's scan supplies the splits and this exchange disappears).
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 def _boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
