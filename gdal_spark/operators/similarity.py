@@ -380,3 +380,243 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
     )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split dim into `m` subspaces and
+    run one deterministic Lloyd's k-means PER SUBSPACE — all m trained in
+    the SAME distributed pass (assignment rows carry a `sub` key, so one
+    shuffle per iteration covers every subspace). Determinism contract
+    matches ivf_train: init = the ksub lowest-id vectors' subvectors,
+    distances rounded to 8 dp before argmin (ties -> lowest code),
+    centroid updates rounded to 6 dp — bit-for-bit reproducible across
+    partition orders and mirrorable in SQL.
+
+    Returns codebooks[m][ksub][dsub]. Only the m*ksub codeword rows
+    (bounded metadata) ever visit the driver; at 100 TB the corpus is
+    touched `iters` map-side passes plus one (sub, code, pos) aggregate
+    each — no all-pairs anything. PQ is the standard billion-vector
+    compression: 64 float32 dims become m one-byte codes (16x-64x), and
+    search scans codes with a tiny per-query lookup table (pq_topk).
+    """
+    import numpy as np
+
+    # bounded-metadata: ksub seed vectors
+    seed = (
+        emb.orderBy(id_col).limit(ksub).select(vec_col).collect()  # bounded-metadata
+    )
+    X0 = np.array([list(r[0]) for r in seed], dtype=np.float64)
+    dim = X0.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # books[s] : (ksub, dsub), init = subvectors of the seed rows
+    books = [X0[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    spark = emb.sparkSession
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast([b.tolist() for b in books])
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            B = [np.asarray(b, dtype=np.float64) for b in bc.value]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                outs = []
+                for s, Bs in enumerate(B):
+                    Xs = X[:, s * dsub : (s + 1) * dsub]
+                    d2 = np.round(
+                        ((Xs[:, None, :] - Bs[None, :, :]) ** 2).sum(axis=2), 8
+                    )
+                    code = np.argmin(d2, axis=1)  # ties -> lowest code
+                    o = pd.DataFrame(
+                        {
+                            "sub": np.full(len(Xs), s, dtype=np.int64),
+                            "code": code.astype(np.int64),
+                        }
+                    )
+                    o["vec"] = list(Xs)
+                    outs.append(o)
+                yield pd.concat(outs, ignore_index=True)
+
+        assigned = emb.select(vec_col).mapInPandas(
+            assign, "sub long, code long, vec array<double>"
+        )
+        # per-(sub, code) mean, re-assembled executor-side to ONE array row
+        # per codeword so the driver collect is m*ksub rows (same
+        # bounded-collect shape as ivf_train's r3 #2 fix)
+        sums = (
+            assigned.select("sub", "code", F.posexplode("vec").alias("pos", "v"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                ).alias("sums"),
+                F.first("n").alias("n"),
+            )
+            .collect()  # bounded-metadata: m*ksub array rows
+        )
+        new = [b.copy() for b in books]
+        for r in sums:
+            for pos, sv in enumerate(r.sums):
+                new[int(r.sub)][int(r.code), pos] = round(
+                    float(sv) / int(r.n), 6
+                )
+        books = new
+    return [b.tolist() for b in books]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<long>) — each vector compressed to m codebook
+    indices (nearest codeword per subspace, round-8 distances, ties ->
+    lowest code). Pure map-side: broadcast codebooks, one Arrow pass,
+    zero shuffle — the 100 TB encode is embarrassingly parallel."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = [np.asarray(b, dtype=np.float64) for b in bc.value]
+        dsub = B[0].shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            codes = np.empty((len(X), len(B)), dtype=np.int64)
+            for s, Bs in enumerate(B):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = np.round(
+                    ((Xs[:, None, :] - Bs[None, :, :]) ** 2).sum(axis=2), 8
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            out = pd.DataFrame({id_col: pdf[id_col].to_numpy(np.int64)})
+            out["codes"] = list(codes)
+            yield out
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, codes array<long>"
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_ids: list[int],
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate nearest neighbors (faiss-IndexPQ shape):
+    queries stay exact, the corpus is scanned as codes, and the
+    asymmetric distance adc(q, x) = sum_s LUT_q[s][code_s(x)] where
+    LUT_q[s][c] = ||q_s - codeword_sc||^2 is a tiny per-query
+    table built ONCE and broadcast. One corpus scan, partition-local
+    top-k prune, then a global window re-rank over the (nq x k x
+    n_partitions) survivors — the only shuffle is that candidate set,
+    identical to cosine_topk's scale shape. Rank = (round(adc, 6) asc,
+    vec_id asc); output adc is the rounded-6 value so ranking and values
+    are SQL-mirrorable exactly."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = B[0].shape[1]
+    qrows = (
+        emb.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()  # bounded-metadata: len(query_ids) rows
+    )
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    # LUT[qi, s, c] = ||q_s - codeword_sc||^2 — UNROUNDED: the round-8
+    # lattice is only for argmin tie stability; summing lattice values
+    # puts round(adc, 6) on an exact .5 boundary ~1% of the time, where
+    # numpy (half-even) and SQL (half-away) disagree. Off-lattice sums
+    # hit the boundary with measure zero (same contract as IVF's cos).
+    lut = np.stack(
+        [
+            (
+                (Q[:, s * dsub : (s + 1) * dsub][:, None, :] - Bs[None, :, :])
+                ** 2
+            ).sum(axis=2)
+            for s, Bs in enumerate(B)
+        ],
+        axis=1,
+    )
+    bc = spark.sparkContext.broadcast((qids, lut, [b.tolist() for b in B]))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, lut_, books = bc.value
+        BB = [np.asarray(b, dtype=np.float64) for b in books]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            ids = pdf[id_col].to_numpy(np.int64)
+            codes = np.empty((len(X), len(BB)), dtype=np.int64)
+            for s, Bs in enumerate(BB):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = np.round(
+                    ((Xs[:, None, :] - Bs[None, :, :]) ** 2).sum(axis=2), 8
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            # adc[qi, row] = sum_s lut[qi, s, codes[row, s]]
+            adc = np.zeros((len(qids_), len(X)), dtype=np.float64)
+            for s in range(len(BB)):
+                adc += lut_[:, s, :][:, codes[:, s]]
+            mask = qids_[:, None] == ids[None, :]
+            adc = np.where(mask, np.inf, adc)
+            # prune key = ROUNDED adc (half-away, matching SQL/F.round)
+            # + vec_id, the same lexicographic order the global window
+            # ranks on — partition-local survivors are exactly the rows
+            # the final rank would keep from this partition
+            adc6 = np.where(
+                np.isfinite(adc), np.floor(adc * 1e6 + 0.5) / 1e6, np.inf
+            )
+            kk = min(topk, adc.shape[1])
+            outs = []
+            for qi, qid in enumerate(qids_):
+                order = np.lexsort((ids, adc6[qi]))[:kk]
+                keep = order[np.isfinite(adc[qi][order])]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(keep), qid, dtype=np.int64),
+                            "vec_id": ids[keep],
+                            "adc": adc[qi][keep],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        scan, "qid long, vec_id long, adc double"
+    )
+    # rank on the ROUNDED value (JVM-side HALF_UP round, identical to
+    # SQL round) with the vec_id tie-break, so rank and value are both
+    # exactly SQL-mirrorable
+    cand = cand.withColumn("adc", F.round("adc", 6))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("qid", "vec_id", "adc", "rank")
+    )

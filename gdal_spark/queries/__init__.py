@@ -202,6 +202,11 @@ def collect() -> tuple[
         # in-window reps stay spatial_join_tiles / tile_assign_geodetic
         # (square schemes); the hex variant rides the local replica.
         "hex_density",
+        # r5: PQ/ADC ANN — the ANN family keeps its two in-window reps
+        # (ann_cosine_topk exact baseline, ann_ivf_topk bucketed scale
+        # path); the product-quantization compression path rides the
+        # local replica with a fully unrolled Lloyd SQL oracle.
+        "ann_pq_topk",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -397,3 +397,121 @@ DEDUP_EMB_ORACLE = f"""
 
 QUERIES["dedup_embedding_cosine"] = _dedup_embedding_cosine
 ORACLES["dedup_embedding_cosine"] = DEDUP_EMB_ORACLE
+
+
+# --- PQ/ADC ANN (product quantization + asymmetric-distance scan) -----------
+# The billion-vector compression path (faiss IndexPQ shape): m per-subspace
+# codebooks trained with the same deterministic Lloyd contract as IVF
+# (round-8 distances, round-6 centroid updates, lowest-code ties, init =
+# the ksub lowest-id vectors' subvectors), corpus scanned as m-byte codes
+# against a broadcast per-query lookup table. The oracle unrolls the SAME
+# iterations in SQL with a `sub` grouping column — one generic CTE chain
+# trains all m subspaces at once, exactly like the engine's single
+# shuffle per iteration.
+
+_PQ_M = 4
+_PQ_KSUB = 8
+_PQ_ITERS = 2
+_PQ_QIDS = [0, 1, 2, 3, 4]
+_PQ_TOPK = 5
+_PQ_DSUB = _DIM // _PQ_M
+
+
+def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.similarity import pq_topk, pq_train
+
+    emb = _emb(spark, sf_dir)
+    books = pq_train(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
+    return pq_topk(emb, books, _PQ_QIDS, topk=_PQ_TOPK)
+
+
+def _ann_pq_oracle() -> str:
+    steps = [
+        f"""
+    x as (
+        select vec_id, p.pos // {_PQ_DSUB} as sub,
+               p.pos % {_PQ_DSUB} as spos,
+               cast(embedding[p.pos + 1] as double) as v
+        from embeddings cross join (select unnest(range({_DIM})) as pos) p
+    ),
+    c0 as (select vec_id as code, sub, spos, v from x
+           where vec_id < {_PQ_KSUB})"""
+    ]
+    for i in range(_PQ_ITERS):
+        steps.append(f"""
+    a{i} as (
+        select x.vec_id, x.sub, c.code,
+               round(sum((x.v - c.v) * (x.v - c.v)), 8) as d2
+        from x join c{i} c on c.sub = x.sub and c.spos = x.spos
+        group by x.vec_id, x.sub, c.code
+    ),
+    m{i} as (
+        select vec_id, sub, code from (
+            select vec_id, sub, code,
+                   row_number() over (partition by vec_id, sub
+                                      order by d2, code) as rn
+            from a{i}
+        ) where rn = 1
+    ),
+    n{i} as (
+        select m.sub, m.code, x.spos, round(sum(x.v) / count(*), 6) as v
+        from m{i} m join x on x.vec_id = m.vec_id and x.sub = m.sub
+        group by m.sub, m.code, x.spos
+    ),
+    c{i + 1} as (
+        select c.code, c.sub, c.spos, coalesce(n.v, c.v) as v
+        from c{i} c left join n{i} n
+          on n.sub = c.sub and n.code = c.code and n.spos = c.spos
+    )""")
+    fc = f"c{_PQ_ITERS}"
+    qids = ", ".join(str(q) for q in _PQ_QIDS)
+    return (
+        "with "
+        + ",".join(steps)
+        + f""",
+    af as (
+        select x.vec_id, x.sub, c.code,
+               round(sum((x.v - c.v) * (x.v - c.v)), 8) as d2
+        from x join {fc} c on c.sub = x.sub and c.spos = x.spos
+        group by x.vec_id, x.sub, c.code
+    ),
+    codes as (
+        select vec_id, sub, code from (
+            select vec_id, sub, code,
+                   row_number() over (partition by vec_id, sub
+                                      order by d2, code) as rn
+            from af
+        ) where rn = 1
+    ),
+    lutq as (
+        -- UNROUNDED per-subspace query-to-codeword distances: the
+        -- round-8 lattice in af is only for argmin tie stability;
+        -- summing lattice values would put round(adc, 6) on an exact
+        -- .5 boundary ~1% of the time (engine/SQL rounding modes
+        -- disagree there). Off-lattice sums hit it with measure zero.
+        select q.vec_id as qid, c.sub, c.code,
+               sum((q.v - c.v) * (q.v - c.v)) as d2
+        from x q join {fc} c on c.sub = q.sub and c.spos = q.spos
+        where q.vec_id in ({qids})
+        group by q.vec_id, c.sub, c.code
+    ),
+    adc as (
+        select l.qid, cd.vec_id,
+               round(sum(l.d2), 6) as adc
+        from codes cd
+        join lutq l on l.sub = cd.sub and l.code = cd.code
+        where cd.vec_id <> l.qid
+        group by l.qid, cd.vec_id
+    )
+    select qid, vec_id, adc, rank from (
+        select qid, vec_id, adc,
+               row_number() over (partition by qid
+                                  order by adc, vec_id) as rank
+        from adc
+    ) where rank <= {_PQ_TOPK}
+    """
+    )
+
+
+QUERIES["ann_pq_topk"] = _ann_pq
+ORACLES["ann_pq_topk"] = _ann_pq_oracle()

@@ -538,11 +538,14 @@ ORACLES["dedup_ngram_jaccard"] = _ngram_jaccard_oracle()
 
 # --- BPE tokenizer (operators/bpe.py) ---
 
-# Golden merge table for sf0.01, computed at oracle-build time by an
-# INDEPENDENT single-machine dict-based BPE trainer (pure python over
-# the DuckDB word histogram; greedy left-to-right merge, max-count rule,
-# (a, b)-lexicographic tie-break) — the same discipline as the raster
-# goldens.  Valid at the gate scale only, like every golden oracle.
+# Fixed tokenizer MODEL used by the bpe_encode query (a tokenizer model
+# is an input to encoding, like IVF centroids to search): the merge
+# table bpe_train produced on the sf0.01 documents corpus, cross-checked
+# there against an independent single-machine dict-based BPE trainer
+# (tests/test_bpe.py re-verifies that parity on a fixture).  The TRAINER
+# query below does NOT use this table — its oracle unrolls the k
+# training rounds in SQL over whatever corpus the gate supplies, so it
+# is exact at every sf.
 _BPE_K = 16
 _BPE_GOLDEN = [
     (1, "e", "r", 4568),
@@ -573,14 +576,65 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_df(spark, m).orderBy("rank")
 
 
-ORACLES["bpe_train_merges"] = (
-    "select * from (values "
-    + ", ".join(
-        f"({r}, '{a}', '{b}', cast({t} as bigint))"
-        for r, a, b, t in _BPE_GOLDEN
+def _bpe_train_oracle(k: int) -> str:
+    """Unrolled-in-SQL BPE training (DuckDB side): the engine's loop —
+    adjacent-pair histogram, argmax with (total desc, a, b) tie-break,
+    pipe-replace merge — repeated k times as a generated CTE chain, the
+    same data-driven discipline as the IVF/PQ Lloyd oracles.  Exact at
+    any sf because it trains on the corpus the gate supplies (the
+    min_count=2 early stop is not expressed; the fixture corpora clear
+    it by orders of magnitude at every sf)."""
+    steps = [
+        """
+    h0 as materialized (
+        select '|' || array_to_string(string_split(word, ''), '||')
+                   || '|' as repr,
+               cnt
+        from (
+            select word, count(*) as cnt
+            from (select unnest(string_split(text, ' ')) as word
+                  from documents)
+            group by word
+        )
+    )"""
+    ]
+    for i in range(k):
+        steps.append(f"""
+    e{i} as (
+        select cnt,
+               unnest(range(1, len(toks))) as j,
+               toks
+        from (
+            select cnt,
+                   string_split(regexp_replace(repr, '^[|]|[|]$', '', 'g'),
+                                '||') as toks
+            from h{i}
+        )
+    ),
+    t{i} as materialized (
+        select a, b, total from (
+            select toks[j] as a, toks[j + 1] as b,
+                   sum(cnt) as total
+            from e{i}
+            group by a, b
+        ) order by total desc, a, b limit 1
+    ),
+    h{i + 1} as materialized (
+        select replace(h.repr,
+                       '|' || t.a || '||' || t.b || '|',
+                       '|' || t.a || t.b || '|') as repr,
+               h.cnt
+        from h{i} h, t{i} t
+    )""")
+    finals = " union all ".join(
+        f"select {i + 1} as rank, a, b, cast(total as bigint) as total"
+        f" from t{i}"
+        for i in range(k)
     )
-    + ") as t(rank, a, b, total) order by rank"
-)
+    return "with " + ",".join(steps) + f" {finals} order by rank"
+
+
+ORACLES["bpe_train_merges"] = _bpe_train_oracle(_BPE_K)
 QUERIES["bpe_train_merges"] = _bpe_train_merges
 
 

@@ -167,3 +167,81 @@ def test_ivf_salted_join_on_skewed_buckets(spark):
         key=lambda t: (-round(t[0], 6), t[1]),
     )
     assert got[0] == [v for _, v in sims[:3]]
+
+
+def _np_pq_train(mat, m, ksub, iters):
+    """Independent driver-side mirror of the deterministic PQ Lloyd
+    contract (init = lowest-id subvectors, round-8 d2, round-6 means)."""
+    X = mat.astype(np.float64)
+    dsub = X.shape[1] // m
+    books = [X[:ksub, s * dsub:(s + 1) * dsub].copy() for s in range(m)]
+    for _ in range(iters):
+        new = [b.copy() for b in books]
+        for s, Bs in enumerate(books):
+            Xs = X[:, s * dsub:(s + 1) * dsub]
+            d2 = np.round(((Xs[:, None, :] - Bs[None, :, :]) ** 2).sum(axis=2), 8)
+            code = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                sel = Xs[code == c]
+                if len(sel):
+                    for pos in range(dsub):
+                        new[s][c, pos] = round(float(sel[:, pos].sum()) / len(sel), 6)
+        books = new
+    return books
+
+
+def test_pq_train_encode_match_numpy(vecs):
+    df, mat = vecs
+    books = similarity.pq_train(df, m=2, ksub=4, iters=2)
+    want = _np_pq_train(mat, m=2, ksub=4, iters=2)
+    for s in range(2):
+        assert np.allclose(np.asarray(books[s]), want[s], atol=0)
+    got = {r.vec_id: list(r.codes)
+           for r in similarity.pq_encode(df, books).collect()}
+    X = mat.astype(np.float64)
+    dsub = X.shape[1] // 2
+    for s in range(2):
+        Bs = np.asarray(books[s])
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        d2 = np.round(((Xs[:, None, :] - Bs[None, :, :]) ** 2).sum(axis=2), 8)
+        code = np.argmin(d2, axis=1)
+        for i in range(len(X)):
+            assert got[i][s] == code[i]
+
+
+def test_pq_topk_adc_matches_lut_bruteforce(vecs):
+    df, mat = vecs
+    books = similarity.pq_train(df, m=2, ksub=4, iters=2)
+    qids = [0, 3]
+    got = similarity.pq_topk(df, books, qids, topk=4).collect()
+    # brute ADC: codes + per-query LUT, rank on (round(adc,6), vec_id)
+    X = mat.astype(np.float64)
+    dsub = X.shape[1] // 2
+    codes = np.empty((len(X), 2), dtype=int)
+    luts = {}
+    for s in range(2):
+        Bs = np.asarray(books[s])
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        d2 = ((Xs[:, None, :] - Bs[None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(np.round(d2, 8), axis=1)  # round-8 argmin
+        luts[s] = d2  # UNROUNDED lut; row q gives LUT_q[s] (queries from corpus)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.rank, r.vec_id, r.adc))
+    for q in qids:
+        raw = sum(luts[s][q][codes[:, s]] for s in range(2))
+        adc = np.floor(raw * 1e6 + 0.5) / 1e6  # half-away, as SQL round
+        adc[q] = np.inf
+        order = np.lexsort((np.arange(len(adc)), adc))[:4]
+        rows = sorted(by_q[q])
+        assert [v for _, v, _ in rows] == [int(v) for v in order]
+        for (_, v, a), wv in zip(rows, order):
+            assert abs(a - adc[wv]) < 1e-9
+
+
+def test_pq_compression_is_m_codes(vecs):
+    df, _ = vecs
+    books = similarity.pq_train(df, m=4, ksub=4, iters=1)
+    enc = similarity.pq_encode(df, books)
+    r = enc.orderBy("vec_id").first()
+    assert len(r.codes) == 4 and all(0 <= c < 4 for c in r.codes)
