@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "bpe_encode",              # r5b BPE tokenizer apply (pure map)
     "knn_centers",             # kNN re-rank
     "ann_cosine_topk",         # similarity search
+    "ann_pq_topk",             # r5 PQ/ADC compressed-scan ANN
     "layer_intersection_area", # layer algebra / clipping
     "raster_zonal_stats",      # raster↔vector aggregation
     "raster_tile_pyramid",     # tile pyramid (z8→z6)

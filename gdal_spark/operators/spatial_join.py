@@ -334,3 +334,118 @@ def cell_pip_join_shuffled(
         cand.where(refine(F.col(lon_col), F.col(lat_col), F.col("geometry")))
         .drop("cell", "geometry")
     )
+
+
+def polygon_hex_cover(
+    polygons: list, size: float = 100000.0
+) -> list[tuple[int, int, int]]:
+    """(hex_q, hex_r, polygon_id) covering rows — the build side of the
+    hex-cell equi-join. Covers each polygon's bbox in axial hex space:
+    qf/rf are linear in (mercator x, y), each monotone in lon/lat, so
+    their bbox extremes sit at the 4 corners; cube rounding moves a
+    coordinate at most 1 from its float value (the re-derived axis is
+    the sum of two ≤0.5 residuals), so a ±2 integer margin provably
+    covers every point in the bbox. Over-cover only costs candidate
+    rows — the parity refine is exact."""
+    import math
+
+    from gdal_spark.portable import ORIGIN_SHIFT, SQRT3_3
+
+    rows: list[tuple[int, int, int]] = []
+    for p in polygons:
+        minx, miny, maxx, maxy = (float(v) for v in p["bbox"])
+        qs, rs = [], []
+        for lon, lat in (
+            (minx, miny), (minx, maxy), (maxx, miny), (maxx, maxy)
+        ):
+            mx = lon * ORIGIN_SHIFT / 180.0
+            my = (
+                math.log(math.tan((90.0 + lat) * math.pi / 360.0))
+                / (math.pi / 180.0) * ORIGIN_SHIFT / 180.0
+            )
+            qs.append((SQRT3_3 * mx - my / 3.0) / size)
+            rs.append((2.0 * my / 3.0) / size)
+        q0, q1 = math.floor(min(qs)) - 2, math.ceil(max(qs)) + 2
+        r0, r1 = math.floor(min(rs)) - 2, math.ceil(max(rs)) + 2
+        pid = int(p["polygon_id"])
+        rows.extend(
+            (q, r, pid)
+            for q in range(q0, q1 + 1)
+            for r in range(r0, r1 + 1)
+        )
+    return rows
+
+
+def hex_pip_join(
+    df: DataFrame,
+    polygons: list,
+    size: float = 100000.0,
+    key_cols: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Hex-cell equi-join + codegen parity refine — the north rule's
+    "H3-indexed … polygon join" strategy, zero Python end to end:
+    points take their axial hex cell via the shared cube-round SQL
+    (portable.hex_cells_sql — a codegen'd map), polygons broadcast a
+    tiny (hex_q, hex_r, polygon_id) cover (polygon_hex_cover), and the
+    even-odd crossing refine is the same whole-stage-codegen aggregate
+    as sql_pip_join. Identical rows to broadcast_pip_join (tests
+    assert; the oracle gate compares against the exact PIP SQL, so a
+    missed cover cell would fail the hash).
+
+    Scale: ONE shuffle at most (the candidate equi-join, and with the
+    cover broadcast not even that); at huge polygon counts the cover
+    stays O(polygons · cells-per-bbox) — rows, not geometry."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark import portable
+
+    spark = df.sparkSession
+    df.createOrReplaceTempView("_hexjoin_pts")
+    keyed = spark.sql(
+        portable.hex_cells_sql(
+            "select * from _hexjoin_pts",
+            size,
+            cols=(*key_cols, "lat", "lon"),
+        )
+    )
+    cover = spark.createDataFrame(
+        polygon_hex_cover(polygons, size),
+        "hex_q long, hex_r long, polygon_id long",
+    )
+    edge_rows = []
+    for p in polygons:
+        pid = int(p["polygon_id"])
+        for ring in p["rings"]:
+            r = np.asarray(ring, dtype=np.float64)
+            for k in range(len(r) - 1):
+                edge_rows.append(
+                    (
+                        pid,
+                        float(r[k, 0]), float(r[k, 1]),
+                        float(r[k + 1, 0]), float(r[k + 1, 1]),
+                    )
+                )
+    edges = spark.createDataFrame(
+        edge_rows, "polygon_id long, x1 double, y1 double, x2 double, y2 double"
+    )
+    cand = keyed.join(F.broadcast(cover), ["hex_q", "hex_r"]).select(
+        *key_cols, "lat", "lon", "polygon_id"
+    )
+    lon, lat = F.col("lon"), F.col("lat")
+    e = cand.join(F.broadcast(edges), "polygon_id")
+    crossing = F.when(
+        ((F.col("y1") > lat) != (F.col("y2") > lat))
+        & (
+            lon
+            < (F.col("x2") - F.col("x1")) * (lat - F.col("y1"))
+            / (F.col("y2") - F.col("y1"))
+            + F.col("x1")
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        e.groupBy(*key_cols, "polygon_id")
+        .agg(F.sum(crossing).alias("crossings"))
+        .where(F.col("crossings") % 2 == 1)
+        .select(*key_cols, "polygon_id")
+    )

@@ -426,12 +426,17 @@ from area where a > 1e-9
 SQRT3_3 = 0.5773502691896258  # sqrt(3)/3, binary double literal
 
 
-def hex_cells_sql(src: str, size: float = 100000.0) -> str:
-    """H3-style hexagonal binning: (url, lang, hex_q, hex_r) rows from a
-    geo_pages-shaped source subquery `src` — pointy-top axial hex
+def hex_cells_sql(
+    src: str,
+    size: float = 100000.0,
+    cols: tuple[str, ...] = ("url", "lang"),
+) -> str:
+    """H3-style hexagonal binning: (*cols, hex_q, hex_r) rows from a
+    source subquery `src` with lat/lon columns — pointy-top axial hex
     coordinates of cell size `size` meters over web-mercator, with the
     standard cube rounding (largest-residual coordinate re-derived so
-    q+r+s == 0 holds exactly).
+    q+r+s == 0 holds exactly).  `cols` pass through untouched (the
+    default keeps the original geo_pages (url, lang) contract).
 
     The hexagonal counterpart of `tile_cols` for the north rule's
     "H3-indexed" binning: same published lattice math as H3's planar
@@ -441,8 +446,9 @@ def hex_cells_sql(src: str, size: float = 100000.0) -> str:
     DuckDB), so the SAME text is the engine (codegen'd, zero-shuffle
     map) and the oracle."""
     mx, my = mercator_xy("lat", "lon")
+    cl = ", ".join(cols)
     return f"""
-      select url, lang,
+      select {cl},
              case when dq > ds and dq > dr
                   then cast(-rs - rr as bigint)
                   else cast(rq as bigint) end as hex_q,
@@ -450,15 +456,15 @@ def hex_cells_sql(src: str, size: float = 100000.0) -> str:
                   then cast(-rq - rs as bigint)
                   else cast(rr as bigint) end as hex_r
       from (
-        select url, lang, rq, rr, rs,
+        select {cl}, rq, rr, rs,
                abs(rq - qf) as dq, abs(rr - rf) as dr, abs(rs - sf) as ds
         from (
-          select url, lang, qf, rf, sf,
+          select {cl}, qf, rf, sf,
                  round(qf) as rq, round(rf) as rr, round(sf) as rs
           from (
-            select url, lang, qf, rf, (- qf - rf) as sf
+            select {cl}, qf, rf, (- qf - rf) as sf
             from (
-              select url, lang,
+              select {cl},
                      ({SQRT3_3!r} * {mx} - {my} / 3.0) / {size!r} as qf,
                      (2.0 * {my} / 3.0) / {size!r} as rf
               from ({src})

@@ -74,6 +74,8 @@ def collect() -> tuple[
         "raster_reproject_stats",  # subsumed by warp-kernel + UTM queries
         "embedding_label_centroids",  # plain groupBy agg
         "spatial_join_cells",  # variant of spatial_join_pip/_tiles
+        "spatial_join_hex",  # r5 hex-keyed variant of the same join
+        #   (north-rule "H3-indexed polygon join"; same exact-PIP oracle)
         "spatial_join_sql",  # pure-Catalyst verification variant
         "simhash_dup_pairs",  # derived from dedup_simhash
         "st_point_roundtrip",  # second query on ST registry

@@ -85,10 +85,26 @@ def _spatial_join_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("url", "polygon_id")
 
 
+def _spatial_join_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join via the HEX-cell equi-join strategy — the north rule's
+    "H3-indexed … polygon join" verbatim: axial cube-round cells key
+    the candidates (shared SQL text with hex_density), a broadcast
+    (hex_q, hex_r, polygon_id) bbox cover replaces the R-tree, and the
+    refine is the codegen'd even-odd parity aggregate. Zero Python.
+    Oracle = the exact PIP SQL, so an under-covering hex cover would
+    fail the gate, not just a pytest."""
+    from gdal_spark.operators.spatial_join import hex_pip_join
+
+    gp = tables.geo_pages(spark, sf_dir).selectExpr("url", "lat", "lon")
+    j = hex_pip_join(gp, tables.polygons_local(), size=100000.0)
+    return j.select("url", "polygon_id")
+
+
 QUERIES = {
     "spatial_join_pip": _spatial_join,
     "spatial_join_tiles": _spatial_join_tiles,
     "spatial_join_cells": _spatial_join_cells,
+    "spatial_join_hex": _spatial_join_hex,
     "spatial_join_shuffled": _spatial_join_shuffled,
     "spatial_join_sql": _spatial_join_sql,
     "tile_assign": _tile_assign,
@@ -103,6 +119,7 @@ def _oracles() -> dict[str, str]:
     return {
         "spatial_join_pip": pip,
         "spatial_join_cells": pip,
+        "spatial_join_hex": pip,
         "spatial_join_shuffled": pip,
         "spatial_join_sql": pip,
         "spatial_join_tiles": f"""

@@ -105,3 +105,51 @@ def test_shuffled_join_plan_is_shuffle_join(spark):
         .toString()
     )
     assert "Exchange" in plan  # genuinely shuffles — no broadcast path
+
+
+def test_hex_join_matches_broadcast_and_is_pythonless(spark):
+    """hex_pip_join (north-rule H3-keyed strategy) returns identical
+    rows to the R-tree broadcast join, and its plan contains no Python
+    evaluation at all (cube-round keying + parity refine are codegen)."""
+    from gdal_spark.operators.spatial_join import hex_pip_join
+
+    gp = tables.geo_pages(spark, SF_SMOKE).selectExpr("url", "lat", "lon")
+    polys = tables.polygons_local()
+    a = broadcast_pip_join(gp, polys).select("url", "polygon_id")
+    h = hex_pip_join(gp, polys).select("url", "polygon_id")
+    assert a.exceptAll(h).count() == 0
+    assert h.exceptAll(a).count() == 0
+    plan = h._sc._jvm.PythonSQLUtils.explainString(
+        h._jdf.queryExecution(), "formatted"
+    )
+    # no Python EVALUATION nodes (the ExistingRDD scan of the local
+    # fixture cover/edges mentions applySchemaToPythonRDD — that's
+    # driver-side test materialization, not a per-row Python stage)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan
+
+
+def test_hex_cover_contains_every_inside_point_cell(spark):
+    """The ±2 cover margin provably holds: every page that the exact
+    join puts inside polygon P carries a hex cell present in P's
+    cover rows."""
+    from gdal_spark import portable
+    from gdal_spark.operators.spatial_join import polygon_hex_cover
+
+    gp = tables.geo_pages(spark, SF_SMOKE).selectExpr("url", "lat", "lon")
+    polys = tables.polygons_local()
+    inside = broadcast_pip_join(gp, polys).select("url", "lat", "lon", "polygon_id")
+    inside.createOrReplaceTempView("_hexcov_pts")
+    keyed = spark.sql(
+        portable.hex_cells_sql(
+            "select * from _hexcov_pts", 100000.0,
+            cols=("url", "polygon_id"),
+        )
+    ).collect()
+    cover = set(polygon_hex_cover(polys, 100000.0))
+    missing = [
+        r for r in keyed
+        if (int(r.hex_q), int(r.hex_r), int(r.polygon_id)) not in cover
+    ]
+    assert missing == []

@@ -74,6 +74,30 @@ NOTES = {
         "salt_n reducers instead of melting one — exact cosine only on "
         "the probed buckets, final top-k is a window over qid."
     ),
+    "spatial_join_hex": (
+        "r5 north-rule strategy: H3-style axial hex cells key the "
+        "candidates — the cube-round cell math is the SAME codegen'd "
+        "SQL text as hex_density, the (hex_q, hex_r, polygon_id) bbox "
+        "cover and the edge table are broadcast, and the refine is the "
+        "even-odd parity HashAggregate. ZERO Python evaluation nodes "
+        "anywhere in the plan (pytest-pinned) and no corpus shuffle "
+        "before the final parity aggregate; the cover's ±2 margin is "
+        "provable (cube round moves a coordinate ≤1 from its float "
+        "value), and the oracle is the exact PIP SQL, so under-cover "
+        "would fail the value hash, not just a test."
+    ),
+    "ann_pq_topk": (
+        "r5 PQ/ADC compressed-scan ANN (the billion-vector path: 64 "
+        "floats → m=4 codes). Search is ONE MapInPandas over the corpus "
+        "scan — codebooks and the per-query distance LUT travel as a "
+        "broadcast variable, each partition emits only its top-k "
+        "survivors "
+        "— so the single Exchange in the plan is the nq×k×partitions "
+        "candidate set feeding the window re-rank, identical to "
+        "cosine_topk's scale shape. Training shuffles once per Lloyd "
+        "iteration on (sub, code, pos) with map-side partial sums; the "
+        "driver sees m·ksub codeword rows, never vectors."
+    ),
     "st_predicates": (
         "No nested-loop predicate evaluation: both layers explode their "
         "bbox cell cover, candidates come from the cell equi-join, and "
