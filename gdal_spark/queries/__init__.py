@@ -65,6 +65,8 @@ def collect() -> tuple[
     demoted = [
         "token_count",  # n_tokens already in text_stats; regex variant
         "knn_centers",  # broadcast-SQL kNN variant; scale path = knn_ring
+        "knn_hex_ring",  # r5 hex k-ring variant of knn_ring (north-rule
+        #   "H3 k-ring expansion"; same exact-kNN oracle)
         "concat_layers",  # schema-merge variant; provenance repped by manifest
         "doc_fingerprint",  # text family repped by text_stats/token/lang_id
         "layer_erase_rows",  # subtract kernel shared with in-window union

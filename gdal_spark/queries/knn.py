@@ -102,3 +102,30 @@ def _knn_ring_oracle() -> str:
 
 QUERIES["knn_ring"] = _knn_ring
 ORACLES["knn_ring"] = _knn_ring_oracle()
+
+
+def _knn_hex_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule verbatim kNN ("H3 k-ring expansion with distance
+    re-rank", operators/knn.py knn_hex_ring_join) on the same task as
+    knn_centers/knn_ring — axial hex buckets instead of degree cells,
+    provable mercator-bound stop. Rank-only output for the same
+    numpy-vs-SQL-trig ulp reason as knn_ring."""
+    from gdal_spark import portable as P
+    from gdal_spark.operators.knn import knn_hex_ring_join
+
+    tables.register_views(spark, sf_dir)
+    pages = spark.sql(
+        f"select url, lat, lon from ({P.geo_pages_cte('spark')})"
+    )
+    targets = [
+        (int(r.polygon_id), float(r.t_lat), float(r.t_lon))
+        for r in spark.sql(_targets_cte("spark")).collect()
+    ]  # bounded-metadata: 25 targets
+    out = knn_hex_ring_join(pages, targets, k=K, size=200000.0)
+    return out.select(
+        "url", "rnk", F.col("target_id").alias("polygon_id")
+    )
+
+
+QUERIES["knn_hex_ring"] = _knn_hex_ring
+ORACLES["knn_hex_ring"] = _knn_ring_oracle()

@@ -263,6 +263,47 @@ def test_knn_ring_matches_bruteforce(spark):
             assert dd == pytest.approx(wd, rel=1e-12)
 
 
+def test_knn_hex_ring_matches_bruteforce(spark):
+    """Hex k-ring kNN (north-rule "H3 k-ring expansion") vs brute
+    force — random fixture incl. a k > buckets-per-ring regime and a
+    k >= n_targets full-scan path."""
+    from gdal_spark.operators.knn import knn_hex_ring_join
+
+    rng = np.random.default_rng(13)
+    tlat = rng.uniform(-60, 60, 150)
+    tlon = rng.uniform(-170, 170, 150)
+    targets = [(i, float(tlat[i]), float(tlon[i])) for i in range(150)]
+    qlat = rng.uniform(-55, 55, 30)
+    qlon = rng.uniform(-160, 160, 30)
+    pts = spark.createDataFrame(
+        [(f"q{i}", float(qlat[i]), float(qlon[i])) for i in range(30)],
+        "url string, lat double, lon double",
+    )
+    for k in (3, 7):
+        got = knn_hex_ring_join(pts, targets, k=k, size=400000.0).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.url, []).append((r.rnk, r.target_id, r.dist_m))
+        for i in range(30):
+            d = haversine_m(qlat[i], qlon[i], tlat, tlon)
+            order = np.lexsort((np.arange(150), d))[:k]
+            want = [(int(t), float(d[t])) for t in order]
+            rows = sorted(by_q[f"q{i}"])
+            assert [t for _, t, _ in rows] == [t for t, _ in want]
+            for (_, _, dd), (_, wd) in zip(rows, want):
+                assert dd == pytest.approx(wd, rel=1e-12)
+    # k >= n_targets: full scan returns everything, still exact order
+    few = targets[:4]
+    got = knn_hex_ring_join(pts, few, k=9, size=400000.0).collect()
+    assert {r.url for r in got} == {f"q{i}" for i in range(30)}
+    assert all(len([g for g in got if g.url == f"q{i}"]) == 4
+               for i in range(30))
+    # lat-cap contract is enforced
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        knn_hex_ring_join(pts, [(0, 80.0, 0.0)], k=1)
+
+
 # --- graph: shortest paths (GNM parity note) ---
 
 
