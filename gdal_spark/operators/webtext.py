@@ -615,3 +615,51 @@ def tfidf_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-window chunking with overlap — the RAG/pretraining window
+    op (every retrieval pipeline's first step; distinct from
+    pack_sequences, which BIN-PACKS whole docs): token windows of
+    `chunk` starting every `stride` tokens, so consecutive chunks
+    overlap by chunk - stride. Start positions are 0, stride, ...,
+    m*stride with m = ceil(max(0, n - chunk)/stride) — the last window
+    is the first one whose end reaches the document's end (it may be
+    shorter than `chunk`); a doc with n <= chunk yields exactly one
+    chunk.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_md5). Entirely
+    codegen'd array lambdas over the per-doc token array — zero
+    shuffle, zero Python: at 100 TB this is a pure map over the crawl
+    (the output fingerprint keeps the result narrow; callers that need
+    the text select array_join themselves)."""
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    if stride > chunk:
+        raise ValueError("stride > chunk would drop tokens between windows")
+    toks = f"split({text_col}, ' ')"
+    n = f"size({toks})"
+    m = (
+        f"greatest(cast(ceil((cast({n} as double) - {chunk})"
+        f" / {stride}) as int), 0)"
+    )
+    win = f"slice(_toks, chunk_id * {stride} + 1, {chunk})"
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(f"explode(sequence(0, {m}))").alias("chunk_id"),
+            F.expr(toks).alias("_toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.expr(f"size({win})").alias("n_chunk_tokens"),
+            F.md5(F.expr(f"array_join({win}, ' ')")).alias("chunk_md5"),
+        )
+    )

@@ -566,3 +566,43 @@ select doc_id, term, tf, df, score, rank
 from r where rank <= 5 order by doc_id, rank
 """
 QUERIES["tfidf_terms"] = _tfidf_terms
+
+
+# --- fixed-window chunking with overlap (RAG / pretraining windows) ---
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+def _chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token windows (operators/webtext.py chunk_documents):
+    chunk=32 / stride=24 → 8-token overlap; pure codegen'd array
+    lambdas, zero shuffle (the presentation orderBy is the query's,
+    not the operator's)."""
+    from gdal_spark.operators.webtext import chunk_documents
+
+    out = chunk_documents(_docs(spark, sf_dir), chunk=_CHUNK, stride=_STRIDE)
+    return out.orderBy("doc_id", "chunk_id")
+
+
+CHUNK_OVERLAP_ORACLE = """
+with t as (
+  select doc_id, string_split(text, ' ') as toks from documents
+),
+c as (
+  select doc_id,
+         unnest(range(0, cast(greatest(ceil((len(toks) - {CH}.0) / {ST}.0),
+                                       0) as int) + 1)) as chunk_id,
+         toks
+  from t
+)
+select doc_id, cast(chunk_id as int) as chunk_id,
+       len(toks[chunk_id * {ST} + 1 : chunk_id * {ST} + {CH}])
+         as n_chunk_tokens,
+       md5(array_to_string(
+             toks[chunk_id * {ST} + 1 : chunk_id * {ST} + {CH}], ' '))
+         as chunk_md5
+from c order by doc_id, chunk_id
+""".replace("{CH}", str(_CHUNK)).replace("{ST}", str(_STRIDE))
+QUERIES["chunk_overlap"] = _chunk_overlap
+ORACLES["chunk_overlap"] = CHUNK_OVERLAP_ORACLE

@@ -439,3 +439,38 @@ def test_lm_perplexity_threshold_path_is_mapside(spark):
     for d, r in base.items():
         want = 1 + (r["xent"] > t1) + (r["xent"] > t2)
         assert got[d] == want, d
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Boundary semantics of the sliding-window chunker: single chunk
+    for short docs, stride-spaced starts, last window reaches the end,
+    full token coverage, guard rails."""
+    import pytest
+
+    from gdal_spark.operators.webtext import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # n < chunk
+            (2, " ".join(f"t{i}" for i in range(16))),   # n == chunk
+            (3, " ".join(f"t{i}" for i in range(17))),   # one over
+            (4, " ".join(f"t{i}" for i in range(100))),  # many windows
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk=16, stride=12)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r.doc_id, []).append((r.chunk_id, r.n_chunk_tokens))
+    assert rows[1] == [(0, 10)]
+    assert rows[2] == [(0, 16)]
+    # n=17: m = ceil((17-16)/12) = 1 -> starts 0, 12; window 2 has 5 toks
+    assert sorted(rows[3]) == [(0, 16), (1, 5)]
+    # n=100: m = ceil(84/12) = 7 -> 8 windows; last starts at 84, 16 toks
+    assert sorted(rows[4]) == [(i, 16) for i in range(8)]
+    # coverage: stride <= chunk means every token index is inside some
+    # window: start of window i is 12*i, end 12*i+15, next start 12*(i+1)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk=8, stride=9)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk=0, stride=0)
