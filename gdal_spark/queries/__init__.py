@@ -206,9 +206,10 @@ def collect() -> tuple[
         # in-window reps stay spatial_join_tiles / tile_assign_geodetic
         # (square schemes); the hex variant rides the local replica.
         "hex_density",
-        # r5: sliding-window chunking — the sequence-shaping family's
-        # in-window rep stays pack_sequences' slot-holder lm_perplexity;
-        # the window op rides the local replica next to pack_sequences.
+        # r5: sliding-window chunking — rides the local replica next to
+        # pack_sequences (the sequence-shaping near-duplicate already
+        # demoted); the curation family's in-window rep stays
+        # lm_perplexity.
         "chunk_overlap",
         # r5: PQ/ADC ANN — the ANN family keeps its two in-window reps
         # (ann_cosine_topk exact baseline, ann_ivf_topk bucketed scale
