@@ -520,3 +520,60 @@ def dedup_clusters(
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "portable",
+) -> DataFrame:
+    """Exact-substring duplicate REMOVAL (the edit step of Lee et al.
+    2022 — dup_ngram_stats is the statistic, this rewrites the corpus):
+    every k-token window occurring >= min_count times corpus-wide is a
+    duplicated span; a token is dropped iff it lies inside any such
+    window of its document. Returns the narrow
+    (id, n_tokens, n_kept_tokens, clean_md5) — callers wanting the
+    cleaned text select array_join themselves.
+
+    Scale (100 TB): window enumeration is map-local (positioned
+    shingles, zero shuffle); the occurrence count is a map-side
+    partially-combined aggregate on the 8-byte gram hash; flagged
+    positions come back via ONE linear shuffle join and collapse to one
+    array row per affected doc (collect over at most n_windows ints);
+    the final rewrite is a doc-local array lambda, codegen'd. No
+    pairwise comparison anywhere. The per-doc rewrite is
+    O(tokens x flagged spans) — at pathological span counts switch the
+    lambda for a sorted-merge, the join shape is unchanged. A 64-bit
+    gram-hash collision can only ever OVER-remove one span (hash
+    equality stands in for text equality, like dup_ngram_stats)."""
+    toks = f"split({text_col}, ' ')"
+    w = df.select(
+        F.col(id_col),
+        F.expr(
+            f"posexplode(transform(sequence(1, greatest(size({toks})"
+            f" - {k} + 1, 0)), j -> array_join(slice({toks}, j, {k}),"
+            f" ' ')))"
+        ).alias("pos", "gram"),
+    )
+    g = w.select(id_col, "pos", H64("gram", hasher).alias("gh"))
+    cnt = g.groupBy("gh").agg(F.count("*").alias("c"))
+    starts = (
+        g.join(cnt, "gh")
+        .where(F.col("c") >= min_count)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
+    )
+    j = df.select(id_col, text_col).join(starts, id_col, "left")
+    kept = (
+        f"filter({toks}, (t, i) -> not exists(coalesce(_starts,"
+        f" array()), p -> i >= p and i < p + {k}))"
+    )
+    return j.select(
+        id_col,
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size({kept})").alias("n_kept_tokens"),
+        F.md5(F.expr(f"array_join({kept}, ' ')")).alias("clean_md5"),
+    )

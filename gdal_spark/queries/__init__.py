@@ -211,6 +211,10 @@ def collect() -> tuple[
         # demoted); the curation family's in-window rep stays
         # lm_perplexity.
         "chunk_overlap",
+        # r5: exact-substring dup REMOVAL — dup_ngram_spans (the
+        # statistic) is the family's demoted rep already; the rewrite
+        # rides the local replica beside it.
+        "remove_dup_spans",
         # r5: PQ/ADC ANN — the ANN family keeps its two in-window reps
         # (ann_cosine_topk exact baseline, ann_ivf_topk bucketed scale
         # path); the product-quantization compression path rides the

@@ -606,3 +606,69 @@ from c order by doc_id, chunk_id
 """.replace("{CH}", str(_CHUNK)).replace("{ST}", str(_STRIDE))
 QUERIES["chunk_overlap"] = _chunk_overlap
 ORACLES["chunk_overlap"] = CHUNK_OVERLAP_ORACLE
+
+
+# --- exact-substring duplicate removal (the edit step of Lee et al.) ---
+
+
+def _remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rewrite dropping every token inside a k-gram window that
+    occurs >= 2 times corpus-wide (operators/dedup.py remove_dup_spans);
+    same planted-span fixture as dup_ngram_spans so there are true
+    duplicated spans to cut."""
+    from gdal_spark.operators.dedup import remove_dup_spans
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(_SPAN))
+        ).otherwise(F.col("text")),
+    )
+    return remove_dup_spans(d, k=_K).orderBy("doc_id")
+
+
+ORACLES["remove_dup_spans"] = """
+with corpus as (
+  select doc_id,
+         case when doc_id % 5 = 0 then text || '{SPAN}' else text end as text
+  from documents
+),
+t as (select doc_id, string_split(text, ' ') as toks from corpus),
+w as (
+  select doc_id, i as pos, array_to_string(toks[i+1:i+{K}], ' ') as gram
+  from t cross join (select unnest(range(0,
+       (select max(len(toks)) from t))) as i)
+  where i + {K} <= len(toks)
+),
+cnt as (select gram, count(*) as c from w group by gram),
+fl as (
+  select doc_id, list_sort(list(pos)) as starts
+  from (select w.doc_id, w.pos from w join cnt using(gram) where c >= 2)
+  group by doc_id
+),
+j as (
+  select t.doc_id, t.toks, coalesce(fl.starts, []) as starts
+  from t left join fl using(doc_id)
+),
+tok_idx as (
+  select j.doc_id, idx, j.toks[idx + 1] as tok, j.starts
+  from j cross join (select unnest(range(0,
+       (select max(len(toks)) from t))) as idx)
+  where idx < len(j.toks)
+),
+kept as (
+  select doc_id, idx, tok from tok_idx
+  where len(list_filter(starts, p -> idx >= p and idx < p + {K})) = 0
+),
+agg as (
+  select doc_id, count(*) as n_kept_tokens,
+         md5(string_agg(tok, ' ' order by idx)) as clean_md5
+  from kept group by doc_id
+)
+select j.doc_id, len(j.toks) as n_tokens,
+       cast(coalesce(agg.n_kept_tokens, 0) as int) as n_kept_tokens,
+       coalesce(agg.clean_md5, md5('')) as clean_md5
+from j left join agg using(doc_id)
+order by doc_id
+""".replace("{K}", str(_K)).replace("{SPAN}", _SPAN)
+QUERIES["remove_dup_spans"] = _remove_dup_spans

@@ -185,3 +185,50 @@ def test_minhash_fast_hasher(corpus):
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
     assert got[(1, 2)] == 1.0
     assert (1, 3) in got
+
+
+def test_remove_dup_spans_hand_fixture(spark):
+    """Edit semantics of the Lee-et-al removal: the shared 5-gram span
+    (and every 5-window overlapping it) is cut from both carriers,
+    unique docs pass through byte-identical, and a within-doc repeat
+    counts toward min_count."""
+    import hashlib
+
+    from gdal_spark.operators.dedup import remove_dup_spans
+
+    span = "v w x y z"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c d e {span}"),
+            (2, f"p q r s t {span}"),
+            (3, "unique tokens only here nothing shared"),
+            # 4: the 5-gram 'm m m m m' occurs twice WITHIN this doc
+            (4, "m m m m m m m m m m tail1 tail2 tail3 tail4 tail5"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(docs, k=5).collect()}
+    # doc 1/2: tokens 5..9 are the shared span; windows starting at
+    # 5 flag all of it. Earlier windows (1..4) straddle into the span
+    # and are unique per doc, so the prefix a b c d e survives.
+    for did, prefix in ((1, "a b c d e"), (2, "p q r s t")):
+        r = out[did]
+        assert r.n_tokens == 10 and r.n_kept_tokens == 5
+        assert r.clean_md5 == hashlib.md5(prefix.encode()).hexdigest()
+    r3 = out[3]
+    assert r3.n_kept_tokens == r3.n_tokens == 6
+    assert r3.clean_md5 == hashlib.md5(
+        b"unique tokens only here nothing shared"
+    ).hexdigest()
+    # doc 4: 'm m m m m' windows at positions 0..5 all have corpus
+    # count >= 2 (within-doc repeats), so all 10 m's go; the 5 tail
+    # tokens survive (every window containing a tail token includes
+    # its unique tail neighborhood exactly once... positions 6..9
+    # windows contain tail tokens AND m's; they occur once each, so
+    # only windows fully inside the m-run flag)
+    r4 = out[4]
+    assert r4.n_tokens == 15
+    assert r4.n_kept_tokens == 5
+    assert r4.clean_md5 == hashlib.md5(
+        b"tail1 tail2 tail3 tail4 tail5"
+    ).hexdigest()
