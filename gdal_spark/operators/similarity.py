@@ -620,3 +620,191 @@ def pq_topk(
         .where(F.col("rank") <= topk)
         .select("qid", "vec_id", "adc", "rank")
     )
+
+
+def ivfpq_train(
+    emb: DataFrame,
+    k_coarse: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """IVFPQ training (Jégou et al. 2011, the faiss IVFPQ layout):
+    coarse k-means quantizer (ivf_train's determinism contract), then
+    product-quantization codebooks trained on the RESIDUALS
+    x - coarse_centroid(x) (pq_train's contract, init = the ksub
+    lowest-id vectors' residual subvectors). Returns
+    (coarse_centroids, codebooks). Driver traffic is k_coarse + m·ksub
+    codeword rows; the corpus is touched one extra map pass (residual
+    computation) beyond the two trainers."""
+    import numpy as np
+
+    coarse = ivf_train(emb, k=k_coarse, iters=iters,
+                       id_col=id_col, vec_col=vec_col)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(coarse)
+
+    def resid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = np.asarray(bc.value, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            d2 = np.round(
+                ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 8
+            )
+            cid = np.argmin(d2, axis=1)
+            out = pd.DataFrame({id_col: pdf[id_col].to_numpy(np.int64)})
+            out[vec_col] = list(X - C[cid])
+            yield out
+
+    res = emb.select(id_col, vec_col).mapInPandas(
+        resid, f"{id_col} long, {vec_col} array<double>"
+    )
+    books = pq_train(res, m=m, ksub=ksub, iters=iters,
+                     id_col=id_col, vec_col=vec_col)
+    return coarse, books
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_ids: list[int],
+    nprobe: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_n: int = 8,
+) -> DataFrame:
+    """IVFPQ/ADC search — the production billion-vector index: vectors
+    carry (coarse cell, m residual codes) from ONE broadcast map pass;
+    each query probes its nprobe nearest cells and scans ONLY those
+    buckets' codes against a per-(query, probed-cell) residual lookup
+    table (LUT[q][cell][s][c] = ||(q - c_cell)_s - codeword_sc||^2,
+    UNROUNDED — the PQ off-lattice contract), so the exact-vector data
+    never re-joins. The probe join is salted on (cid, _salt) exactly
+    like ivf_topk (hot-cell skew guard); ranking is on round(adc, 6)
+    with the vec_id tie-break, SQL-mirrorable on both sides."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    C = np.asarray(coarse, dtype=np.float64)
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = B[0].shape[1]
+    bcc = spark.sparkContext.broadcast(
+        (C.tolist(), [b.tolist() for b in B])
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        CC, BB = bcc.value
+        CC = np.asarray(CC, dtype=np.float64)
+        BB = [np.asarray(b, dtype=np.float64) for b in BB]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            d2 = np.round(
+                ((X[:, None, :] - CC[None, :, :]) ** 2).sum(axis=2), 8
+            )
+            cid = np.argmin(d2, axis=1)
+            R = X - CC[cid]
+            codes = np.empty((len(X), len(BB)), dtype=np.int64)
+            for s, Bs in enumerate(BB):
+                Rs = R[:, s * dsub : (s + 1) * dsub]
+                rd2 = np.round(
+                    ((Rs[:, None, :] - Bs[None, :, :]) ** 2).sum(axis=2), 8
+                )
+                codes[:, s] = np.argmin(rd2, axis=1)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(np.int64),
+                    "cid": cid.astype(np.int64),
+                }
+            )
+            out["codes"] = list(codes)
+            yield out
+
+    cells = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cid long, codes array<long>"
+    )
+    # query side (bounded): exact vectors, probe cells, residual LUTs
+    qrows = (
+        emb.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()  # bounded-metadata: len(query_ids) rows
+    )
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qd2 = np.round(((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 8)
+    npb = min(nprobe, C.shape[0])
+    probe = np.argsort(qd2, axis=1, kind="stable")[:, :npb]
+    # LUT rows: (qid, cid) -> m x ksub table, built driver-side
+    # (nq x nprobe x m x ksub doubles — tiny), broadcast
+    lut: dict[tuple[int, int], np.ndarray] = {}
+    probe_rows = []
+    for qi in range(len(qids)):
+        for c in probe[qi]:
+            qres = Q[qi] - C[int(c)]
+            t = np.stack(
+                [
+                    (
+                        (qres[s * dsub : (s + 1) * dsub][None, :] - Bs) ** 2
+                    ).sum(axis=1)
+                    for s, Bs in enumerate(B)
+                ]
+            )
+            lut[(int(qids[qi]), int(c))] = t
+            probe_rows.append((int(qids[qi]), int(c)))
+    bcl = spark.sparkContext.broadcast(
+        {k: v.tolist() for k, v in lut.items()}
+    )
+    qp = spark.createDataFrame(probe_rows, "qid long, cid long")
+    from gdal_spark.operators.skew import with_salt
+
+    cells_s = with_salt(cells, id_col, salt_n)
+    salts = spark.range(salt_n).select(F.col("id").alias("_salt"))
+    qp_s = qp.crossJoin(F.broadcast(salts))
+    cand = F.broadcast(qp_s).join(cells_s, ["cid", "_salt"]).where(
+        F.col("qid") != F.col(id_col)
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        L = {k: np.asarray(v, dtype=np.float64)
+             for k, v in bcl.value.items()}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            adc = np.empty(len(pdf), dtype=np.float64)
+            qv = pdf["qid"].to_numpy(np.int64)
+            cv = pdf["cid"].to_numpy(np.int64)
+            codes = np.stack([np.asarray(c) for c in pdf["codes"]])
+            for i in range(len(pdf)):
+                t = L[(int(qv[i]), int(cv[i]))]
+                adc[i] = sum(
+                    t[s, int(codes[i, s])] for s in range(t.shape[0])
+                )
+            yield pd.DataFrame(
+                {
+                    "qid": qv,
+                    "vec_id": pdf[id_col].to_numpy(np.int64),
+                    "adc": adc,
+                }
+            )
+
+    scored = cand.select("qid", "cid", id_col, "codes").mapInPandas(
+        score, "qid long, vec_id long, adc double"
+    )
+    scored = scored.dropDuplicates(["qid", "vec_id"]).withColumn(
+        "adc", F.round("adc", 6)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("qid", "vec_id", "adc", "rank")
+    )

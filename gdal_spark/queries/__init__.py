@@ -220,6 +220,9 @@ def collect() -> tuple[
         # path); the product-quantization compression path rides the
         # local replica with a fully unrolled Lloyd SQL oracle.
         "ann_pq_topk",
+        # r5: IVFPQ composition (coarse cells + residual PQ) — rides the
+        # local replica beside its two building blocks.
+        "ann_ivfpq_topk",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

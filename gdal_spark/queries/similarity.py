@@ -515,3 +515,191 @@ def _ann_pq_oracle() -> str:
 
 QUERIES["ann_pq_topk"] = _ann_pq
 ORACLES["ann_pq_topk"] = _ann_pq_oracle()
+
+
+# --- IVFPQ ANN (coarse quantizer + PQ on residuals — faiss IVFPQ) -----------
+# The production billion-vector composition: ivf_train's coarse cells
+# bound the scan, pq_train on RESIDUALS compresses it, search probes
+# nprobe cells and scans codes against per-(query, cell) residual LUTs.
+# The oracle unrolls BOTH deterministic Lloyd trainings (full-dim coarse,
+# then per-subspace residual) plus the probe/ADC in one generated SQL;
+# multi-referenced CTEs are MATERIALIZED (DuckDB otherwise inlines the
+# chain exponentially — the bpe_train_merges lesson).
+
+_IPQ_KC = 8
+_IPQ_M = 4
+_IPQ_KSUB = 8
+_IPQ_ITERS = 2
+_IPQ_NPROBE = 2
+_IPQ_TOPK = 5
+_IPQ_QIDS = [0, 1, 2, 3, 4]
+_IPQ_DSUB = _DIM // _IPQ_M
+
+
+def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.similarity import ivfpq_topk, ivfpq_train
+
+    emb = _emb(spark, sf_dir)
+    coarse, books = ivfpq_train(
+        emb, k_coarse=_IPQ_KC, m=_IPQ_M, ksub=_IPQ_KSUB, iters=_IPQ_ITERS
+    )
+    return ivfpq_topk(
+        emb, coarse, books, _IPQ_QIDS, nprobe=_IPQ_NPROBE, topk=_IPQ_TOPK
+    )
+
+
+def _ann_ivfpq_oracle() -> str:
+    steps = [
+        f"""
+    x as materialized (
+        select vec_id, p.pos, cast(embedding[p.pos + 1] as double) as v
+        from embeddings cross join (select unnest(range({_DIM})) as pos) p
+    ),
+    c0 as materialized (
+        select vec_id as cid, pos, v from x where vec_id < {_IPQ_KC})"""
+    ]
+    for i in range(_IPQ_ITERS):
+        steps.append(f"""
+    a{i} as (
+        select x.vec_id, c.cid,
+               round(sum((x.v - c.v) * (x.v - c.v)), 8) as d2
+        from x join c{i} c on c.pos = x.pos
+        group by x.vec_id, c.cid
+    ),
+    m{i} as (
+        select vec_id, cid from (
+            select vec_id, cid,
+                   row_number() over (partition by vec_id
+                                      order by d2, cid) as rn
+            from a{i}
+        ) where rn = 1
+    ),
+    n{i} as (
+        select m.cid, x.pos, round(sum(x.v) / count(*), 6) as v
+        from m{i} m join x on x.vec_id = m.vec_id
+        group by m.cid, x.pos
+    ),
+    c{i + 1} as materialized (
+        select c.cid, c.pos, coalesce(n.v, c.v) as v
+        from c{i} c left join n{i} n
+          on n.cid = c.cid and n.pos = c.pos
+    )""")
+    fc = f"c{_IPQ_ITERS}"
+    steps.append(f"""
+    af as materialized (
+        select x.vec_id, c.cid,
+               round(sum((x.v - c.v) * (x.v - c.v)), 8) as d2
+        from x join {fc} c on c.pos = x.pos
+        group by x.vec_id, c.cid
+    ),
+    cells as materialized (
+        select vec_id, cid from (
+            select vec_id, cid,
+                   row_number() over (partition by vec_id
+                                      order by d2, cid) as rn
+            from af
+        ) where rn = 1
+    ),
+    rx as materialized (
+        select x.vec_id, x.pos // {_IPQ_DSUB} as sub,
+               x.pos % {_IPQ_DSUB} as spos,
+               x.v - cf.v as v
+        from x
+        join cells ce on ce.vec_id = x.vec_id
+        join {fc} cf on cf.cid = ce.cid and cf.pos = x.pos
+    ),
+    rc0 as materialized (
+        select vec_id as code, sub, spos, v from rx
+        where vec_id < {_IPQ_KSUB})""")
+    for i in range(_IPQ_ITERS):
+        steps.append(f"""
+    ra{i} as (
+        select rx.vec_id, rx.sub, c.code,
+               round(sum((rx.v - c.v) * (rx.v - c.v)), 8) as d2
+        from rx join rc{i} c on c.sub = rx.sub and c.spos = rx.spos
+        group by rx.vec_id, rx.sub, c.code
+    ),
+    rm{i} as (
+        select vec_id, sub, code from (
+            select vec_id, sub, code,
+                   row_number() over (partition by vec_id, sub
+                                      order by d2, code) as rn
+            from ra{i}
+        ) where rn = 1
+    ),
+    rn{i} as (
+        select m.sub, m.code, rx.spos, round(sum(rx.v) / count(*), 6) as v
+        from rm{i} m join rx on rx.vec_id = m.vec_id and rx.sub = m.sub
+        group by m.sub, m.code, rx.spos
+    ),
+    rc{i + 1} as materialized (
+        select c.code, c.sub, c.spos, coalesce(n.v, c.v) as v
+        from rc{i} c left join rn{i} n
+          on n.sub = c.sub and n.code = c.code and n.spos = c.spos
+    )""")
+    rfc = f"rc{_IPQ_ITERS}"
+    qids = ", ".join(str(q) for q in _IPQ_QIDS)
+    return (
+        "with "
+        + ",".join(steps)
+        + f""",
+    raf as (
+        select rx.vec_id, rx.sub, c.code,
+               round(sum((rx.v - c.v) * (rx.v - c.v)), 8) as d2
+        from rx join {rfc} c on c.sub = rx.sub and c.spos = rx.spos
+        group by rx.vec_id, rx.sub, c.code
+    ),
+    codes as materialized (
+        select vec_id, sub, code from (
+            select vec_id, sub, code,
+                   row_number() over (partition by vec_id, sub
+                                      order by d2, code) as rn
+            from raf
+        ) where rn = 1
+    ),
+    qprobe as materialized (
+        select vec_id as qid, cid from (
+            select vec_id, cid,
+                   row_number() over (partition by vec_id
+                                      order by d2, cid) as rn
+            from af where vec_id in ({qids})
+        ) where rn <= {_IPQ_NPROBE}
+    ),
+    qres as (
+        select qp.qid, qp.cid,
+               x.pos // {_IPQ_DSUB} as sub, x.pos % {_IPQ_DSUB} as spos,
+               x.v - cf.v as v
+        from qprobe qp
+        join x on x.vec_id = qp.qid
+        join {fc} cf on cf.cid = qp.cid and cf.pos = x.pos
+    ),
+    lut as materialized (
+        -- UNROUNDED residual-to-codeword distances (PQ off-lattice
+        -- contract: round(adc, 6) must not sit on a rounding-mode
+        -- boundary)
+        select q.qid, q.cid, c.sub, c.code,
+               sum((q.v - c.v) * (q.v - c.v)) as d2
+        from qres q join {rfc} c on c.sub = q.sub and c.spos = q.spos
+        group by q.qid, q.cid, c.sub, c.code
+    ),
+    adc as (
+        select qp.qid, ce.vec_id, round(sum(l.d2), 6) as adc
+        from qprobe qp
+        join cells ce on ce.cid = qp.cid and ce.vec_id <> qp.qid
+        join codes cd on cd.vec_id = ce.vec_id
+        join lut l on l.qid = qp.qid and l.cid = qp.cid
+                  and l.sub = cd.sub and l.code = cd.code
+        group by qp.qid, ce.vec_id
+    )
+    select qid, vec_id, adc, rank from (
+        select qid, vec_id, adc,
+               row_number() over (partition by qid
+                                  order by adc, vec_id) as rank
+        from adc
+    ) where rank <= {_IPQ_TOPK}
+    """
+    )
+
+
+QUERIES["ann_ivfpq_topk"] = _ann_ivfpq
+ORACLES["ann_ivfpq_topk"] = _ann_ivfpq_oracle()

@@ -245,3 +245,74 @@ def test_pq_compression_is_m_codes(vecs):
     enc = similarity.pq_encode(df, books)
     r = enc.orderBy("vec_id").first()
     assert len(r.codes) == 4 and all(0 <= c < 4 for c in r.codes)
+
+
+def _np_coarse_train(mat, k, iters):
+    """Driver-side mirror of ivf_train's determinism contract."""
+    X = mat.astype(np.float64)
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 8)
+        cid = np.argmin(d2, axis=1)
+        new = C.copy()
+        for c in range(k):
+            sel = X[cid == c]
+            if len(sel):
+                for pos in range(X.shape[1]):
+                    new[c, pos] = round(float(sel[:, pos].sum()) / len(sel), 6)
+        C = new
+    return C
+
+
+def test_ivfpq_matches_numpy_mirror(vecs):
+    """ivfpq_train codebooks == an independent numpy mirror (coarse on
+    vectors, PQ on residuals), and ivfpq_topk == brute probe + ADC."""
+    df, mat = vecs
+    kc, m, ksub, iters, nprobe, k = 4, 2, 4, 2, 2, 3
+    coarse, books = similarity.ivfpq_train(
+        df, k_coarse=kc, m=m, ksub=ksub, iters=iters
+    )
+    C = _np_coarse_train(mat, kc, iters)
+    assert np.allclose(np.asarray(coarse), C, atol=0)
+    X = mat.astype(np.float64)
+    d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 8)
+    cid = np.argmin(d2, axis=1)
+    R = X - C[cid]
+    wantB = _np_pq_train(R, m=m, ksub=ksub, iters=iters)
+    for s in range(m):
+        assert np.allclose(np.asarray(books[s]), wantB[s], atol=0)
+    # search: brute ADC over probed cells only
+    qids = [0, 5]
+    got = similarity.ivfpq_topk(
+        df, coarse, books, qids, nprobe=nprobe, topk=k
+    ).collect()
+    dsub = X.shape[1] // m
+    codes = np.empty((len(X), m), dtype=int)
+    for s in range(m):
+        Bs = np.asarray(books[s])
+        Rs = R[:, s * dsub:(s + 1) * dsub]
+        rd2 = np.round(((Rs[:, None, :] - Bs[None, :, :]) ** 2).sum(axis=2), 8)
+        codes[:, s] = np.argmin(rd2, axis=1)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.rank, r.vec_id, r.adc))
+    for q in qids:
+        probe = np.argsort(d2[q], kind="stable")[:nprobe]
+        cand, adcs = [], []
+        for v in range(len(X)):
+            if v == q or cid[v] not in probe:
+                continue
+            qres = X[q] - C[cid[v]]
+            a = sum(
+                ((qres[s * dsub:(s + 1) * dsub]
+                  - np.asarray(books[s])[codes[v, s]]) ** 2).sum()
+                for s in range(m)
+            )
+            cand.append(v)
+            adcs.append(np.floor(a * 1e6 + 0.5) / 1e6)
+    # rank on (rounded adc, vec_id)
+        order = np.lexsort((np.asarray(cand), np.asarray(adcs)))[:k]
+        rows = sorted(by_q[q])
+        assert [v for _, v, _ in rows] == [int(np.asarray(cand)[i]) for i in order]
+        for (_, _, a), i in zip(rows, order):
+            assert abs(a - np.asarray(adcs)[i]) < 1e-9
