@@ -223,6 +223,10 @@ def collect() -> tuple[
         # r5: IVFPQ composition (coarse cells + residual PQ) — rides the
         # local replica beside its two building blocks.
         "ann_ivfpq_topk",
+        # r5: gdaldem hillshade variant modes — the DEM family's
+        # in-window rep stays raster_hillshade (regular mode); the
+        # multidirectional/combined/Igor checksums ride the replica.
+        "raster_hillshade_variants",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -2564,3 +2564,80 @@ def _pansharpen_oracle() -> str:
 
 QUERIES["raster_pansharpen"] = _pansharpen_q
 ORACLES["raster_pansharpen"] = _pansharpen_oracle()
+
+
+# --- gdaldem hillshade variant modes (multidirectional/combined/Igor) ---
+# apps/gdaldem_lib.cpp:1255 (USGS OF 92-422 multidirectional), :1151
+# (combined), :947 (Igor). Oracle = whole-array edge-replicate mirrors
+# (no halo machinery) checksummed to golden VALUES; the plane fixture is
+# synthetic, so the golden is sf-independent.
+
+_HSV_OPS = (
+    "hillshade_multidirectional", "hillshade_combined", "hillshade_igor"
+)
+
+
+def _hillshade_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = None
+    blocks = model.synth_blocks(spark, model.plane_spec())
+    for op in _HSV_OPS:
+        cs = ops.checksum(RF.focal(blocks, op), width=60).select(
+            "dataset", "band", "checksum"
+        )
+        outs = cs if outs is None else outs.unionByName(cs)
+    return outs.orderBy("dataset")
+
+
+def _hillshade_variants_oracle() -> str:
+    z = model.plane_values(0, 0, 60, 60).astype(np.float64)
+    pad = np.pad(z, 1, mode="edge")
+    a, b, c = pad[:-2, :-2], pad[:-2, 1:-1], pad[:-2, 2:]
+    d, f = pad[1:-1, :-2], pad[1:-1, 2:]
+    g, hh, i = pad[2:, :-2], pad[2:, 1:-1], pad[2:, 2:]
+    sum_x = (a + 2 * d + g) - (c + 2 * f + i)
+    sum_y = (g + 2 * hh + i) - (a + 2 * b + c)
+    gx = sum_x / (8.0 * 1.0)   # gt1 = 1
+    gy = sum_y / (8.0 * -1.0)  # gt5 = -1 (north-up)
+    sin_alt = np.sin(np.radians(45.0))
+    cos_alt = np.cos(np.radians(45.0))
+    xx_yy = gx * gx + gy * gy
+    rows = []
+    # multidirectional
+    c225 = np.cos(np.radians(225.0))
+    vals = [
+        np.maximum(sin_alt + (gx - gy) * c225 * cos_alt, 0.0),
+        np.maximum(sin_alt - gx * cos_alt, 0.0),
+        np.maximum(sin_alt + (gx + gy) * c225 * cos_alt, 0.0),
+        np.maximum(sin_alt - gy * cos_alt, 0.0),
+    ]
+    wts = [0.5 * xx_yy - gx * gy, gx * gx, None, gy * gy]
+    wts[2] = xx_yy - wts[0]
+    num = sum(w * v for w, v in zip(wts, vals))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        md = 1.0 + 127.0 * num / np.where(xx_yy == 0, 1.0, xx_yy) \
+            / np.sqrt(1.0 + xx_yy)
+    md = np.where(xx_yy == 0.0, 1.0 + 254.0 * sin_alt, md)
+    rows.append(("plane60_hillshade_multidirectional", 1,
+                 _ref_checksum_arr(md)))
+    # combined
+    azr = np.radians(315.0)
+    cang = (sin_alt - (gy * np.cos(azr) - gx * np.sin(azr)) * cos_alt) \
+        / np.sqrt(1.0 + xx_yy)
+    comb = 1.0 - np.arccos(np.clip(cang, -1.0, 1.0)) * np.arctan(
+        np.sqrt(xx_yy)) * (4.0 / np.pi**2)
+    cb = np.where(comb <= 0.0, 1.0, 1.0 + 254.0 * comb)
+    rows.append(("plane60_hillshade_combined", 1, _ref_checksum_arr(cb)))
+    # igor
+    slope_strength = np.degrees(np.arctan(np.sqrt(xx_yy))) / 90.0
+    aspect = np.arctan2(sum_y, sum_x)
+    target = 1.5 * np.pi - np.radians(315.0)
+    diff = np.abs(np.mod(aspect, 2 * np.pi) - np.mod(target, 2 * np.pi))
+    diff = np.where(diff > np.pi, 2 * np.pi - diff, diff)
+    ig = 255.0 * (1.0 - slope_strength * (1.0 - diff / np.pi))
+    rows.append(("plane60_hillshade_igor", 1, _ref_checksum_arr(ig)))
+    rows.sort()
+    return _values_sql(rows, ["dataset", "band", "checksum"])
+
+
+QUERIES["raster_hillshade_variants"] = _hillshade_variants
+ORACLES["raster_hillshade_variants"] = _hillshade_variants_oracle()

@@ -230,6 +230,61 @@ def _kernel_out(op: str, pad: np.ndarray, c) -> np.ndarray:
             slope
         ) * np.cos(azr - aspect)
         return np.clip(1.0 + 254.0 * shade, 1.0, 255.0)
+    if op in (
+        "hillshade_multidirectional", "hillshade_combined", "hillshade_igor"
+    ):
+        # gdaldem hillshade variant modes (apps/gdaldem_lib.cpp:947
+        # Igor, :1151 combined, :1255 multidirectional) — GDAL's SIGNED
+        # resolution convention (x/gt1, y/gt5), float64 math, z=1,
+        # alt=45, az=315 defaults.
+        w = _w(pad)
+        sum_x = (w["a"] + 2 * w["d"] + w["g"]) - (w["c"] + 2 * w["f"] + w["i"])
+        sum_y = (w["g"] + 2 * w["h"] + w["i"]) - (w["a"] + 2 * w["b"] + w["c"])
+        gx = sum_x / (8.0 * c.gt1)
+        gy = sum_y / (8.0 * c.gt5)
+        sin_alt = np.sin(np.radians(45.0))
+        cos_alt = np.cos(np.radians(45.0))
+        xx_yy = gx * gx + gy * gy
+        if op == "hillshade_multidirectional":
+            # USGS OF 92-422: per-azimuth shades weighted by
+            # sin^2(aspect - az); zero-gradient pixels shade flat
+            c225 = np.cos(np.radians(225.0))
+            v225 = np.maximum(sin_alt + (gx - gy) * c225 * cos_alt, 0.0)
+            v270 = np.maximum(sin_alt - gx * cos_alt, 0.0)
+            v315 = np.maximum(sin_alt + (gx + gy) * c225 * cos_alt, 0.0)
+            v360 = np.maximum(sin_alt - gy * cos_alt, 0.0)
+            w225 = 0.5 * xx_yy - gx * gy
+            w270 = gx * gx
+            w315 = xx_yy - w225
+            w360 = gy * gy
+            num = w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360
+            flat = 1.0 + 254.0 * sin_alt
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = 1.0 + 127.0 * num / np.where(xx_yy == 0, 1.0, xx_yy) \
+                    / np.sqrt(1.0 + xx_yy)
+            return np.where(xx_yy == 0.0, flat, out)
+        if op == "hillshade_combined":
+            azr = np.radians(315.0)
+            cang = (
+                sin_alt - (gy * np.cos(azr) - gx * np.sin(azr)) * cos_alt
+            ) / np.sqrt(1.0 + xx_yy)
+            comb = 1.0 - np.arccos(np.clip(cang, -1.0, 1.0)) * np.arctan(
+                np.sqrt(xx_yy)
+            ) * (4.0 / np.pi**2)
+            return np.where(comb <= 0.0, 1.0, 1.0 + 254.0 * comb)
+        # igor: shadowness from slope strength x aspect alignment with
+        # the anti-light direction; altitude is ignored by design
+        slope_strength = np.degrees(np.arctan(np.sqrt(xx_yy))) / 90.0
+        # GDAL igor aspect: atan2(dy2, -dx2) with dx2 = (c+2f+i)-(a+2d+g)
+        # = -sum_x, so -dx2 = +sum_x; pixel-space, unscaled sums
+        aspect = np.arctan2(sum_y, sum_x)
+        target = 1.5 * np.pi - np.radians(315.0)
+        diff = np.abs(
+            np.mod(aspect, 2 * np.pi) - np.mod(target, 2 * np.pi)
+        )
+        diff = np.where(diff > np.pi, 2 * np.pi - diff, diff)
+        aspect_strength = 1.0 - diff / np.pi
+        return 255.0 * (1.0 - slope_strength * aspect_strength)
     if op == "tri":  # terrain ruggedness: mean |e - neighbor|
         w = _w(pad)
         return (

@@ -114,3 +114,47 @@ def test_fillnodata(spark):
     for (hy, hx) in holes:
         mask[hy, hx] = False
     assert np.array_equal(filled[mask], want[mask])
+
+
+def test_hillshade_variant_interior_closed_form(spark):
+    """On the z = 3x + 4y plane (gt = (0,1,0,0,0,-1)) interior, the
+    GDAL-convention gradients are gx = -3, gy = -4 (x is
+    west-minus-east over SIGNED ewres, y is south-minus-north over
+    SIGNED nsres = -1); each variant's interior value must equal the
+    closed-form constant."""
+    import numpy as np
+
+    from gdal_spark.raster import focal as RF
+    from gdal_spark.raster import model
+
+    blocks = model.synth_blocks(spark, model.plane_spec())
+    gx, gy = -3.0, -4.0
+    sa, ca = np.sin(np.radians(45.0)), np.cos(np.radians(45.0))
+    xx = gx * gx + gy * gy
+    c225 = np.cos(np.radians(225.0))
+    vals = [max(sa + (gx - gy) * c225 * ca, 0.0),
+            max(sa - gx * ca, 0.0),
+            max(sa + (gx + gy) * c225 * ca, 0.0),
+            max(sa - gy * ca, 0.0)]
+    wts = [0.5 * xx - gx * gy, gx * gx, 0.5 * xx + gx * gy, gy * gy]
+    want_md = 1.0 + 127.0 * sum(w * v for w, v in zip(wts, vals)) / xx \
+        / np.sqrt(1.0 + xx)
+    azr = np.radians(315.0)
+    cang = (sa - (gy * np.cos(azr) - gx * np.sin(azr)) * ca) \
+        / np.sqrt(1.0 + xx)
+    comb = 1.0 - np.arccos(cang) * np.arctan(np.sqrt(xx)) * (4 / np.pi**2)
+    want_cb = 1.0 if comb <= 0 else 1.0 + 254.0 * comb
+    ss = np.degrees(np.arctan(np.sqrt(xx))) / 90.0
+    aspect = np.arctan2(32.0, -24.0)  # unscaled window sums
+    target = 1.5 * np.pi - np.radians(315.0)
+    diff = abs(aspect % (2 * np.pi) - target % (2 * np.pi))
+    diff = 2 * np.pi - diff if diff > np.pi else diff
+    want_ig = 255.0 * (1.0 - ss * (1.0 - diff / np.pi))
+    for op, want in (("hillshade_multidirectional", want_md),
+                     ("hillshade_combined", want_cb),
+                     ("hillshade_igor", want_ig)):
+        out = RF.focal(blocks, op)
+        r = [x for x in out.collect() if x.bx == 0 and x.by == 0][0]
+        arr = np.frombuffer(r.buf, dtype=np.float64).reshape(
+            r.height, r.width)
+        assert abs(arr[10, 10] - want) < 1e-9, op
