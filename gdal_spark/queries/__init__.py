@@ -227,6 +227,9 @@ def collect() -> tuple[
         # in-window rep stays raster_hillshade (regular mode); the
         # multidirectional/combined/Igor checksums ride the replica.
         "raster_hillshade_variants",
+        # r5: gdaldem alg/unit variants (Riley TRI, slope -p, ZT
+        # slope/aspect) — same family, rides the replica too.
+        "raster_dem_variants",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -2641,3 +2641,55 @@ def _hillshade_variants_oracle() -> str:
 
 QUERIES["raster_hillshade_variants"] = _hillshade_variants
 ORACLES["raster_hillshade_variants"] = _hillshade_variants_oracle()
+
+
+# --- gdaldem alg/unit variants: Riley TRI (the CLI default), slope -p,
+# Zevenbergen-Thorne slope/aspect (apps/gdaldem_lib.cpp:2332,3219,1390,1482)
+# over the stepped plateau fixture (non-degenerate windows crossing the
+# 32-px block seams, so the halo exchange is exercised for real).
+
+_DEMV_OPS = ("tri_riley", "slope_percent", "slope_zt", "aspect_zt")
+
+
+def _dem_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = None
+    blocks = model.synth_blocks(spark, model.plateau_spec())
+    for op in _DEMV_OPS:
+        cs = ops.checksum(RF.focal(blocks, op), width=48).select(
+            "dataset", "band", "checksum"
+        )
+        outs = cs if outs is None else outs.unionByName(cs)
+    return outs.orderBy("dataset")
+
+
+def _dem_variants_oracle() -> str:
+    z = model.plateau_values(0, 0, 48, 48).astype(np.float64)
+    pad = np.pad(z, 1, mode="edge")
+    a, b, c = pad[:-2, :-2], pad[:-2, 1:-1], pad[:-2, 2:]
+    d, e, f = pad[1:-1, :-2], pad[1:-1, 1:-1], pad[1:-1, 2:]
+    g, hh, i = pad[2:, :-2], pad[2:, 1:-1], pad[2:, 2:]
+    rows = []
+    tri = np.sqrt(sum((w - e) ** 2 for w in (a, b, c, d, f, g, hh, i)))
+    rows.append(("plateau48_tri_riley", 1, _ref_checksum_arr(tri)))
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / 8.0
+    dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / 8.0
+    rows.append(
+        ("plateau48_slope_percent", 1,
+         _ref_checksum_arr(100.0 * np.hypot(dzdx, dzdy)))
+    )
+    ztx = (f - d) / 2.0
+    zty = (hh - b) / 2.0
+    rows.append(
+        ("plateau48_slope_zt", 1,
+         _ref_checksum_arr(np.degrees(np.arctan(np.hypot(ztx, zty)))))
+    )
+    az = 90.0 - np.degrees(np.arctan2(zty, -ztx))
+    az = np.where(az < 0, az + 360.0, az)
+    az = np.where(az >= 360.0, az - 360.0, az)
+    rows.append(("plateau48_aspect_zt", 1, _ref_checksum_arr(az)))
+    rows.sort()
+    return _values_sql(rows, ["dataset", "band", "checksum"])
+
+
+QUERIES["raster_dem_variants"] = _dem_variants
+ORACLES["raster_dem_variants"] = _dem_variants_oracle()

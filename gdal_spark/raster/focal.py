@@ -212,9 +212,35 @@ def _kernel_out(op: str, pad: np.ndarray, c) -> np.ndarray:
             "stddev": stack.std(0),
             "median": np.median(stack, 0),
         }[op]
+    if op == "tri_riley":
+        # gdaldem TRI default (apps/gdaldem_lib.cpp:2332, Riley et al.
+        # 1999): sqrt of the summed squared center-neighbor differences
+        # (our plain "tri" is the Wilson -alg variant, :2317)
+        w = _w(pad)
+        return np.sqrt(
+            sum((w[k] - w["e"]) ** 2 for k in "abcdfghi")
+        )
+    if op in ("slope_zt", "aspect_zt"):
+        # Zevenbergen-Thorne gradient (-alg ZevenbergenThorne,
+        # apps/gdaldem_lib.cpp:1390,1482): central differences over 2
+        # pixels instead of the Horn 3x3 weighting; same output
+        # conventions as the Horn slope/aspect ops
+        w = _w(pad)
+        ztx = (w["f"] - w["d"]) / (2.0 * ew)
+        zty = (w["h"] - w["b"]) / (2.0 * ns)
+        if op == "slope_zt":
+            return np.degrees(np.arctan(np.hypot(ztx, zty)))
+        az = np.degrees(np.arctan2(zty, -ztx))
+        az = 90.0 - az
+        az = np.where(az < 0, az + 360.0, az)
+        az = np.where(az >= 360.0, az - 360.0, az)
+        return az
     dzdx, dzdy = _horn_derivs(pad, ew, ns)
     if op == "slope":  # degrees (gdaldem slope, Horn; gdaldem_lib.cpp:860)
         return np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+    if op == "slope_percent":
+        # gdaldem slope -p (percent instead of degrees): 100*tan(slope)
+        return 100.0 * np.hypot(dzdx, dzdy)
     if op == "aspect":  # azimuth degrees from north, clockwise
         az = np.degrees(np.arctan2(dzdy, -dzdx))
         az = 90.0 - az

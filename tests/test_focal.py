@@ -158,3 +158,23 @@ def test_hillshade_variant_interior_closed_form(spark):
         arr = np.frombuffer(r.buf, dtype=np.float64).reshape(
             r.height, r.width)
         assert abs(arr[10, 10] - want) < 1e-9, op
+
+
+def test_dem_variant_interior_closed_form(plane_blocks):
+    """Riley TRI, percent slope, and ZT slope on the 3x+4y plane
+    interior: sqrt(150), 500%, atan(5) degrees."""
+    import numpy as np
+
+    from gdal_spark.raster import focal as RF
+
+    want = {
+        "tri_riley": np.sqrt(150.0),
+        "slope_percent": 500.0,
+        "slope_zt": np.degrees(np.arctan(5.0)),
+    }
+    for op, w in want.items():
+        out = RF.focal(plane_blocks, op)
+        r = [x for x in out.collect() if x.bx == 0 and x.by == 0][0]
+        arr = np.frombuffer(r.buf, dtype=np.float64).reshape(
+            r.height, r.width)
+        assert abs(arr[10, 10] - w) < 1e-9, op
