@@ -29,6 +29,7 @@ from gdal_spark.session import get_spark  # noqa: E402
 # one representative per family (name -> sf-appropriate at sf0.1)
 BENCH_QUERIES = [
     "spatial_join_tiles",      # flagship family (also headline below)
+    "spatial_join_hex",        # r5 hex-cell (H3-style) zero-Python strategy
     "spatial_join_sql",        # pure-Catalyst strategy
     "tile_assign",             # tile math only
     "tile_assign_geodetic",    # r5 WorldCRS84Quad scheme (linear math)
@@ -42,6 +43,8 @@ BENCH_QUERIES = [
     "boilerplate_removal",     # r4 web-curation (line-level pipeline)
     "lm_perplexity",           # r5b CCNet bigram-LM quality filter
     "bpe_encode",              # r5b BPE tokenizer apply (pure map)
+    "remove_dup_spans",        # r5 exact-substring dup removal (Lee et al.)
+    "chunk_overlap",           # r5 sliding-window chunking (pure map)
     "knn_centers",             # kNN re-rank
     "ann_cosine_topk",         # similarity search
     "ann_pq_topk",             # r5 PQ/ADC compressed-scan ANN

@@ -339,8 +339,11 @@ def cell_pip_join_shuffled(
 def polygon_hex_cover(
     polygons: list, size: float = 100000.0
 ) -> list[tuple[int, int, int]]:
-    """(hex_q, hex_r, polygon_id) covering rows — the build side of the
-    hex-cell equi-join. Covers each polygon's bbox in axial hex space:
+    """(hex_q, hex_r, polygon_id, minx, miny, maxx, maxy) covering rows
+    — the build side of the hex-cell equi-join (bbox carried so the
+    probe can envelope-reject the margin's false candidates before the
+    edge join — the reference's 3-stage filter contract).
+    Covers each polygon's bbox in axial hex space:
     qf/rf are linear in (mercator x, y), each monotone in lon/lat, so
     their bbox extremes sit at the 4 corners; cube rounding moves a
     coordinate at most 1 from its float value (the re-derived axis is
@@ -369,7 +372,7 @@ def polygon_hex_cover(
         r0, r1 = math.floor(min(rs)) - 2, math.ceil(max(rs)) + 2
         pid = int(p["polygon_id"])
         rows.extend(
-            (q, r, pid)
+            (q, r, pid, minx, miny, maxx, maxy)
             for q in range(q0, q1 + 1)
             for r in range(r0, r1 + 1)
         )
@@ -400,6 +403,19 @@ def hex_pip_join(
     from gdal_spark import portable
 
     spark = df.sparkSession
+    # Generate barrier: evaluate the input columns ONCE per row before
+    # the hex tower. Fixture inputs derive lat/lon from a 20-branch
+    # geocode CASE; CollapseProject would inline that tower into every
+    # qf/rf reference of the cube-round expression and the generated
+    # filter method blows janino's 64 KB limit (whole-stage codegen
+    # then silently falls back to interpreted — 5x slower). explode of
+    # a 1-element struct array is a Generate node, not a Project, so
+    # downstream references are plain attribute reads. Zero Python,
+    # zero shuffle; on a real table with stored lat/lon it is a no-op
+    # passthrough.
+    df = df.select(
+        F.explode(F.array(F.struct(*key_cols, "lat", "lon"))).alias("_p")
+    ).select("_p.*")
     df.createOrReplaceTempView("_hexjoin_pts")
     keyed = spark.sql(
         portable.hex_cells_sql(
@@ -410,7 +426,8 @@ def hex_pip_join(
     )
     cover = spark.createDataFrame(
         polygon_hex_cover(polygons, size),
-        "hex_q long, hex_r long, polygon_id long",
+        "hex_q long, hex_r long, polygon_id long, "
+        "minx double, miny double, maxx double, maxy double",
     )
     edge_rows = []
     for p in polygons:
@@ -428,10 +445,17 @@ def hex_pip_join(
     edges = spark.createDataFrame(
         edge_rows, "polygon_id long, x1 double, y1 double, x2 double, y2 double"
     )
-    cand = keyed.join(F.broadcast(cover), ["hex_q", "hex_r"]).select(
-        *key_cols, "lat", "lon", "polygon_id"
-    )
     lon, lat = F.col("lon"), F.col("lat")
+    # stage 2 (reference contract): envelope reject — kills the cover
+    # margin's false candidates in codegen before any edge row is paid
+    cand = (
+        keyed.join(F.broadcast(cover), ["hex_q", "hex_r"])
+        .where(
+            (lon >= F.col("minx")) & (lon <= F.col("maxx"))
+            & (lat >= F.col("miny")) & (lat <= F.col("maxy"))
+        )
+        .select(*key_cols, "lat", "lon", "polygon_id")
+    )
     e = cand.join(F.broadcast(edges), "polygon_id")
     crossing = F.when(
         ((F.col("y1") > lat) != (F.col("y2") > lat))

@@ -77,14 +77,19 @@ NOTES = {
     "spatial_join_hex": (
         "r5 north-rule strategy: H3-style axial hex cells key the "
         "candidates — the cube-round cell math is the SAME codegen'd "
-        "SQL text as hex_density, the (hex_q, hex_r, polygon_id) bbox "
-        "cover and the edge table are broadcast, and the refine is the "
-        "even-odd parity HashAggregate. ZERO Python evaluation nodes "
-        "anywhere in the plan (pytest-pinned) and no corpus shuffle "
-        "before the final parity aggregate; the cover's ±2 margin is "
-        "provable (cube round moves a coordinate ≤1 from its float "
-        "value), and the oracle is the exact PIP SQL, so under-cover "
-        "would fail the value hash, not just a test."
+        "SQL text as hex_density, the cover (hex_q, hex_r, polygon_id, "
+        "bbox) and edge tables are broadcast, envelope-reject kills the "
+        "cover margin's false candidates before any edge row (the "
+        "reference's 3-stage contract), and the refine is the even-odd "
+        "parity HashAggregate. ZERO Python evaluation nodes anywhere "
+        "(pytest-pinned), no corpus shuffle before the final parity "
+        "aggregate. The Generate node below the hex projection is a "
+        "deliberate collapse barrier: the fixture's 20-branch geocode "
+        "CASE would otherwise inline into every cube-round reference "
+        "and blow janino's 64 KB method limit (codegen falls back to "
+        "interpreted, 4x slower — measured 7.4 s -> 1.8 s at sf0.1). "
+        "The cover's ±2 margin is provable and the oracle is the exact "
+        "PIP SQL, so under-cover would fail the value hash."
     ),
     "ann_pq_topk": (
         "r5 PQ/ADC compressed-scan ANN (the billion-vector path: 64 "
