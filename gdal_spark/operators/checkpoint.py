@@ -295,6 +295,11 @@ class Transaction:
             return None
         import shutil
 
+        # per-partition-dir file lists — the Iceberg-style file-level
+        # snapshot: `files` on each manifest row lets read_committed
+        # reconstruct EXACTLY this transaction's view (as_of time
+        # travel), not just its partition values
+        moved: dict[str, list[str]] = {}
         for root, _dirs, files in os.walk(self.staging):
             rel = os.path.relpath(root, self.staging)
             for f in files:
@@ -307,13 +312,34 @@ class Transaction:
                 shutil.move(
                     os.path.join(root, f), os.path.join(dst_dir, f)
                 )
+                key = "" if rel == "." else rel
+                moved.setdefault(key, []).append(
+                    f if rel == "." else os.path.join(rel, f)
+                )
         pc = self._partition_cols or []
+
+        def _files_for(metric_row: tuple) -> list[str]:
+            # partition dir uses Spark's col=value encoding; fixture
+            # values are simple scalars so str() matches the path
+            want = "/".join(
+                f"{c}={metric_row[i]}" for i, c in enumerate(pc)
+            )
+            return sorted(moved.get(want, []))
+
+        # snapshot sequence: one monotone number per commit so as_of
+        # ordering never depends on same-second timestamps
+        prev = read_manifest(self.spark, self.path)
+        seq = 1
+        if prev is not None and "seq" in prev.columns:
+            top = prev.agg(F.max("seq").alias("m")).collect()  # bounded-metadata: 1 row
+            seq = int(top[0]["m"] or 0) + 1
         manifest = self.spark.createDataFrame(
             [
-                (self.txn_id, *m, int(time.time()))
+                (self.txn_id, *m, int(time.time()), seq, _files_for(m))
                 for m in self._metrics
             ],
-            ["run_id", *pc, "n_rows", "n_bytes", "written_at"],
+            ["run_id", *pc, "n_rows", "n_bytes", "written_at", "seq",
+             "files"],
         )
         manifest.coalesce(1).write.mode("append").parquet(
             manifest_path(self.path)
@@ -345,16 +371,44 @@ def start_transaction(spark: SparkSession, path: str) -> Transaction:
 
 
 def read_committed(
-    spark: SparkSession, path: str, partition_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    as_of: str | None = None,
 ) -> DataFrame:
     """Snapshot reader: only rows whose partition value appears in the
     COMMITTED manifest — uncommitted/staged/orphaned files are
     invisible (the parquet reader skips _staging/_manifest as
     _-prefixed paths). Returns None when nothing was ever committed.
-    This is the read side of the manifest-swap publish."""
+    This is the read side of the manifest-swap publish.
+
+    `as_of` = a committed run_id: Iceberg-style time travel — read the
+    table exactly as that transaction left it, by loading ONLY the
+    files whose manifest rows carry seq <= that run's seq (file-level
+    snapshot; later appends to the SAME partition are invisible, which
+    the partition-semi-join head read cannot express). The file set of
+    a snapshot is bounded manifest metadata, never a data scan."""
     m = read_manifest(spark, path)
     if m is None:
         return None
+    if as_of is not None:
+        if "seq" not in m.columns or "files" not in m.columns:
+            raise ValueError(
+                "manifest predates file-level snapshots; as_of needs "
+                "commits made by Transaction.commit with files+seq"
+            )
+        tgt = m.where(F.col("run_id") == as_of).agg(
+            F.max("seq").alias("s")
+        ).collect()  # bounded-metadata: 1 row
+        if not tgt or tgt[0]["s"] is None:
+            raise ValueError(f"unknown run_id {as_of!r}")
+        rows = (
+            m.where(F.col("seq") <= int(tgt[0]["s"]))
+            .select(F.explode("files").alias("f"))
+            .collect()  # bounded-metadata: file list of the snapshot
+        )
+        paths = sorted({os.path.join(path, r["f"]) for r in rows})
+        return spark.read.option("basePath", path).parquet(*paths)
     df = spark.read.option("basePath", path).parquet(path)
     return df.join(
         F.broadcast(m.select(*partition_cols).distinct()),

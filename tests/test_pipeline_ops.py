@@ -707,3 +707,47 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert sorted(got.text.unique()) == sorted(
         f"content {i}" for i in range(25)
     )
+
+
+def test_read_committed_as_of_time_travel(spark, tmp_path):
+    """Iceberg-style time travel over the transaction manifest: as_of a
+    committed run_id reads exactly that snapshot's FILES — later
+    appends to the SAME partition are invisible, which partition-value
+    filtering cannot express."""
+    path = str(tmp_path / "tt")
+    t1 = CP.start_transaction(spark, path)
+    t1.write(
+        spark.range(10).select(
+            (F.col("id") % 2).alias("part"), F.col("id").alias("v")
+        ),
+        ["part"],
+    )
+    rid1 = t1.commit()
+    t2 = CP.start_transaction(spark, path)
+    t2.write(
+        spark.range(100, 106).select(
+            F.lit(0).alias("part"), F.col("id").alias("v")  # SAME partition
+        ),
+        ["part"],
+    )
+    t2.write(
+        spark.range(200, 203).select(
+            F.lit(7).alias("part"), F.col("id").alias("v")  # new partition
+        ),
+        ["part"],
+    )
+    rid2 = t2.commit()
+
+    snap1 = CP.read_committed(spark, path, ["part"], as_of=rid1)
+    assert snap1.count() == 10
+    assert sorted(r.v for r in snap1.collect()) == list(range(10))
+    snap2 = CP.read_committed(spark, path, ["part"], as_of=rid2)
+    assert snap2.count() == 19
+    head = CP.read_committed(spark, path, ["part"])
+    assert head.count() == 19
+    # monotone snapshot sequence recorded per commit
+    m = CP.read_manifest(spark, path)
+    seqs = {r.run_id: r.seq for r in m.collect()}
+    assert seqs[rid1] < seqs[rid2]
+    with pytest.raises(ValueError):
+        CP.read_committed(spark, path, ["part"], as_of="nope")
