@@ -227,3 +227,56 @@ def test_general_clip_invariants_star(a, b):
     assert ua == pytest.approx(
         area_a + abs(ring_area(b)) - ia, rel=1e-6, abs=1e-9
     )
+
+
+# --- hex cover margin proof (property form) ---
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(-170.0, 160.0),   # bbox min lon
+    st.floats(-75.0, 65.0),     # bbox min lat
+    st.floats(0.01, 10.0),      # lon extent
+    st.floats(0.01, 10.0),      # lat extent
+    st.floats(0.0, 1.0),        # point position within bbox (u)
+    st.floats(0.0, 1.0),        # point position within bbox (v)
+    st.sampled_from([25000.0, 100000.0, 400000.0]),
+)
+def test_hex_cover_contains_any_bbox_point(
+    lon0, lat0, dlon, dlat, u, v, size
+):
+    """The ±2 axial margin provably covers: for ANY bbox and ANY point
+    inside it, the point's cube-rounded hex cell is in the bbox's
+    cover rows (the correctness precondition of hex_pip_join — a miss
+    here would be a wrong join row, not just a slow one)."""
+    import math
+
+    import numpy as np
+
+    from gdal_spark.operators.spatial_join import polygon_hex_cover
+
+    poly = {
+        "polygon_id": 1,
+        "bbox": (lon0, lat0, lon0 + dlon, lat0 + dlat),
+        "rings": [],
+    }
+    cover = {t[:2] for t in polygon_hex_cover([poly], size)}
+    lon = lon0 + u * dlon
+    lat = lat0 + v * dlat
+    shift = 20037508.342789244
+    mx = lon * shift / 180.0
+    my = (
+        np.log(np.tan((90.0 + lat) * np.pi / 360.0))
+        / (np.pi / 180.0) * shift / 180.0
+    )
+    s3 = math.sqrt(3.0) / 3.0
+    qf = (s3 * mx - my / 3.0) / size
+    rf = (2.0 * my / 3.0) / size
+    sf = -qf - rf
+    rq, rr, rs = round(qf), round(rf), round(sf)
+    dq, dr, ds = abs(rq - qf), abs(rr - rf), abs(rs - sf)
+    if dq > ds and dq > dr:
+        rq = -rs - rr
+    elif not (ds > dr):
+        rr = -rq - rs
+    assert (int(rq), int(rr)) in cover
