@@ -2648,7 +2648,10 @@ ORACLES["raster_hillshade_variants"] = _hillshade_variants_oracle()
 # over the stepped plateau fixture (non-degenerate windows crossing the
 # 32-px block seams, so the halo exchange is exercised for real).
 
-_DEMV_OPS = ("tri_riley", "slope_percent", "slope_zt", "aspect_zt")
+_DEMV_OPS = (
+    "tri_riley", "slope_percent", "slope_zt", "aspect_zt",
+    "aspect_trig", "aspect_az_zero_flat",
+)
 
 
 def _dem_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2687,6 +2690,19 @@ def _dem_variants_oracle() -> str:
     az = np.where(az < 0, az + 360.0, az)
     az = np.where(az >= 360.0, az - 360.0, az)
     rows.append(("plateau48_aspect_zt", 1, _ref_checksum_arr(az)))
+    # gdaldem aspect flag matrix: unnormalized sums, flat -> 0
+    dx = (c + 2 * f + i) - (a + 2 * d + g)
+    dy = (g + 2 * hh + i) - (a + 2 * b + c)
+    asp = np.degrees(np.arctan2(dy, -dx))
+    flat = (dx == 0) & (dy == 0)
+    trig = np.where(asp < 0, asp + 360.0, asp)
+    trig = np.where(trig == 360.0, 0.0, trig)
+    rows.append(("plateau48_aspect_trig", 1,
+                 _ref_checksum_arr(np.where(flat, 0.0, trig))))
+    azm = np.where(asp > 90.0, 450.0 - asp, 90.0 - asp)
+    azm = np.where(azm == 360.0, 0.0, azm)
+    rows.append(("plateau48_aspect_az_zero_flat", 1,
+                 _ref_checksum_arr(np.where(flat, 0.0, azm))))
     rows.sort()
     return _values_sql(rows, ["dataset", "band", "checksum"])
 

@@ -235,6 +235,23 @@ def _kernel_out(op: str, pad: np.ndarray, c) -> np.ndarray:
         az = np.where(az < 0, az + 360.0, az)
         az = np.where(az >= 360.0, az - 360.0, az)
         return az
+    if op in ("aspect_trig", "aspect_az_zero_flat"):
+        # gdaldem aspect flag matrix (apps/gdaldem_lib.cpp:1428-1517):
+        # computed from the UNNORMALIZED window sums (dx east-minus-west,
+        # dy south-minus-north), flat pixels (dx == dy == 0) emit 0
+        # (-zero_for_flat; the block model carries no nodata), exact
+        # 360 wraps to 0
+        w = _w(pad)
+        dx = (w["c"] + 2 * w["f"] + w["i"]) - (w["a"] + 2 * w["d"] + w["g"])
+        dy = (w["g"] + 2 * w["h"] + w["i"]) - (w["a"] + 2 * w["b"] + w["c"])
+        asp = np.degrees(np.arctan2(dy, -dx))
+        flat = (dx == 0) & (dy == 0)
+        if op == "aspect_trig":  # -trigonometric: 0 = east, CCW
+            asp = np.where(asp < 0, asp + 360.0, asp)
+        else:  # default azimuth mode: 0 = north, clockwise
+            asp = np.where(asp > 90.0, 450.0 - asp, 90.0 - asp)
+        asp = np.where(asp == 360.0, 0.0, asp)
+        return np.where(flat, 0.0, asp)
     dzdx, dzdy = _horn_derivs(pad, ew, ns)
     if op == "slope":  # degrees (gdaldem slope, Horn; gdaldem_lib.cpp:860)
         return np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
