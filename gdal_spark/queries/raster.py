@@ -2650,7 +2650,7 @@ ORACLES["raster_hillshade_variants"] = _hillshade_variants_oracle()
 
 _DEMV_OPS = (
     "tri_riley", "slope_percent", "slope_zt", "aspect_zt",
-    "aspect_trig", "aspect_az_zero_flat",
+    "hillshade_zt", "aspect_trig", "aspect_az_zero_flat",
 )
 
 
@@ -2690,6 +2690,16 @@ def _dem_variants_oracle() -> str:
     az = np.where(az < 0, az + 360.0, az)
     az = np.where(az >= 360.0, az - 360.0, az)
     rows.append(("plateau48_aspect_zt", 1, _ref_checksum_arr(az)))
+    azr = np.radians(360.0 - 315.0 + 90.0)
+    altr = np.radians(45.0)
+    zslope = np.arctan(np.hypot(ztx, zty))
+    zaspect = np.arctan2(zty, -ztx)
+    zshade = np.clip(
+        1.0 + 254.0 * (np.sin(altr) * np.cos(zslope)
+                       + np.cos(altr) * np.sin(zslope)
+                       * np.cos(azr - zaspect)),
+        1.0, 255.0)
+    rows.append(("plateau48_hillshade_zt", 1, _ref_checksum_arr(zshade)))
     # gdaldem aspect flag matrix: unnormalized sums, flat -> 0
     dx = (c + 2 * f + i) - (a + 2 * d + g)
     dy = (g + 2 * hh + i) - (a + 2 * b + c)

@@ -220,7 +220,7 @@ def _kernel_out(op: str, pad: np.ndarray, c) -> np.ndarray:
         return np.sqrt(
             sum((w[k] - w["e"]) ** 2 for k in "abcdfghi")
         )
-    if op in ("slope_zt", "aspect_zt"):
+    if op in ("slope_zt", "aspect_zt", "hillshade_zt"):
         # Zevenbergen-Thorne gradient (-alg ZevenbergenThorne,
         # apps/gdaldem_lib.cpp:1390,1482): central differences over 2
         # pixels instead of the Horn 3x3 weighting; same output
@@ -230,6 +230,15 @@ def _kernel_out(op: str, pad: np.ndarray, c) -> np.ndarray:
         zty = (w["h"] - w["b"]) / (2.0 * ns)
         if op == "slope_zt":
             return np.degrees(np.arctan(np.hypot(ztx, zty)))
+        if op == "hillshade_zt":
+            azr = np.radians(360.0 - 315.0 + 90.0)
+            altr = np.radians(45.0)
+            slope = np.arctan(np.hypot(ztx, zty))
+            aspect = np.arctan2(zty, -ztx)
+            shade = np.sin(altr) * np.cos(slope) + np.cos(altr) * np.sin(
+                slope
+            ) * np.cos(azr - aspect)
+            return np.clip(1.0 + 254.0 * shade, 1.0, 255.0)
         az = np.degrees(np.arctan2(zty, -ztx))
         az = 90.0 - az
         az = np.where(az < 0, az + 360.0, az)

@@ -178,3 +178,20 @@ def test_dem_variant_interior_closed_form(plane_blocks):
         arr = np.frombuffer(r.buf, dtype=np.float64).reshape(
             r.height, r.width)
         assert abs(arr[10, 10] - w) < 1e-9, op
+
+
+def test_hillshade_zt_equals_horn_on_plane(plane_blocks):
+    """ZT and Horn gradients agree exactly on a linear surface, so
+    hillshade_zt's interior must equal the Horn hillshade's."""
+    import numpy as np
+
+    from gdal_spark.raster import focal as RF
+
+    vals = {}
+    for op in ("hillshade", "hillshade_zt"):
+        out = RF.focal(plane_blocks, op)
+        r = [x for x in out.collect() if x.bx == 0 and x.by == 0][0]
+        arr = np.frombuffer(r.buf, dtype=np.float64).reshape(
+            r.height, r.width)
+        vals[op] = arr[10, 10]
+    assert vals["hillshade"] == vals["hillshade_zt"]
