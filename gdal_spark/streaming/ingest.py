@@ -194,3 +194,39 @@ def dedup_stream(
     return fp.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["fp"]
     )
+
+
+def windowed_hex_counts(
+    pages: DataFrame,
+    size: float = 100000.0,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Late-data-tolerant per-HEX-CELL page counts — the north rule's
+    H3-style binning under structured streaming. The cube-round cell
+    math is the IDENTICAL SQL text the batch hex_density query and the
+    hex spatial join run (portable.hex_cells_sql over a temp view —
+    Spark temp views compose with streaming DataFrames), so batch and
+    stream share one logical definition."""
+    spark = pages.sparkSession
+    g = pages.selectExpr(
+        "url", "warc_ts", *portable.geocode_cols_list("spark")
+    )
+    g.createOrReplaceTempView("_stream_geo_pages")
+    hexed = spark.sql(
+        portable.hex_cells_sql(
+            "select * from _stream_geo_pages",
+            size,
+            cols=("url", "warc_ts"),
+        )
+    )
+    return (
+        hexed.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("w"),
+            "hex_q",
+            "hex_r",
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select("w.start", "w.end", "hex_q", "hex_r", "n_pages")
+    )

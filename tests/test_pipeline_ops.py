@@ -751,3 +751,49 @@ def test_read_committed_as_of_time_travel(spark, tmp_path):
     assert seqs[rid1] < seqs[rid2]
     with pytest.raises(ValueError):
         CP.read_committed(spark, path, ["part"], as_of="nope")
+
+
+def test_streaming_windowed_hex_counts(spark, tmp_path):
+    """H3-style hex binning under structured streaming: the cube-round
+    cell SQL shared with batch runs in an availableNow micro-batch;
+    windowed per-cell totals equal the batch rollup over the same
+    files, and cells match the batch hex assignment exactly."""
+    from gdal_spark import portable
+    from gdal_spark.streaming.ingest import (
+        stage_page_files,
+        synthetic_page_stream,
+        windowed_hex_counts,
+    )
+
+    path = str(tmp_path / "inbox_hex")
+    stage_page_files(spark, path, n=400)
+    stream = windowed_hex_counts(synthetic_page_stream(spark, path))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_hex_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.start, r.hex_q, r.hex_r): r.n_pages
+        for r in spark.table("stream_hex_counts").collect()
+    }
+    batch_geo = spark.read.parquet(path).selectExpr(
+        "url", "warc_ts", *portable.geocode_cols_list("spark")
+    )
+    batch_geo.createOrReplaceTempView("_batch_geo_pages")
+    hexed = spark.sql(
+        portable.hex_cells_sql(
+            "select * from _batch_geo_pages", 100000.0,
+            cols=("url", "warc_ts"),
+        )
+    )
+    want = {
+        (r.w.start, r.hex_q, r.hex_r): r.n_pages
+        for r in hexed.groupBy(
+            F.window("warc_ts", "10 seconds").alias("w"), "hex_q", "hex_r"
+        ).agg(F.count("*").alias("n_pages")).collect()
+    }
+    assert got == want and len(got) > 5
