@@ -254,10 +254,13 @@ def write_vector_partitioned(
 class Transaction:
     """One open transaction on a partitioned dataset."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, txn_id: str | None = None):
         self.spark = spark
         self.path = path
-        self.txn_id = uuid.uuid4().hex[:12]
+        # caller-supplied txn_id makes the commit IDEMPOTENT under retry:
+        # a deterministic id (e.g. stream-id + micro-batch id) lets the
+        # replaying caller detect its own prior commit in the manifest
+        self.txn_id = txn_id if txn_id is not None else uuid.uuid4().hex[:12]
         self.staging = os.path.join(path, "_staging", self.txn_id)
         self._partition_cols: list[str] | None = None
         self._metrics: list[tuple] = []

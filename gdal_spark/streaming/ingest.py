@@ -230,3 +230,66 @@ def windowed_hex_counts(
         .agg(F.count("*").alias("n_pages"))
         .select("w.start", "w.end", "hex_q", "hex_r", "n_pages")
     )
+
+
+def spatial_join_stream(pages: DataFrame, zoom: int = 12) -> DataFrame:
+    """The FLAGSHIP north-rule pipeline — deterministic geocode → XYZ
+    tile assignment → broadcast packed-R-tree point-in-polygon join —
+    as a stream-static join under structured streaming.
+
+    `broadcast_pip_join` is a stateless mapInPandas over a
+    driver-broadcast polygon payload, so it runs unchanged per
+    micro-batch (append mode, no state store): the identical physical
+    strategy as the batch flagship in `__spark_entry__.entry`, which is
+    the point — one operator definition, two execution modes. At scale
+    the static side is the broadcast polygon layer (rebuilt only on
+    stream restart) and the stream side never shuffles.
+    """
+    from gdal_spark import tables
+    from gdal_spark.operators.spatial_join import broadcast_pip_join
+
+    return broadcast_pip_join(geocode_and_tile(pages, zoom), tables.polygons_local())
+
+
+def stream_to_table(
+    stream: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    checkpoint_dir: str,
+    stream_id: str = "stream",
+):
+    """Exactly-once streaming sink into the transactional manifest
+    table (operators.checkpoint): each micro-batch publishes through a
+    Transaction whose txn_id is DETERMINISTIC in (stream_id, batch_id),
+    so a replayed micro-batch (failure after commit but before the
+    stream checkpoint advanced — Spark's foreachBatch is only
+    at-least-once) finds its own run_id already in the manifest and
+    short-circuits. Readers only ever see whole committed batches
+    (read_committed); a mid-write failure rolls the staging dir back
+    and the manifest is untouched.
+
+    Returns the configured DataStreamWriter — caller picks the trigger
+    and calls .start().
+    """
+    from gdal_spark.operators import checkpoint as CP
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rid = f"{stream_id}-{int(batch_id):08d}"
+        m = CP.read_manifest(spark, path)
+        if (
+            m is not None
+            and m.where(F.col("run_id") == rid).limit(1).count() > 0
+        ):  # bounded-metadata: manifest probe, one partition row at most
+            return  # replayed batch already published — exactly-once
+        txn = CP.Transaction(spark, path, txn_id=rid)
+        try:
+            txn.write(batch_df, partition_cols)
+        except BaseException:
+            txn.rollback()
+            raise
+        txn.commit()
+
+    return stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )

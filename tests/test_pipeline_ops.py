@@ -797,3 +797,89 @@ def test_streaming_windowed_hex_counts(spark, tmp_path):
         ).agg(F.count("*").alias("n_pages")).collect()
     }
     assert got == want and len(got) > 5
+
+
+def test_streaming_spatial_join_matches_batch(spark, tmp_path):
+    """The flagship geocode→tile→broadcast-R-tree PIP join runs as a
+    stream-static join (stateless mapInPandas per micro-batch) and
+    produces exactly the batch flagship's row set over the same files."""
+    from gdal_spark import tables
+    from gdal_spark.operators.spatial_join import broadcast_pip_join
+    from gdal_spark.streaming.ingest import (
+        geocode_and_tile,
+        spatial_join_stream,
+        stage_page_files,
+        synthetic_page_stream,
+    )
+
+    path = str(tmp_path / "inbox_sj")
+    stage_page_files(spark, path, n=500)
+    q = (
+        spatial_join_stream(synthetic_page_stream(spark, path))
+        .writeStream.format("memory")
+        .queryName("stream_sjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.url, r.polygon_id, r.tile_x, r.tile_y)
+        for r in spark.table("stream_sjoin").collect()
+    }
+    batch = broadcast_pip_join(
+        geocode_and_tile(spark.read.parquet(path)), tables.polygons_local()
+    )
+    want = {
+        (r.url, r.polygon_id, r.tile_x, r.tile_y) for r in batch.collect()
+    }
+    assert got == want and len(got) > 50
+
+
+def test_stream_to_table_exactly_once(spark, tmp_path):
+    """foreachBatch → Transaction sink: committed table equals the
+    batch input, and a full replay (fresh stream checkpoint, same
+    stream_id → same deterministic run_ids) publishes NOTHING new."""
+    from gdal_spark.operators import checkpoint as CP
+    from gdal_spark.streaming.ingest import (
+        stage_page_files,
+        stream_to_table,
+        synthetic_page_stream,
+    )
+
+    inbox = str(tmp_path / "inbox_tbl")
+    table = str(tmp_path / "table")
+    stage_page_files(spark, inbox, n=300)
+
+    def run(ckpt: str) -> None:
+        q = (
+            stream_to_table(
+                synthetic_page_stream(spark, inbox),
+                table,
+                ["lang"],
+                str(tmp_path / ckpt),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    got = CP.read_committed(spark, table, ["lang"])
+    want = spark.read.parquet(inbox)
+    assert got.count() == want.count() == 300
+    assert (
+        got.select("url").subtract(want.select("url")).count() == 0
+    )
+    manifest_runs = {
+        r.run_id for r in CP.read_manifest(spark, table).select("run_id").collect()
+    }
+    assert all(r.startswith("stream-") for r in manifest_runs)
+
+    # replay: new checkpoint forces every file through foreachBatch
+    # again with the same batch ids — the sink must skip them all
+    run("ck2")
+    assert CP.read_committed(spark, table, ["lang"]).count() == 300
+    assert {
+        r.run_id for r in CP.read_manifest(spark, table).select("run_id").collect()
+    } == manifest_runs
