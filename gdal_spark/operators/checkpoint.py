@@ -418,3 +418,113 @@ def read_committed(
         partition_cols,
         "left_semi",
     )
+
+
+def compact_table(
+    spark: SparkSession, path: str, partition_cols: list[str]
+) -> str | None:
+    """Small-file maintenance: rewrite the committed snapshot so each
+    partition value holds ONE file, then expire all prior snapshots
+    (Iceberg rewriteDataFiles + expire_snapshots in one step).
+
+    A streaming `stream_to_table` sink appends one file set per
+    micro-batch; at 100 TB that is millions of tiny parquet files and
+    the scan cost is dominated by file-open overhead. Compaction is the
+    standard maintenance answer and composes with the manifest:
+
+    1. read the current committed view (file-level, via the manifest),
+    2. stage it repartitioned to one file per partition value through a
+       normal Transaction (so a mid-compaction crash leaves ONLY
+       staging garbage — committed state untouched),
+    3. publish, then rewrite the manifest to exactly the compaction
+       rows and delete the superseded data files.
+
+    Single-writer maintenance op (the same assumption Iceberg's rewrite
+    action takes via table locks): between steps 3's manifest swap and
+    file deletion, the directory-scan read path may transiently see
+    duplicated rows; the file-list `as_of` path is exact throughout.
+    Prior run_ids are EXPIRED — `read_committed(as_of=old_run)` raises
+    after compaction, matching expire_snapshots semantics.
+
+    Returns the compaction run_id, or None if the table has no commits.
+    """
+    import shutil
+
+    m = read_manifest(spark, path)
+    if m is None:
+        return None
+    if "files" not in m.columns:
+        raise ValueError(
+            "manifest predates file-level snapshots; compact_table needs "
+            "commits made by Transaction.commit"
+        )
+    fl = m.select(F.explode("files").alias("f"))
+    old_files = [r["f"] for r in fl.collect()]  # bounded-metadata: manifest file list, not a data scan
+    current = read_committed(spark, path, partition_cols)
+    txn = Transaction(spark, path, txn_id="compact-" + uuid.uuid4().hex[:8])
+    try:
+        # one file per partition value: partitionBy splits by value, the
+        # repartition collapses each value's rows into a single task
+        txn.write(
+            current.repartition(*[F.col(c) for c in partition_cols]),
+            partition_cols,
+        )
+    except BaseException:
+        txn.rollback()
+        raise
+    rid = txn.commit()
+    keep = (
+        read_manifest(spark, path)
+        .where(F.col("run_id") == rid)
+        .collect()  # bounded-metadata: one row per partition value
+    )
+    mdir = manifest_path(path)
+    shutil.rmtree(mdir)
+    spark.createDataFrame(keep).coalesce(1).write.parquet(mdir)
+    for f in old_files:
+        try:
+            os.remove(os.path.join(path, f))
+        except FileNotFoundError:
+            pass  # already gone (e.g. double compaction)
+    return rid
+
+
+def vacuum_table(spark: SparkSession, path: str) -> list[str]:
+    """Delete data files not referenced by any committed manifest row —
+    leftovers of crashed writers (a Transaction that died between the
+    file move and the manifest append, a killed Spark task's orphaned
+    part file) and entire dead staging dirs. Iceberg's
+    remove_orphan_files analog, driven purely off bounded manifest
+    metadata plus one os.walk of the table directory (file listing, not
+    a data scan — at 100 TB this is the object-store LIST the real
+    maintenance job would do).
+
+    Returns the table-relative paths removed. Never touches `_`-prefixed
+    bookkeeping (the manifest itself) except `_staging`, which is only
+    ever live while a Transaction object is open — run vacuum when no
+    writer is active (same single-writer assumption as compact_table).
+    """
+    import shutil
+
+    m = read_manifest(spark, path)
+    referenced: set[str] = set()
+    if m is not None and "files" in m.columns:
+        fl = m.select(F.explode("files").alias("f"))
+        referenced = {r["f"] for r in fl.collect()}  # bounded-metadata: manifest file list
+    removed: list[str] = []
+    staging = os.path.join(path, "_staging")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+        removed.append("_staging")
+    for root, _dirs, files in os.walk(path):
+        rel_root = os.path.relpath(root, path)
+        if rel_root.split(os.sep)[0].startswith("_"):
+            continue
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            rel = f if rel_root == "." else os.path.join(rel_root, f)
+            if rel not in referenced:
+                os.remove(os.path.join(root, f))
+                removed.append(rel)
+    return sorted(removed)

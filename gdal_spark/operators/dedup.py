@@ -577,3 +577,41 @@ def remove_dup_spans(
         F.expr(f"size({kept})").alias("n_kept_tokens"),
         F.md5(F.expr(f"array_join({kept}, ' ')")).alias("clean_md5"),
     )
+
+
+def simhash_cols(
+    df: DataFrame,
+    bits: int = 16,
+    text_col: str = "text",
+    hasher: str = "portable",
+    out: str = "simhash",
+) -> DataFrame:
+    """All input columns + a `bits`-bit SimHash column, computed
+    ENTIRELY doc-locally (array lambdas over the token list — zero
+    shuffle, a pure map stage). Bit-identical to simhash() for the
+    portable hasher, pinned by a pytest parity test: simhash() sums
+    count-weighted votes over DISTINCT tokens, which equals one vote
+    per token OCCURRENCE over the multiset (the grouping is just an
+    associativity regroup of the same sum).
+
+    Being a stateless projection, this is the streaming-safe signature
+    path (streaming.ingest.near_dup_stream) — the groupBy formulation
+    in simhash() would burn the one stateful-op slot batch code doesn't
+    care about."""
+    base = "xxhash64(t)" if hasher == "fast" else hash64("t", "spark")
+    d = df.selectExpr(
+        "*", f"transform(split({text_col}, ' '), t -> {base}) as _hs"
+    )
+    votes = [
+        f"aggregate(_hs, cast(0 as bigint), (acc, h) -> acc + "
+        f"(case when (shiftright(h, {b}) & 1) = 1 then cast(1 as bigint) "
+        f"else cast(-1 as bigint) end)) as _v{b}"
+        for b in range(bits)
+    ]
+    v = d.selectExpr("*", *votes)
+    contrib = " + ".join(
+        f"(case when _v{b} > 0 then cast(shiftleft(1, {b}) as bigint) "
+        f"else cast(0 as bigint) end)"
+        for b in range(bits)
+    )
+    return v.selectExpr(*df.columns, f"{contrib} as {out}")

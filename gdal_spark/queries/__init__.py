@@ -230,6 +230,10 @@ def collect() -> tuple[
         # r5: gdaldem alg/unit variants (Riley TRI, slope -p, ZT
         # slope/aspect) — same family, rides the replica too.
         "raster_dem_variants",
+        # r5: map-side (zero-shuffle, streaming-safe) SimHash — same
+        # operator and same oracle as dedup_simhash, alternate physical
+        # plan; bit-identity additionally pinned in tests/test_dedup.py.
+        "dedup_simhash_mapside",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

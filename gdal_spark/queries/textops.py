@@ -364,6 +364,14 @@ SIMHASH_ORACLE = f"""
 """
 
 
+def _dedup_simhash_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same operator, zero-shuffle physical plan: the doc-local
+    simhash_cols formulation (streaming-safe signature path) against
+    the SAME oracle as dedup_simhash — bit-identity is the contract."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return dedup.simhash_cols(corpus, bits=16).select("doc_id", "simhash")
+
+
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs: identical 16-bit SimHash."""
     sh = dedup.simhash(_near_dup_corpus(spark, sf_dir), bits=16)
@@ -392,6 +400,7 @@ QUERIES = {
     "dedup_exact": _dedup_exact,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_simhash": _dedup_simhash,
+    "dedup_simhash_mapside": _dedup_simhash_mapside,
     "simhash_dup_pairs": _simhash_pairs,
 }
 
@@ -403,6 +412,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": SIMHASH_ORACLE,
+    "dedup_simhash_mapside": SIMHASH_ORACLE,
     "simhash_dup_pairs": SIMHASH_PAIRS_ORACLE,
 }
 

@@ -293,3 +293,23 @@ def stream_to_table(
     return stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def near_dup_stream(
+    pages: DataFrame,
+    bits: int = 16,
+    watermark: str = "30 seconds",
+    hasher: str = "portable",
+) -> DataFrame:
+    """Streaming near-duplicate suppression: doc-local SimHash (the
+    map-side zero-shuffle formulation, bit-identical to the batch
+    dedup_simhash signature) + ONE watermark-bounded stateful op that
+    keeps the first-arriving page per signature. State size = distinct
+    signatures inside the lateness horizon, never the stream's history
+    — the streaming analog of dedup_simhash's exact-signature match."""
+    from gdal_spark.operators.dedup import simhash_cols
+
+    sig = simhash_cols(pages, bits=bits, text_col="text", hasher=hasher)
+    return sig.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["simhash"]
+    )

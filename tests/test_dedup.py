@@ -232,3 +232,23 @@ def test_remove_dup_spans_hand_fixture(spark):
     assert r4.clean_md5 == hashlib.md5(
         b"tail1 tail2 tail3 tail4 tail5"
     ).hexdigest()
+
+
+def test_simhash_mapside_parity(spark):
+    """simhash_cols (doc-local, zero-shuffle) is bit-identical to the
+    groupBy simhash() on real documents, both hashers consistent with
+    their own contract."""
+    from gdal_spark.operators.dedup import simhash, simhash_cols
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {
+        (r.doc_id, r.simhash) for r in simhash(docs, bits=16).collect()
+    }
+    got = {
+        (r.doc_id, r.simhash)
+        for r in simhash_cols(docs, bits=16).select("doc_id", "simhash").collect()
+    }
+    assert got == want and len(got) == docs.count()
+    # plan: the map-side path has no Exchange before the projection
+    plan = simhash_cols(docs, bits=16)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

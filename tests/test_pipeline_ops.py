@@ -883,3 +883,133 @@ def test_stream_to_table_exactly_once(spark, tmp_path):
     assert {
         r.run_id for r in CP.read_manifest(spark, table).select("run_id").collect()
     } == manifest_runs
+
+
+def test_compact_table_small_files(spark, tmp_path):
+    """Compaction rewrites the streamed table to one file per partition
+    value, keeps the committed rows bit-identical, and expires prior
+    snapshots (as_of on a pre-compaction run_id raises)."""
+    import glob
+    import os
+
+    from gdal_spark.operators import checkpoint as CP
+    from gdal_spark.streaming.ingest import stage_page_files, stream_to_table, synthetic_page_stream
+
+    inbox = str(tmp_path / "inbox_cmp")
+    table = str(tmp_path / "table_cmp")
+    # three separate staged drops → three micro-batches → 3× file sets
+    for i, n in enumerate((100, 120, 80)):
+        stage_page_files(spark, os.path.join(inbox, f"d{i}"), n=n)
+    q = (
+        stream_to_table(
+            synthetic_page_stream(spark, inbox + "/*"), table, ["lang"],
+            str(tmp_path / "ck_cmp"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def data_files():
+        return [
+            f
+            for f in glob.glob(os.path.join(table, "lang=*", "*"))
+            if not os.path.basename(f).startswith(("_", "."))
+        ]
+
+    before_files = data_files()
+    before = sorted(
+        (r.url, r.lang)
+        for r in CP.read_committed(spark, table, ["lang"]).collect()
+    )
+    old_runs = [
+        r.run_id for r in CP.read_manifest(spark, table).select("run_id").distinct().collect()
+    ]
+    n_langs = len({lang for _u, lang in before})
+    assert len(before_files) > n_langs  # genuinely fragmented
+
+    rid = CP.compact_table(spark, table, ["lang"])
+    after_files = data_files()
+    assert len(after_files) == n_langs  # one file per partition value
+    after = sorted(
+        (r.url, r.lang)
+        for r in CP.read_committed(spark, table, ["lang"]).collect()
+    )
+    assert after == before
+    # as_of: compaction snapshot readable, prior snapshots expired
+    assert CP.read_committed(spark, table, ["lang"], as_of=rid).count() == len(before)
+    with pytest.raises(ValueError):
+        CP.read_committed(spark, table, ["lang"], as_of=old_runs[0])
+    # idempotent: a second compaction is a no-op file-count-wise
+    CP.compact_table(spark, table, ["lang"])
+    assert len(data_files()) == n_langs
+    assert CP.read_committed(spark, table, ["lang"]).count() == len(before)
+
+
+def test_vacuum_table_orphans(spark, tmp_path):
+    """vacuum removes crash leftovers (orphan part files + dead staging
+    dirs) and nothing else; the committed view is unchanged."""
+    import os
+
+    from gdal_spark.operators import checkpoint as CP
+
+    table = str(tmp_path / "table_vac")
+    txn = CP.start_transaction(spark, table)
+    txn.write(
+        spark.range(50).selectExpr("id", "cast(id % 3 as string) g"), ["g"]
+    )
+    txn.commit()
+    before = sorted(r.id for r in CP.read_committed(spark, table, ["g"]).collect())
+
+    # crash artifacts: an orphan part file inside a live partition dir
+    # and a dead staging tree from a writer that never committed
+    orphan = os.path.join(table, "g=1", "part-orphan.parquet")
+    spark.range(5).selectExpr("id", "'x' extra").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "junk"))
+    import glob, shutil
+    src = glob.glob(str(tmp_path / "junk" / "part-*.parquet"))[0]
+    shutil.copy(src, orphan)
+    os.makedirs(os.path.join(table, "_staging", "deadtxn"), exist_ok=True)
+    shutil.copy(src, os.path.join(table, "_staging", "deadtxn", "p.parquet"))
+
+    removed = CP.vacuum_table(spark, table)
+    assert "_staging" in removed and os.path.join("g=1", "part-orphan.parquet") in removed
+    assert not os.path.exists(orphan)
+    after = sorted(r.id for r in CP.read_committed(spark, table, ["g"]).collect())
+    assert after == before
+    # second vacuum: nothing left to remove
+    assert CP.vacuum_table(spark, table) == []
+
+
+def test_streaming_near_dup_simhash(spark, tmp_path):
+    """Streaming SimHash near-dup suppression keeps exactly one page
+    per signature, and every surviving page carries the signature the
+    batch dedup_simhash path computes for it."""
+    from gdal_spark.operators.dedup import simhash
+    from gdal_spark.streaming.ingest import (
+        near_dup_stream,
+        stage_page_files,
+        synthetic_page_stream,
+    )
+
+    path = str(tmp_path / "inbox_nd")
+    stage_page_files(spark, path, n=400)
+    q = (
+        near_dup_stream(synthetic_page_stream(spark, path), bits=12)
+        .writeStream.format("memory")
+        .queryName("stream_neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("stream_neardup").collect()
+    batch = spark.read.parquet(path).withColumnRenamed("url", "doc_id")
+    want_sigs = {r.simhash for r in simhash(batch, bits=12).collect()}
+    got_sigs = {r.simhash for r in out}
+    assert got_sigs == want_sigs          # one survivor per distinct signature
+    assert len(out) == len(want_sigs)     # and ONLY one
+    assert 0 < len(out) < 400             # 12-bit sigs on 3-token docs do collide
+    by_url = {r.doc_id: r.simhash for r in simhash(batch, bits=12).collect()}
+    assert all(by_url[r.url] == r.simhash for r in out)
