@@ -166,32 +166,93 @@ def minhash_bands(
             ],
         )
     )
-    n_bands = (num_perm + rows_per_band - 1) // rows_per_band
-
-    def sig_sql(b: int) -> str:
-        # Piece hash must match band_keys' H64 piece for the SAME
-        # hasher: xxhash64 for 'fast', portable md5 for 'portable' —
-        # otherwise an index built via band_keys probed with these sigs
-        # silently gets zero candidates. Combine mirrors band_keys too:
-        # sum (portable, 60-bit, can't overflow) vs bit_xor (fast,
-        # full-range xxhash64 would overflow an ANSI sum).
-        def piece(p: int) -> str:
-            arg = f"concat('{p}', ':', cast(_mh{p} as string))"
-            if hasher == "fast":
-                return f"xxhash64({arg})"
-            return hash64(arg, "spark")
-
-        terms = [
-            piece(p)
-            for p in range(b * rows_per_band, min((b + 1) * rows_per_band, num_perm))
-        ]
-        op = " + " if hasher == "portable" else " ^ "
-        return "(" + op.join(terms) + ")"
-
+    sigs = band_sig_exprs(num_perm, rows_per_band, hasher)
     entries = ", ".join(
-        f"named_struct('band', {b}, 'sig', {sig_sql(b)})" for b in range(n_bands)
+        f"named_struct('band', {b}, 'sig', {s})" for b, s in enumerate(sigs)
     )
     return d.selectExpr(id_col, f"inline(array({entries}))")
+
+
+def band_sig_exprs(
+    num_perm: int, rows_per_band: int, hasher: str
+) -> list[str]:
+    """Per-band combine SQL over the `_mh{i}` signature columns — the
+    single source of truth for LSH band signatures (shared by
+    minhash_bands and minhash_band_keys). Piece hash must match
+    band_keys' H64 piece for the SAME hasher: xxhash64 for 'fast',
+    portable md5 for 'portable' — otherwise an index built via
+    band_keys probed with these sigs silently gets zero candidates.
+    Combine mirrors band_keys too: sum (portable, 60-bit, can't
+    overflow) vs bit_xor (fast, full-range xxhash64 would overflow an
+    ANSI sum)."""
+
+    def piece(p: int) -> str:
+        arg = f"concat('{p}', ':', cast(_mh{p} as string))"
+        if hasher == "fast":
+            return f"xxhash64({arg})"
+        return hash64(arg, "spark")
+
+    n_bands = (num_perm + rows_per_band - 1) // rows_per_band
+    op = " + " if hasher == "portable" else " ^ "
+    return [
+        "("
+        + op.join(
+            piece(p)
+            for p in range(b * rows_per_band, min((b + 1) * rows_per_band, num_perm))
+        )
+        + ")"
+        for b in range(n_bands)
+    ]
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    hasher: str = "portable",
+    out: str = "band_keys",
+) -> DataFrame:
+    """All input columns + `out`: array<bigint> of combined (band, sig)
+    LSH keys, computed ENTIRELY doc-locally — zero shuffle, a stateless
+    projection, so it is the streaming-safe signature path
+    (webtext.lsh_decontaminate / streaming.ingest.decontaminate_stream
+    probe a broadcast benchmark key set with it). Each key hashes the
+    band index together with the band signature
+    (H64('<band>|<sig>')), so ONE bigint array-membership test replaces
+    the (band, sig) equi-join; the sig values are bit-identical to
+    minhash_bands / band_keys (shared band_sig_exprs). Docs with fewer
+    than k tokens get an EMPTY array — the same rows minhash_bands
+    drops, kept here so a downstream flag column is total over df."""
+    ab = mh_ab(num_perm)
+    base = "xxhash64(s)" if hasher == "fast" else hash64("s", "spark")
+    d = (
+        df.selectExpr("*", f"{shingle_array_sql(text_col, k)} as _sh")
+        .selectExpr("*", f"transform(_sh, s -> pmod({base}, {MH_M31})) as _hs")
+        .selectExpr(
+            "*",
+            *[
+                f"array_min(transform(_hs, h -> ({a} * h + {b}) % {MH_P}))"
+                f" as _mh{i}"
+                for i, (a, b) in enumerate(ab)
+            ],
+        )
+    )
+
+    def key(b: int, sig: str) -> str:
+        arg = f"concat('{b}', '|', cast({sig} as string))"
+        return f"xxhash64({arg})" if hasher == "fast" else hash64(arg, "spark")
+
+    keys = ", ".join(
+        key(b, s)
+        for b, s in enumerate(band_sig_exprs(num_perm, rows_per_band, hasher))
+    )
+    return d.selectExpr(
+        *df.columns,
+        f"case when size(_sh) >= 1 then array({keys}) "
+        f"else cast(array() as array<bigint>) end as {out}",
+    )
 
 
 def band_keys(

@@ -433,6 +433,66 @@ def decontaminate(
     )
 
 
+def lsh_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    hasher: str = "portable",
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training documents whose
+    MinHash signature collides with any benchmark document on at least
+    one LSH band — near-duplicates at the banding threshold, not just
+    verbatim k-gram copies. This is the fuzzy companion to
+    decontaminate(): the 13-gram rule misses paraphrased or lightly
+    perturbed benchmark copies (tokenization drift, inserted words),
+    which band collision catches with the same MinHash machinery the
+    dedup family already verifies. Returns df plus
+    (n_bands_hit, contaminated).
+
+    Scale (100 TB corpus × small benchmark): both sides' band keys are
+    computed ENTIRELY map-side (minhash_band_keys — zero shuffle); the
+    benchmark key set is genuinely tiny (|benchmark| × n_bands bigints,
+    ~8 MB at 10^5 docs × 8 bands) and collapses to ONE broadcast row,
+    so the corpus-side probe is a map-local array_intersect — the
+    corpus NEVER shuffles and nothing joins on a per-doc key. Stateless
+    projection end-to-end, hence streaming-safe
+    (streaming.ingest.decontaminate_stream)."""
+    from gdal_spark.operators.dedup import minhash_band_keys
+
+    bench_row = (
+        minhash_band_keys(
+            benchmark.select(F.col(bench_text_col).alias("text")),
+            k=k,
+            num_perm=num_perm,
+            rows_per_band=rows_per_band,
+            text_col="text",
+            hasher=hasher,
+            out="_bk",
+        )
+        .select(F.explode("_bk").alias("_k"))
+        .agg(F.collect_set("_k").alias("_bench_keys"))
+    )
+    keyed = minhash_band_keys(
+        df,
+        k=k,
+        num_perm=num_perm,
+        rows_per_band=rows_per_band,
+        text_col=text_col,
+        hasher=hasher,
+        out="_doc_keys",
+    )
+    n_hit = F.size(F.array_intersect("_doc_keys", "_bench_keys"))
+    return keyed.crossJoin(F.broadcast(bench_row)).select(
+        *df.columns,
+        n_hit.alias("n_bands_hit"),
+        (n_hit > 0).alias("contaminated"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 2048,

@@ -234,6 +234,11 @@ def collect() -> tuple[
         # operator and same oracle as dedup_simhash, alternate physical
         # plan; bit-identity additionally pinned in tests/test_dedup.py.
         "dedup_simhash_mapside",
+        # r5: fuzzy LSH decontamination — the decontamination family's
+        # in-window rep stays the exact 13-gram `decontaminate`; this
+        # rides the local replica (same minhash band machinery the
+        # in-window dedup_minhash_lsh already gates).
+        "lsh_decontaminate",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -335,6 +335,92 @@ def _minhash_oracle() -> str:
     """
 
 
+# --- fuzzy (LSH) benchmark decontamination ---
+
+
+def _lsh_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination over the near-dup corpus: benchmark = every
+    20th ORIGINAL document; the corpus also holds each document's
+    ' mutated' near-copy, which the exact 13-gram rule would need a
+    verbatim window to catch but band collision flags — the point of
+    the LSH variant. Output is total over the corpus (clean rows carry
+    n_bands_hit = 0)."""
+    from gdal_spark.operators.webtext import lsh_decontaminate
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    bench = (
+        spark.table("documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select("text")
+    )
+    out = lsh_decontaminate(
+        corpus, bench, k=3, num_perm=NUM_PERM, rows_per_band=ROWS_PER_BAND
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_bands_hit").cast("long").alias("n_bands_hit"),
+        "contaminated",
+    ).orderBy("doc_id")
+
+
+def _lsh_decon_oracle() -> str:
+    # same signature CTEs as _minhash_oracle (bit-identical band sigs);
+    # benchmark = original docs with doc_id % 20 = 0, matched on raw
+    # (band, sig) — the engine's combined bigint key is 1:1 with that
+    # pair modulo a 60-bit hash collision. `bands` is referenced twice
+    # → materialized (DuckDB inlines multi-referenced CTEs otherwise).
+    ab_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.mh_ab(NUM_PERM))
+    )
+    h_base = hash64("shingle", "duckdb")
+    h_sig = hash64(
+        "concat(cast(perm as varchar), ':', cast(mh as varchar))", "duckdb"
+    )
+    return f"""
+    with corpus as ({NEAR_DUP_CORPUS_SQL}),
+    toks as (
+        select doc_id,
+               unnest(range(len(string_split(text, ' ')))) as pos,
+               unnest(string_split(text, ' ')) as w
+        from corpus
+    ),
+    sh as (
+        select distinct doc_id, concat(w, ' ', w1, ' ', w2) as shingle
+        from (
+            select doc_id, w,
+                   lead(w, 1) over (partition by doc_id order by pos) as w1,
+                   lead(w, 2) over (partition by doc_id order by pos) as w2
+            from toks
+        ) where w2 is not null
+    ),
+    mh as (
+        select doc_id, ab.perm,
+               min((ab.a * s.h + ab.b) % {dedup.MH_P}) as mh
+        from (select doc_id, ({h_base}) % {dedup.MH_M31} as h from sh) s
+        cross join (values {ab_rows}) ab(perm, a, b)
+        group by doc_id, ab.perm
+    ),
+    bands as materialized (
+        select doc_id, perm // {ROWS_PER_BAND} as band, sum({h_sig}) as sig
+        from mh group by doc_id, band
+    ),
+    bench as (
+        select distinct band, sig from bands
+        where doc_id % 20 = 0 and doc_id < 100000
+    ),
+    hits as (
+        select b.doc_id, count(distinct b.band) as nh
+        from bands b join bench using (band, sig)
+        group by b.doc_id
+    )
+    select c.doc_id,
+           cast(coalesce(h.nh, 0) as bigint) as n_bands_hit,
+           coalesce(h.nh, 0) > 0 as contaminated
+    from corpus c left join hits h using (doc_id)
+    order by doc_id
+    """
+
+
 # --- dedup: SimHash ---
 
 
@@ -402,6 +488,7 @@ QUERIES = {
     "dedup_simhash": _dedup_simhash,
     "dedup_simhash_mapside": _dedup_simhash_mapside,
     "simhash_dup_pairs": _simhash_pairs,
+    "lsh_decontaminate": _lsh_decontaminate,
 }
 
 ORACLES = {
@@ -414,6 +501,7 @@ ORACLES = {
     "dedup_simhash": SIMHASH_ORACLE,
     "dedup_simhash_mapside": SIMHASH_ORACLE,
     "simhash_dup_pairs": SIMHASH_PAIRS_ORACLE,
+    "lsh_decontaminate": _lsh_decon_oracle(),
 }
 
 

@@ -313,3 +313,34 @@ def near_dup_stream(
     return sig.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["simhash"]
     )
+
+
+def decontaminate_stream(
+    pages: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Streaming fuzzy decontamination: drop incoming pages whose
+    MinHash signature band-collides with a STATIC benchmark set, at
+    ingest time — before contaminated pages ever reach the corpus.
+    Stateless end-to-end: map-side band keys (minhash_band_keys) + one
+    broadcast stream-static join against the single-row benchmark key
+    set, so it costs no streaming state and composes with any
+    downstream stateful op. Returns only clean pages, schema
+    unchanged; batch-identical to filtering webtext.lsh_decontaminate
+    (same operator, pinned by pytest parity)."""
+    from gdal_spark.operators.webtext import lsh_decontaminate
+
+    out = lsh_decontaminate(
+        pages,
+        benchmark,
+        k=k,
+        num_perm=num_perm,
+        rows_per_band=rows_per_band,
+        text_col="text",
+        hasher=hasher,
+    )
+    return out.where(~F.col("contaminated")).select(*pages.columns)

@@ -234,6 +234,52 @@ def test_remove_dup_spans_hand_fixture(spark):
     ).hexdigest()
 
 
+def test_minhash_band_keys_parity_and_mapside(spark):
+    """minhash_band_keys' combined bigint keys are exactly
+    H64('<band>|<sig>') over minhash_bands' (band, sig) rows for BOTH
+    hashers; docs shorter than k get an empty array; and the key
+    projection is a pure map stage (no Exchange)."""
+    from gdal_spark.portable import hash64
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for hasher in ("portable", "fast"):
+        exploded = dedup.minhash_bands(
+            docs, k=3, num_perm=8, rows_per_band=2, hasher=hasher
+        )
+        comb = (
+            "xxhash64(concat(cast(band as string), '|', cast(sig as string)))"
+            if hasher == "fast"
+            else hash64(
+                "concat(cast(band as string), '|', cast(sig as string))",
+                "spark",
+            )
+        )
+        want = {
+            (r.doc_id, r.k)
+            for r in exploded.selectExpr("doc_id", f"{comb} as k").collect()
+        }
+        keyed = dedup.minhash_band_keys(
+            docs, k=3, num_perm=8, rows_per_band=2, hasher=hasher
+        )
+        got = {
+            (r.doc_id, k)
+            for r in keyed.select("doc_id", "band_keys").collect()
+            for k in r.band_keys
+        }
+        assert got == want
+        assert keyed.count() == docs.count()  # short docs kept (empty array)
+    short = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    row = dedup.minhash_band_keys(short, k=3).collect()[0]
+    assert row.band_keys == []
+    plan = (
+        dedup.minhash_band_keys(docs, k=3, num_perm=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_simhash_mapside_parity(spark):
     """simhash_cols (doc-local, zero-shuffle) is bit-identical to the
     groupBy simhash() on real documents, both hashers consistent with

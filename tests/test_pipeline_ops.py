@@ -982,6 +982,39 @@ def test_vacuum_table_orphans(spark, tmp_path):
     assert CP.vacuum_table(spark, table) == []
 
 
+def test_streaming_decontaminate_batch_parity(spark, tmp_path):
+    """decontaminate_stream drops exactly the pages the batch
+    lsh_decontaminate flags — fuzzy decontamination at ingest time is
+    stateless, so streaming and batch answers are identical row sets."""
+    from gdal_spark.operators.webtext import lsh_decontaminate
+    from gdal_spark.streaming.ingest import (
+        decontaminate_stream,
+        stage_page_files,
+        synthetic_page_stream,
+    )
+
+    path = str(tmp_path / "inbox_dc")
+    stage_page_files(spark, path, n=300)
+    batch = spark.read.parquet(path)
+    bench = batch.where("cast(split(text, ' ')[2] as int) % 7 = 0").select("text")
+    q = (
+        decontaminate_stream(synthetic_page_stream(spark, path), bench, k=3)
+        .writeStream.format("memory")
+        .queryName("stream_decon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.url for r in spark.table("stream_decon").collect()}
+    flagged = lsh_decontaminate(batch, bench, k=3)
+    want = {r.url for r in flagged.where("not contaminated").collect()}
+    assert got == want
+    assert 0 < len(got) < 300  # benchmark members really were dropped
+    # schema unchanged by the filter
+    assert spark.table("stream_decon").columns == batch.columns
+
+
 def test_streaming_near_dup_simhash(spark, tmp_path):
     """Streaming SimHash near-dup suppression keeps exactly one page
     per signature, and every surviving page carries the signature the

@@ -329,6 +329,42 @@ def test_decontaminate_flags_only_overlapping(spark):
     assert not out[2]["contaminated"]  # < k tokens: trivially clean
 
 
+def test_lsh_decontaminate_catches_fuzzy_copies(spark):
+    """Band collision flags the verbatim copy on ALL bands, the
+    perturbed near-copy on at least one band (which the exact k-gram
+    rule with a larger k would miss), and stays total over the corpus
+    (short docs carry an empty signature and n_bands_hit = 0)."""
+    from gdal_spark.operators.webtext import lsh_decontaminate
+
+    bench_text = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (0, bench_text),                       # verbatim benchmark copy
+        (1, bench_text + " extra trailing"),   # perturbed near-copy
+        (2, " ".join(f"zz{i}" for i in range(30))),  # unrelated
+        (3, "too short"),                      # < k tokens
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    out = {
+        r["doc_id"]: r
+        for r in lsh_decontaminate(
+            d, bench, k=3, num_perm=16, rows_per_band=2
+        ).collect()
+    }
+    assert out[0]["contaminated"] and out[0]["n_bands_hit"] == 8
+    assert out[1]["contaminated"] and out[1]["n_bands_hit"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_bands_hit"] == 0
+    assert not out[3]["contaminated"] and out[3]["n_bands_hit"] == 0
+    # broadcast probe, not a per-doc join: corpus side has no Exchange
+    plan = (
+        lsh_decontaminate(d, bench, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_pack_sequences_budget_bins(spark):
     from gdal_spark.operators.webtext import pack_sequences
 
