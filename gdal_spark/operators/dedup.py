@@ -429,6 +429,81 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_dedup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "portable",
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """(batch_id, corpus_id, jaccard): near-dups of NEW documents
+    against an EXISTING corpus — the daily-ingest pattern: the corpus
+    is indexed once (its (band, sig) rows are exactly what a stored LSH
+    index table holds; minhash_bands recomputes them here, a production
+    pipeline reads them back), and each incoming batch probes that
+    index WITHOUT re-pairing the corpus against itself. Batch-internal
+    duplicates are deliberately out of scope — they surface when the
+    (deduped) batch is merged and the next batch probes it.
+
+    Scale (100 TB corpus × small daily batch): both signature phases
+    are pure map stages. The batch's distinct (band, sig) probe keys —
+    O(|batch| × n_bands) rows of two bigints — BROADCAST against the
+    corpus index scan, so the corpus is filtered to colliding rows
+    map-side and NEVER shuffles; everything downstream (hot-bucket cap
+    window, candidate join, Jaccard verify) runs on collision-sized
+    data. The cap is applied over the collision rows, where the
+    per-(band, sig) count still equals the full corpus bucket size
+    (the probe filter keeps or drops whole buckets), so a boilerplate
+    bucket in the index cannot fan a colliding batch doc out by
+    |bucket|; audit trail semantics match candidate_pairs. Verify is
+    exact n-gram Jaccard via each side's map-side shingle ARRAYS (the
+    jaccard_pairs_arrays discipline: the candidate pair set broadcasts
+    under AQE, both base tables are map-scanned, nothing exchanges on
+    a shingle key)."""
+    cb = minhash_bands(
+        corpus, k, num_perm, rows_per_band, id_col, text_col, hasher
+    ).withColumnRenamed(id_col, "corpus_id")
+    bb = minhash_bands(
+        batch, k, num_perm, rows_per_band, id_col, text_col, hasher
+    ).withColumnRenamed(id_col, "batch_id")
+    probe = F.broadcast(bb.select("band", "sig").distinct())
+    hits = cb.join(probe, ["band", "sig"])
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "sig")
+        hits = (
+            hits.withColumn("_bn", F.count("*").over(w))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    cand = hits.join(bb, ["band", "sig"]).select("batch_id", "corpus_id").distinct()
+    ba = batch.selectExpr(
+        f"{id_col} as batch_id", f"{shingle_array_sql(text_col, k)} as _shb"
+    )
+    ca = corpus.selectExpr(
+        f"{id_col} as corpus_id", f"{shingle_array_sql(text_col, k)} as _shc"
+    )
+    jac = (
+        cand.join(ba, "batch_id")
+        .join(ca, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            (
+                F.expr("size(array_intersect(_shb, _shc))")
+                / F.expr("size(_shb) + size(_shc) - size(array_intersect(_shb, _shc))")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def simhash(
     df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -239,6 +239,9 @@ def collect() -> tuple[
         # rides the local replica (same minhash band machinery the
         # in-window dedup_minhash_lsh already gates).
         "lsh_decontaminate",
+        # r5: incremental batch-vs-corpus-index dedup — same family,
+        # same rationale: dedup_minhash_lsh stays the in-window rep.
+        "dedup_incremental",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

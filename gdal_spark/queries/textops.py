@@ -335,6 +335,94 @@ def _minhash_oracle() -> str:
     """
 
 
+# --- dedup: incremental (new batch vs corpus index) ---
+
+
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: corpus = the original documents, batch = the
+    mutated near-copies (doc_id+100000). Every batch doc should pair
+    with its source document; corpus-internal pairs are NOT produced
+    (the point of the incremental probe — the corpus never self-joins)."""
+    tables.register_views(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    d = spark.table("documents").select("doc_id", "text")
+    corpus = d.repartition(par, "doc_id")
+    batch = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated")).alias("text"),
+    ).repartition(par, "doc_id")
+    return dedup.incremental_dedup_pairs(
+        corpus,
+        batch,
+        k=3,
+        num_perm=NUM_PERM,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=JACCARD_T,
+    )
+
+
+def _incremental_oracle() -> str:
+    # same signature machinery as _minhash_oracle over the union corpus
+    # (bands referenced twice -> materialized); candidates restricted to
+    # corpus-side doc_id < 100000 x batch-side >= 100000 — exactly the
+    # engine's probe, which never pairs corpus docs with each other.
+    ab_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.mh_ab(NUM_PERM))
+    )
+    h_base = hash64("shingle", "duckdb")
+    h_sig = hash64(
+        "concat(cast(perm as varchar), ':', cast(mh as varchar))", "duckdb"
+    )
+    return f"""
+    with corpus as ({NEAR_DUP_CORPUS_SQL}),
+    toks as (
+        select doc_id,
+               unnest(range(len(string_split(text, ' ')))) as pos,
+               unnest(string_split(text, ' ')) as w
+        from corpus
+    ),
+    sh as (
+        select distinct doc_id, concat(w, ' ', w1, ' ', w2) as shingle
+        from (
+            select doc_id, w,
+                   lead(w, 1) over (partition by doc_id order by pos) as w1,
+                   lead(w, 2) over (partition by doc_id order by pos) as w2
+            from toks
+        ) where w2 is not null
+    ),
+    mh as (
+        select doc_id, ab.perm,
+               min((ab.a * s.h + ab.b) % {dedup.MH_P}) as mh
+        from (select doc_id, ({h_base}) % {dedup.MH_M31} as h from sh) s
+        cross join (values {ab_rows}) ab(perm, a, b)
+        group by doc_id, ab.perm
+    ),
+    bands as materialized (
+        select doc_id, perm // {ROWS_PER_BAND} as band, sum({h_sig}) as sig
+        from mh group by doc_id, band
+    ),
+    cand as (
+        select distinct b.doc_id as batch_id, c.doc_id as corpus_id
+        from bands c join bands b on c.band = b.band and c.sig = b.sig
+        where c.doc_id < 100000 and b.doc_id >= 100000
+    ),
+    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    inter as (
+        select c.batch_id, c.corpus_id, count(*) as i
+        from cand c
+        join sh a on a.doc_id = c.batch_id
+        join sh b on b.doc_id = c.corpus_id and b.shingle = a.shingle
+        group by c.batch_id, c.corpus_id
+    )
+    select i.batch_id, i.corpus_id,
+           round(i.i / (nb.n + nc.n - i.i), 6) as jaccard
+    from inter i
+    join sizes nb on nb.doc_id = i.batch_id
+    join sizes nc on nc.doc_id = i.corpus_id
+    where i.i / (nb.n + nc.n - i.i) >= {JACCARD_T}
+    """
+
+
 # --- fuzzy (LSH) benchmark decontamination ---
 
 
@@ -489,6 +577,7 @@ QUERIES = {
     "dedup_simhash_mapside": _dedup_simhash_mapside,
     "simhash_dup_pairs": _simhash_pairs,
     "lsh_decontaminate": _lsh_decontaminate,
+    "dedup_incremental": _dedup_incremental,
 }
 
 ORACLES = {
@@ -502,6 +591,7 @@ ORACLES = {
     "dedup_simhash_mapside": SIMHASH_ORACLE,
     "simhash_dup_pairs": SIMHASH_PAIRS_ORACLE,
     "lsh_decontaminate": _lsh_decon_oracle(),
+    "dedup_incremental": _incremental_oracle(),
 }
 
 

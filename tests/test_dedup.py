@@ -280,6 +280,81 @@ def test_minhash_band_keys_parity_and_mapside(spark):
     assert "Exchange" not in plan
 
 
+def test_incremental_dedup_pairs(spark):
+    """Batch-vs-corpus probe finds exactly the cross pairs the full
+    self-join finds (verified against minhash_lsh_pairs on the union),
+    never emits corpus-corpus or batch-batch pairs, and the corpus
+    index scan is probed via BROADCAST (the corpus never shuffles
+    before the collision filter)."""
+    corpus = spark.createDataFrame(
+        [
+            (0, " ".join(f"tok{i}" for i in range(30))),
+            (1, " ".join(f"aa{i}" for i in range(30))),
+            (2, " ".join(f"bb{i}" for i in range(30))),
+            # corpus-internal near-dup pair (3 ~ 0): must NOT be emitted
+            (3, " ".join(f"tok{i}" for i in range(30)) + " drift"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, " ".join(f"tok{i}" for i in range(30)) + " extra"),  # ~0, ~3
+            (11, " ".join(f"aa{i}" for i in range(30))),              # = 1
+            (12, " ".join(f"zz{i}" for i in range(30))),              # unrelated
+            (13, "too short"),                                        # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_dedup_pairs(
+        corpus, batch, k=3, num_perm=16, rows_per_band=2, threshold=0.5
+    )
+    got = {(r.batch_id, r.corpus_id): r.jaccard for r in out.collect()}
+    assert set(got) == {(10, 0), (10, 3), (11, 1)}
+    assert got[(11, 1)] == 1.0
+    assert 0.5 <= got[(10, 0)] < 1.0
+    # parity with the full self-join on the union, restricted to cross
+    # pairs (corpus ids < 10 by construction)
+    full = dedup.minhash_lsh_pairs(
+        corpus.unionAll(batch), k=3, num_perm=16, rows_per_band=2, threshold=0.5
+    )
+    cross = {
+        (r.id_b, r.id_a): r.jaccard
+        for r in full.collect()
+        if r.id_a < 10 and r.id_b >= 10
+    }
+    assert cross == got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+
+
+def test_incremental_dedup_hot_bucket_cap(spark):
+    """A boilerplate corpus bucket larger than max_bucket is dropped
+    whole — the colliding batch doc pairs with nothing through it —
+    while unaffected buckets still pair."""
+    boiler = " ".join(f"tok{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(20)]
+        + [(100, " ".join(f"aa{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(200, boiler), (201, " ".join(f"aa{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_dedup_pairs(
+        corpus, batch, k=3, num_perm=16, rows_per_band=2,
+        threshold=0.5, max_bucket=5,
+    )
+    got = {(r.batch_id, r.corpus_id) for r in out.collect()}
+    assert got == {(201, 100)}  # boilerplate bucket dropped whole
+    # uncapped finds the 20-way fan-out
+    uncapped = dedup.incremental_dedup_pairs(
+        corpus, batch, k=3, num_perm=16, rows_per_band=2,
+        threshold=0.5, max_bucket=None,
+    )
+    assert uncapped.count() == 21
+
+
 def test_simhash_mapside_parity(spark):
     """simhash_cols (doc-local, zero-shuffle) is bit-identical to the
     groupBy simhash() on real documents, both hashers consistent with
