@@ -382,6 +382,108 @@ def ivf_topk(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup —
+    k-means cluster the embedding space (train `centroids` with the
+    shared deterministic ivf_train), compute pairwise cosine ONLY
+    within each cluster, and mark every vector whose cosine to a
+    LOWER-id cluster-mate reaches `threshold` as a drop (the paper
+    keeps one representative per ε-ball; lowest-id is the deterministic
+    pick). Returns (vec_id, cid, max_cos_lower, keep) — total over the
+    corpus; max_cos_lower is NULL for a vector with no lower-id mate.
+
+    Scale: the clustering IS the candidate filter — with k≈√N cells
+    (ivf_default_k) the within-cell pairwise self-join costs
+    O(Σ|cell|²) ≈ O(N^1.5) pair rows worst-case instead of O(N²), and
+    the paper's observation is that semantic dups concentrate in
+    cells. The assignment pass is map-side (broadcast codebook); the
+    self-join exchanges the corpus ONCE on cid and both sides plus the
+    `max_cell` hot-cell cap window share that exchange (the
+    candidate_pairs discipline — a degenerate cell is dropped whole,
+    its members default keep=true, audit via the cap like
+    dropped_buckets). Pair cosine is computed on the PAIR ROW with
+    sequential array folds (zip_with + aggregate — deterministic
+    accumulation order, no explode of pairs × dim)."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64).tolist()
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        CC = np.asarray(bc.value, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            d2 = np.round(
+                ((X[:, None, :] - CC[None, :, :]) ** 2).sum(axis=2), 8
+            )
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cid": np.argmin(d2, axis=1).astype(np.int64),
+                }
+            )
+            out["vec"] = list(pdf[vec_col])
+            yield out
+
+    cells = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cid long, vec array<double>"
+    )
+    if max_cell is not None:
+        w = Window.partitionBy("cid")
+        cells = (
+            cells.withColumn("_cn", F.count("*").over(w))
+            .where(F.col("_cn") <= max_cell)
+            .drop("_cn")
+        )
+    a = cells.select(
+        F.col(id_col).alias("_lo"), F.col("cid"), F.col("vec").alias("_va")
+    )
+    b = cells.select(
+        F.col(id_col).alias("_hi"), F.col("cid"), F.col("vec").alias("_vb")
+    )
+    dot = (
+        "aggregate(zip_with(_va, _vb, (x, y) -> x * y), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
+    na = (
+        "sqrt(aggregate(transform(_va, x -> x * x), "
+        "cast(0 as double), (acc, x) -> acc + x))"
+    )
+    nb = (
+        "sqrt(aggregate(transform(_vb, x -> x * x), "
+        "cast(0 as double), (acc, x) -> acc + x))"
+    )
+    mx = (
+        a.join(b, "cid")
+        .where(F.col("_lo") < F.col("_hi"))
+        .selectExpr("_hi", f"{dot} / ({na} * {nb}) as _cos")
+        .groupBy("_hi")
+        .agg(F.round(F.max("_cos"), 6).alias("max_cos_lower"))
+    )
+    out = cells.join(
+        mx.withColumnRenamed("_hi", id_col), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        "cid",
+        "max_cos_lower",
+        F.coalesce(
+            F.col("max_cos_lower") < F.lit(threshold), F.lit(True)
+        ).alias("keep"),
+    )
+
+
 def pq_train(
     emb: DataFrame,
     m: int = 4,

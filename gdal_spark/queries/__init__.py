@@ -242,6 +242,10 @@ def collect() -> tuple[
         # r5: incremental batch-vs-corpus-index dedup — same family,
         # same rationale: dedup_minhash_lsh stays the in-window rep.
         "dedup_incremental",
+        # r5: SemDeDup (cluster-then-pairwise semantic dedup) — the
+        # embedding family's in-window reps stay ann_cosine_topk /
+        # ann_ivf_topk; the shared Lloyd trainer is already gated there.
+        "semdedup",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -399,6 +399,139 @@ QUERIES["dedup_embedding_cosine"] = _dedup_embedding_cosine
 ORACLES["dedup_embedding_cosine"] = DEDUP_EMB_ORACLE
 
 
+# --- SemDeDup (Abbas et al. 2023): k-means cluster the embedding
+# space, pairwise cosine WITHIN each cluster only, drop vectors with a
+# lower-id near-identical cluster-mate. Corpus = embeddings ⊎ the same
+# deterministic perturbed copies as dedup_embedding_cosine, so every
+# copy should land in its original's cell and be dropped. The oracle
+# unrolls the SAME deterministic Lloyd iterations as the IVF oracle
+# over the union corpus, then mirrors the per-cell pairwise max-cos.
+
+_SEM_K = 32  # ivf_default_k(2 * 500) — asserted in the query builder
+_SEM_ITERS = 2
+_SEM_T = 0.98
+
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.similarity import (
+        ivf_default_k,
+        ivf_train,
+        semdedup,
+    )
+
+    e = _emb(spark, sf_dir)
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, (v, i) -> cast(v as double) "
+            f"+ {_EDUP_PERT!r} * cast(i % 3 as double))"
+        ).alias("embedding"),
+    )
+    corpus = e.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> cast(v as double))").alias(
+            "embedding"
+        ),
+    ).unionByName(pert)
+    n = corpus.count()
+    assert ivf_default_k(n) == _SEM_K, (n, _SEM_K)
+    cents = ivf_train(corpus, k=_SEM_K, iters=_SEM_ITERS)
+    out = semdedup(corpus, cents, threshold=_SEM_T)
+    return out.select("vec_id", "cid", "max_cos_lower", "keep")
+
+
+def _semdedup_oracle() -> str:
+    steps = [
+        f"""
+    x as materialized (
+        select vec_id,
+               unnest(range(len(embedding))) as pos,
+               cast(unnest(embedding) as double) as v
+        from embeddings
+        union all
+        select vec_id + 100000 as vec_id,
+               unnest(range(len(embedding))) as pos,
+               cast(unnest(embedding) as double)
+                 + {_EDUP_PERT!r} * cast(unnest(range(len(embedding))) % 3
+                                         as double) as v
+        from embeddings
+    ),
+    c0 as (select vec_id as cid, pos, v from x where vec_id < {_SEM_K})"""
+    ]
+    for i in range(_SEM_ITERS):
+        steps.append(f"""
+    a{i} as (
+        select x.vec_id, c.cid,
+               round(sum((x.v - c.v) * (x.v - c.v)), 8) as d2
+        from x join c{i} c on c.pos = x.pos
+        group by x.vec_id, c.cid
+    ),
+    m{i} as (
+        select vec_id, cid from (
+            select vec_id, cid,
+                   row_number() over (partition by vec_id
+                                      order by d2, cid) as rn
+            from a{i}
+        ) where rn = 1
+    ),
+    n{i} as (
+        select m.cid, x.pos, round(sum(x.v) / count(*), 6) as v
+        from m{i} m join x on x.vec_id = m.vec_id
+        group by m.cid, x.pos
+    ),
+    c{i + 1} as (
+        select c.cid, c.pos, coalesce(n.v, c.v) as v
+        from c{i} c left join n{i} n
+          on n.cid = c.cid and n.pos = c.pos
+    )""")
+    fc = f"c{_SEM_ITERS}"
+    return (
+        "with "
+        + ",".join(steps)
+        + f""",
+    af as (
+        select x.vec_id, c.cid,
+               round(sum((x.v - c.v) * (x.v - c.v)), 8) as d2
+        from x join {fc} c on c.pos = x.pos
+        group by x.vec_id, c.cid
+    ),
+    cells as materialized (
+        select vec_id, cid from (
+            select vec_id, cid,
+                   row_number() over (partition by vec_id
+                                      order by d2, cid) as rn
+            from af
+        ) where rn = 1
+    ),
+    pairs as (
+        select a.vec_id as lo, b.vec_id as hi
+        from cells a join cells b
+          on a.cid = b.cid and a.vec_id < b.vec_id
+    ),
+    cos as (
+        select p.hi,
+               sum(xa.v * xb.v)
+               / (sqrt(sum(xa.v * xa.v)) * sqrt(sum(xb.v * xb.v))) as cos
+        from pairs p
+        join x xa on xa.vec_id = p.lo
+        join x xb on xb.vec_id = p.hi and xb.pos = xa.pos
+        group by p.hi, p.lo
+    ),
+    mx as (
+        select hi as vec_id, round(max(cos), 6) as max_cos_lower
+        from cos group by hi
+    )
+    select c.vec_id, c.cid, m.max_cos_lower,
+           coalesce(m.max_cos_lower < {_SEM_T}, true) as keep
+    from cells c left join mx m on m.vec_id = c.vec_id
+    """
+    )
+
+
+QUERIES["semdedup"] = _semdedup
+ORACLES["semdedup"] = _semdedup_oracle()
+
+
 # --- PQ/ADC ANN (product quantization + asymmetric-distance scan) -----------
 # The billion-vector compression path (faiss IndexPQ shape): m per-subspace
 # codebooks trained with the same deterministic Lloyd contract as IVF

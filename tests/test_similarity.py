@@ -316,3 +316,63 @@ def test_ivfpq_matches_numpy_mirror(vecs):
         assert [v for _, v, _ in rows] == [int(np.asarray(cand)[i]) for i in order]
         for (_, _, a), i in zip(rows, order):
             assert abs(a - np.asarray(adcs)[i]) < 1e-9
+
+
+def test_semdedup_drops_near_copies_within_clusters(spark):
+    """Two well-separated clusters, each holding an original, its
+    near-copy, and an unrelated-direction member: the higher-id copy is
+    dropped (max_cos_lower >= T against the original), everything else
+    keeps; a vector with no lower-id cluster-mate carries NULL
+    max_cos_lower. Verified against a numpy mirror of the whole
+    pipeline (same deterministic Lloyd trainer)."""
+    rng = np.random.default_rng(11)
+    base_a = rng.standard_normal(8)
+    base_b = rng.standard_normal(8) + 20.0  # far-away second cluster
+    rows = [
+        (0, base_a.tolist()),
+        (1, (base_a * 1.0001 + 0.0001).tolist()),  # near-copy of 0
+        (2, (base_a + rng.standard_normal(8) * 2).tolist()),  # same cell, far
+        (10, base_b.tolist()),
+        (11, (base_b * 1.0001 + 0.0001).tolist()),  # near-copy of 10
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_train(df, k=2, iters=3)
+    out = {
+        r.vec_id: r
+        for r in similarity.semdedup(df, cents, threshold=0.98).collect()
+    }
+    assert len(out) == 5
+    assert not out[1].keep and out[1].max_cos_lower >= 0.98
+    assert not out[11].keep and out[11].max_cos_lower >= 0.98
+    assert out[0].keep and out[2].keep and out[10].keep
+    # cluster-mates share a cid; the two clusters differ
+    assert out[0].cid == out[1].cid == out[2].cid
+    assert out[10].cid == out[11].cid != out[0].cid
+    # lowest-id member of each cell has no lower-id mate
+    assert out[0].max_cos_lower is None
+    assert out[10].max_cos_lower is None
+
+
+def test_semdedup_hot_cell_cap_drops_whole_cell(spark):
+    """A degenerate cell larger than max_cell is excluded whole — its
+    members fall out of the output (the candidate_pairs stop-guard
+    semantics) — while other cells still dedup."""
+    rng = np.random.default_rng(13)
+    boiler = rng.standard_normal(8)
+    far = rng.standard_normal(8) + 50.0
+    rows = [(i, (boiler + 1e-6 * i).tolist()) for i in range(20)] + [
+        (100, far.tolist()),
+        (101, (far * 1.0001).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_train(df, k=2, iters=3)
+    out = {
+        r.vec_id: r
+        for r in similarity.semdedup(
+            df, cents, threshold=0.98, max_cell=5
+        ).collect()
+    }
+    assert set(out) == {100, 101}  # hot cell excluded whole
+    assert out[100].keep and not out[101].keep
+    uncapped = similarity.semdedup(df, cents, threshold=0.98, max_cell=None)
+    assert uncapped.count() == 22
