@@ -433,9 +433,11 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     ).unionByName(pert)
-    n = corpus.count()
-    assert ivf_default_k(n) == _SEM_K, (n, _SEM_K)
-    cents = ivf_train(corpus, k=_SEM_K, iters=_SEM_ITERS)
+    # k derived ≈ √N — equals the oracle's pinned _SEM_K at the two
+    # oracle sfs (corpus = 2×500 rows); at other sfs the query still
+    # runs with its own √N (the oracle is only evaluated at sf≤0.01).
+    cents = ivf_train(corpus, k=None, iters=_SEM_ITERS)
+    assert len(cents) == ivf_default_k(corpus.count())
     out = semdedup(corpus, cents, threshold=_SEM_T)
     return out.select("vec_id", "cid", "max_cos_lower", "keep")
 
