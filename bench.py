@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",       # MinHash + LSH near-dup
     "dedup_simhash",           # SimHash
     "dedup_cluster_canonical", # r4b end-to-end near-dup resolution
+    "dedup_incremental",       # r5c batch-vs-corpus-index probe (no self-join)
+    "semdedup",                # r5c semantic dedup (includes Lloyd training)
     "boilerplate_removal",     # r4 web-curation (line-level pipeline)
     "lm_perplexity",           # r5b CCNet bigram-LM quality filter
     "bpe_encode",              # r5b BPE tokenizer apply (pure map)

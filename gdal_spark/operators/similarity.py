@@ -446,6 +446,13 @@ def semdedup(
             .where(F.col("_cn") <= max_cell)
             .drop("_cn")
         )
+    # Three plan references follow (both self-join sides + the final
+    # keep join) — persist so the assignment scan runs once; the cached
+    # rows keep the cap window's hashpartitioning(cid), so neither
+    # self-join side re-exchanges. Production materializes assignments
+    # as a table between the two phases (the paper's protocol), which
+    # replaces this cache.
+    cells = cells.persist()
     a = cells.select(
         F.col(id_col).alias("_lo"), F.col("cid"), F.col("vec").alias("_va")
     )

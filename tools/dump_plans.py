@@ -217,6 +217,36 @@ NOTES = {
         "inverse web-mercator), so the per-tile kernel is strictly "
         "cheaper. ONE shuffle per level keyed (band,z,x,y)."
     ),
+    "lsh_decontaminate": (
+        "r5c fuzzy decontamination. BOTH sides' LSH band keys are "
+        "computed entirely map-side (minhash_band_keys — a stateless "
+        "projection, hence the streaming variant); the benchmark key "
+        "set collapses to ONE broadcast row and the corpus-side probe "
+        "is a map-local array_intersect under a "
+        "BroadcastNestedLoopJoin of a single row — the 100 TB corpus "
+        "NEVER shuffles, nothing joins on a per-doc key."
+    ),
+    "dedup_incremental": (
+        "r5c daily-ingest dedup: the batch's distinct (band, sig) probe "
+        "keys BROADCAST against the corpus index scan, so the corpus is "
+        "filtered to colliding rows map-side and never shuffles or "
+        "self-joins; the hot-bucket cap window and the candidate join "
+        "run on collision-sized data, and the exact-Jaccard verify is "
+        "the jaccard_pairs_arrays discipline (pair side broadcasts, "
+        "base tables map-scan). Candidates are O(batch × collisions), "
+        "never O(corpus²)."
+    ),
+    "semdedup": (
+        "r5c semantic dedup (SemDeDup). Codebook assignment is "
+        "map-side (broadcast centroids, mapInPandas); the clustering "
+        "IS the candidate filter — the within-cell pairwise self-join "
+        "exchanges the corpus ONCE on cid, shared by both sides and "
+        "the hot-cell cap window, and pair cosine is a sequential "
+        "array fold on the pair row (zip_with + aggregate: no "
+        "pairs×dim explode, no Python in the scoring). Training "
+        "(shared ivf_train) shuffles once per Lloyd iteration with "
+        "map-side partial sums; the driver sees k array rows."
+    ),
 }
 
 
