@@ -723,3 +723,134 @@ def chunk_documents(
             F.md5(F.expr(f"array_join({win}, ' ')")).alias("chunk_md5"),
         )
     )
+
+
+def dsir_features(
+    df: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed unigram+bigram bag features (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling", §2.2):
+    every token and every adjacent token pair hashes into one of
+    `n_buckets` buckets.  Returns (id, bucket, c) counts per document.
+
+    Grams are namespaced ('1|w', '2|prev w') so a unigram can never
+    collide with the textually identical bigram by construction; the
+    portable 60-bit md5 hash keeps bucket ids bit-identical in DuckDB.
+    Gram enumeration is a doc-local transform+explode (narrow,
+    codegen'd); the only shuffle is the (id, bucket) count — map-side
+    combined, and bounded per doc by min(doc grams, n_buckets)."""
+    from gdal_spark.portable import hash64
+
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"concat(transform({toks}, w -> concat('1|', w)), "
+        f"transform(slice({toks}, 2, size({toks})), (w, i) -> "
+        f"concat('2|', element_at({toks}, i + 1), ' ', w)))"
+    )
+    return (
+        df.select(F.col(id_col), F.expr(f"explode({grams})").alias("_g"))
+        .select(
+            id_col,
+            F.pmod(F.expr(hash64("_g", "spark")), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    top_frac: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_threshold: float | None = None,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every raw document
+    by how target-like its hashed n-gram distribution is and keep the
+    highest-weighted ones.  log w(x) = sum over feature occurrences of
+    log p_target(f) - log p_raw(f), both add-alpha-smoothed categorical
+    estimates over `n_buckets` hashed buckets.  Returns
+    (id, n_grams, weight, rank) for the selected documents, rank 1 =
+    most target-like.
+
+    Deterministic variant: the paper resamples with Gumbel noise; this
+    implementation ranks on the EXACT decimal weight (per-bucket
+    log-ratio rounded to 6 dp, multiplied by the integer occurrence
+    count, summed in DECIMAL — order-independent integer-space
+    arithmetic, bit-identical in DuckDB) with an id tie-break, and keeps
+    the top ceil(top_frac * |raw|).  Selection-by-rank needs a global
+    sort of ONE scalar per doc; pass `weight_threshold` instead (cutoff
+    precomputed from a sample, the same discipline as lm_perplexity's
+    bucket_thresholds) and selection becomes a pure map-side filter
+    with NO global stage (no rank column on that path — ordering a
+    100 TB corpus by one scalar is exactly the stage being avoided).
+
+    Scale (100 TB raw x small target): both distribution estimates are
+    hash aggregates onto at most `n_buckets` rows — corpus-size-
+    INDEPENDENT by construction, so the log-ratio table always
+    broadcasts (4096 rows here; the paper uses 10^4 buckets).  The raw
+    side aggregates per (doc, bucket) with map-side combine, probes the
+    broadcast ratio table, and sums per doc — the corpus never shuffles
+    on content, only on (doc, bucket) partials."""
+    feats = dsir_features(df, n_buckets, id_col, text_col)
+    tgt_feats = dsir_features(target, n_buckets, id_col, text_col)
+
+    raw_b = feats.groupBy("bucket").agg(F.sum("c").alias("c_raw"))
+    tgt_b = tgt_feats.groupBy("bucket").agg(F.sum("c").alias("c_tgt"))
+    # Totals as 1-row aggregates, cross-joined — never collected.
+    raw_tot = feats.agg(F.sum("c").alias("_traw"))
+    tgt_tot = tgt_feats.agg(F.sum("c").alias("_ttgt"))
+    lr = (
+        raw_b.join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce("c_tgt", F.lit(0)) + F.lit(alpha))
+                    / (F.col("_ttgt") + F.lit(alpha) * F.lit(n_buckets))
+                )
+                - F.log(
+                    (F.col("c_raw") + F.lit(alpha))
+                    / (F.col("_traw") + F.lit(alpha) * F.lit(n_buckets))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lr")).alias("_w"),
+        )
+    )
+    if weight_threshold is not None:
+        return (
+            scored.where(
+                F.col("_w") >= F.lit(weight_threshold).cast("decimal(18,6)")
+            )
+            .withColumn("weight", F.round(F.col("_w").cast("double"), 6))
+            .select(id_col, "n_grams", "weight")
+        )
+    n_docs = df.agg(F.count("*").alias("_n"))
+    w = Window.orderBy(F.desc("_w"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("rank") <= F.ceil(F.lit(top_frac) * F.col("_n")))
+        .withColumn("weight", F.round(F.col("_w").cast("double"), 6))
+        .select(id_col, "n_grams", "weight", "rank")
+    )

@@ -246,6 +246,11 @@ def collect() -> tuple[
         # embedding family's in-window reps stay ann_cosine_topk /
         # ann_ivf_topk; the shared Lloyd trainer is already gated there.
         "semdedup",
+        # r5: DSIR importance resampling — the data-selection family's
+        # in-window rep stays sample-side via lm_perplexity (CCNet
+        # model-based selection); the hashed-n-gram log-ratio variant
+        # rides the local replica.
+        "dsir_select",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

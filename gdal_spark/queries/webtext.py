@@ -672,3 +672,71 @@ from j left join agg using(doc_id)
 order by doc_id
 """.replace("{K}", str(_K)).replace("{SPAN}", _SPAN)
 QUERIES["remove_dup_spans"] = _remove_dup_spans
+
+
+def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/webtext.py dsir_select):
+    hashed unigram+bigram bucket distributions, add-alpha-smoothed
+    target/raw log-ratio weights summed exactly in DECIMAL, keep the
+    top quarter most target-like docs (target = the English subset)."""
+    from gdal_spark.operators.webtext import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(docs, docs.where("lang = 'en'")).orderBy("rank")
+
+
+def _dsir_oracle() -> str:
+    from gdal_spark.portable import hash64
+
+    b = hash64("gram", "duck")
+    return """
+with t as (select doc_id, string_split(text, ' ') as toks, lang
+           from documents),
+g as materialized (
+  select doc_id, lang,
+         {B} % 4096 as bucket
+  from (
+    select doc_id, lang,
+           unnest(list_concat(
+             list_transform(toks, w -> '1|' || w),
+             list_transform(range(2, len(toks) + 1),
+                 i -> '2|' || toks[i - 1] || ' ' || toks[i])
+           )) as gram
+    from t
+  )
+),
+fr as materialized (
+  select doc_id, bucket, count(*) as c from g group by 1, 2
+),
+raw_b as (select bucket, sum(c) as c_raw from fr group by 1),
+tgt_b as (select bucket, count(*) as c_tgt from g
+          where lang = 'en' group by 1),
+tot as (select (select count(*) from g) as traw,
+               (select count(*) from g where lang = 'en') as ttgt),
+lr as (
+  select raw_b.bucket,
+         cast(round(
+           ln((coalesce(tgt_b.c_tgt, 0) + 0.5) / (tot.ttgt + 0.5 * 4096))
+           - ln((raw_b.c_raw + 0.5) / (tot.traw + 0.5 * 4096)), 6)
+           as decimal(18,6)) as lr
+  from raw_b left join tgt_b using (bucket) cross join tot
+),
+s as (
+  select fr.doc_id, cast(sum(fr.c) as bigint) as n_grams,
+         sum(fr.c * lr.lr) as w
+  from fr join lr using (bucket) group by 1
+),
+r as (
+  select doc_id, n_grams,
+         round(cast(w as double), 6) as weight,
+         cast(row_number() over (order by w desc, doc_id) as int) as rank
+  from s
+)
+select doc_id, n_grams, weight, rank from r
+where rank <= ceil(0.25 * (select count(*) from documents))
+order by rank
+""".replace("{B}", b)
+
+
+ORACLES["dsir_select"] = _dsir_oracle()
+QUERIES["dsir_select"] = _dsir_select

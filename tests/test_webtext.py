@@ -510,3 +510,61 @@ def test_chunk_documents_window_semantics(spark):
         chunk_documents(docs, chunk=8, stride=9)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk=0, stride=0)
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Docs sharing the target subset's distinctive vocabulary must
+    out-rank docs that don't (Xie et al. 2023: importance weight is
+    the smoothed target/raw log-likelihood ratio)."""
+    from gdal_spark.operators.webtext import dsir_select
+
+    tgt_like = [(i, "alpha beta gamma alpha beta") for i in range(4)]
+    other = [(i + 10, "delta epsilon zeta eta theta") for i in range(4)]
+    df = spark.createDataFrame(
+        tgt_like + other, "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha gamma beta")], "doc_id long, text string"
+    )
+    out = dsir_select(df, target, top_frac=0.5).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3]
+    ws = [r["weight"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_dsir_threshold_path_is_mapside(spark):
+    """Production selection: an explicit weight cutoff keeps the same
+    docs as the rank path with NO window/sort stage in the plan."""
+    from gdal_spark.operators.webtext import dsir_select
+
+    docs = [(i, "alpha beta gamma") for i in range(3)] + [
+        (i + 10, "delta epsilon zeta") for i in range(3)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(0, "alpha beta")], "doc_id long, text string"
+    )
+    ranked = dsir_select(df, target, top_frac=0.5).collect()
+    cutoff = min(r["weight"] for r in ranked)
+    out = dsir_select(df, target, weight_threshold=cutoff)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "window" not in plan
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in ranked
+    )
+
+
+def test_dsir_log_ratio_table_is_broadcast(spark):
+    """The per-bucket log-ratio table is bounded by n_buckets (corpus-
+    size-independent) and must reach the corpus probe as a broadcast
+    join, never a corpus shuffle."""
+    from gdal_spark.operators.webtext import dsir_select
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    target = df.where("doc_id < 2")
+    out = dsir_select(df, target, n_buckets=64, weight_threshold=-10.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
