@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "lm_perplexity",           # r5b CCNet bigram-LM quality filter
     "bpe_encode",              # r5b BPE tokenizer apply (pure map)
     "remove_dup_spans",        # r5 exact-substring dup removal (Lee et al.)
+    "dsir_select",             # r5d DSIR importance-resampling selection
     "chunk_overlap",           # r5 sliding-window chunking (pure map)
     "knn_centers",             # kNN re-rank
     "ann_cosine_topk",         # similarity search

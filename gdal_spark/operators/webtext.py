@@ -803,11 +803,17 @@ def dsir_select(
     feats = dsir_features(df, n_buckets, id_col, text_col)
     tgt_feats = dsir_features(target, n_buckets, id_col, text_col)
 
-    raw_b = feats.groupBy("bucket").agg(F.sum("c").alias("c_raw"))
-    tgt_b = tgt_feats.groupBy("bucket").agg(F.sum("c").alias("c_tgt"))
-    # Totals as 1-row aggregates, cross-joined — never collected.
-    raw_tot = feats.agg(F.sum("c").alias("_traw"))
-    tgt_tot = tgt_feats.agg(F.sum("c").alias("_ttgt"))
+    # Per-bucket count tables are ≤ n_buckets rows — persist them so
+    # the totals and the join read the cached rows instead of
+    # re-running the corpus-scale gram explode (two plan references
+    # each: the lr join and the total).
+    raw_b = feats.groupBy("bucket").agg(F.sum("c").alias("c_raw")).persist()
+    tgt_b = tgt_feats.groupBy("bucket").agg(F.sum("c").alias("c_tgt")).persist()
+    # Totals as 1-row aggregates over the n_buckets-row PER-BUCKET
+    # tables (sum over buckets == sum over (doc,bucket) exactly), so
+    # the totals never re-scan the corpus; cross-joined, not collected.
+    raw_tot = raw_b.agg(F.sum("c_raw").alias("_traw"))
+    tgt_tot = tgt_b.agg(F.sum("c_tgt").alias("_ttgt"))
     lr = (
         raw_b.join(tgt_b, "bucket", "left")
         .crossJoin(F.broadcast(raw_tot))
