@@ -860,3 +860,159 @@ def dsir_select(
         .withColumn("weight", F.round(F.col("_w").cast("double"), 6))
         .select(id_col, "n_grams", "weight", "rank")
     )
+
+
+def c4_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, §2.2 — the T5 corpus
+    recipe).  Line level: keep a line only if it ends in terminal
+    punctuation (. ! ? "), has at least `min_words_per_line` words, and
+    does not contain the word "javascript" (case-insensitive).  Document
+    level: drop the page entirely if it contains "lorem ipsum"
+    (case-insensitive), a curly bracket, or any blocklist word, or if
+    fewer than `min_kept_lines` lines survive the line rules.
+
+    Returns (id, n_lines, n_kept, c4_keep, text_clean) — text_clean is
+    the kept lines re-joined with `line_sep` (null when dropped).
+
+    Scale (100 TB): every rule is a doc-local array lambda over the
+    split line array — narrow, whole-stage-codegen'd, ZERO shuffle and
+    zero Python; the plan is a pure map over the crawl scan, so it
+    composes with any downstream op without adding an exchange.
+    """
+    t = F.col(text_col)
+    lns = F.split(t, line_sep, -1)
+    terminal = F.array(F.lit("."), F.lit("!"), F.lit("?"), F.lit('"'))
+
+    def line_ok(x):
+        last = x.substr(F.length(x), F.lit(1))
+        return (
+            F.array_contains(terminal, last)
+            & (F.size(F.split(x, " ", -1)) >= min_words_per_line)
+            & ~F.contains(F.lower(x), F.lit("javascript"))
+        )
+
+    kept = F.filter(lns, line_ok)
+    toks = F.flatten(
+        F.transform(lns, lambda x: F.split(F.lower(x), " ", -1))
+    )
+    doc_bad = F.contains(F.lower(t), F.lit("lorem ipsum")) | F.contains(
+        t, F.lit("{")
+    )
+    if blocklist:
+        doc_bad = doc_bad | F.arrays_overlap(
+            toks, F.array(*[F.lit(w) for w in blocklist])
+        )
+    keep = ~doc_bad & (F.size(kept) >= min_kept_lines)
+    return df.select(
+        F.col(id_col),
+        F.size(lns).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        keep.alias("c4_keep"),
+        F.when(keep, F.array_join(kept, line_sep)).alias("text_clean"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "q_id",
+    qtext_col: str = "q_text",
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson & Zaragoza 2009, the Lucene
+    idf variant: ln(1 + (N - df + 0.5)/(df + 0.5)) — always positive):
+    top-k documents per query.  The lexical complement to the embedding
+    ANN family (operators/similarity.py) — the standard first-stage
+    retriever of a RAG / decontamination pipeline.
+
+    Returns (q_id, doc_id, score, rank): rank by (rounded score DESC,
+    doc id ASC).  Per-term contributions are rounded to 6 dp DECIMAL
+    before the per-(query, doc) sum, so the score is an
+    order-independent exact accumulation (CLAUDE.md oracle discipline).
+
+    Scale (100 TB): the query-term set is tiny and BROADCAST — the
+    corpus explode is filtered map-side down to query-term hits before
+    its single (doc, term) hash aggregate (carrying doc length through
+    the explode, so no per-doc join is ever needed); the hit table is
+    PERSISTED because two plan branches read it (df/idf and the
+    contribution join), so the corpus explode runs once, not twice;
+    df/idf is an O(|query terms|)-row aggregate over the cached hits,
+    broadcast back; the final per-(query, doc) sum and the per-query
+    top-k window partition on q_id — state bounded by hits, never the
+    corpus.  The corpus is scanned exactly twice: the hit pass and the
+    1-row N/avgdl stats pass (which needs ALL docs, not just hits).
+    """
+    qterms = queries.select(
+        F.col(qid_col).alias("q_id"),
+        F.explode(F.split(F.col(qtext_col), " ")).alias("term"),
+    ).distinct()
+    tset = qterms.select("term").distinct()
+
+    dl = F.size(F.split(F.col(text_col), " ", -1))
+    hits = (
+        docs.select(F.col(id_col), dl.alias("_dl"), F.col(text_col))
+        .select(
+            id_col,
+            "_dl",
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .join(F.broadcast(tset), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+        .persist()
+    )
+    stats = docs.agg(
+        F.count("*").alias("_n"),
+        F.avg(dl).alias("_avgdl"),
+    )
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+            6,
+        ).alias("idf"),
+        F.col("_avgdl"),
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    )
+    contrib = hits.join(F.broadcast(idf), "term").select(
+        id_col,
+        "term",
+        F.round(F.col("idf") * tfn, 6).cast("decimal(18,6)").alias("c"),
+    )
+    scored = (
+        contrib.join(F.broadcast(qterms), "term")
+        .groupBy("q_id", id_col)
+        .agg(F.sum("c").alias("_s"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_s"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id",
+            id_col,
+            F.round(F.col("_s").cast("double"), 6).alias("score"),
+            "rank",
+        )
+    )

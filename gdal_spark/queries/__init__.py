@@ -251,6 +251,14 @@ def collect() -> tuple[
         # model-based selection); the hashed-n-gram log-ratio variant
         # rides the local replica.
         "dsir_select",
+        # r5: C4 cleaning rules — the line-filter family's in-window
+        # rep stays lm_perplexity (CCNet); the rule set rides the local
+        # replica beside boilerplate_removal / gopher_quality.
+        "c4_filter",
+        # r5: BM25 lexical retrieval — the retrieval family's in-window
+        # reps stay ann_cosine_topk / ann_ivf_topk; the lexical path
+        # rides the local replica.
+        "bm25_topk",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -740,3 +740,174 @@ order by rank
 
 ORACLES["dsir_select"] = _dsir_oracle()
 QUERIES["dsir_select"] = _dsir_select
+
+
+# --- C4 cleaning rules (Raffel et al. 2020) ---
+#
+# The word-soup corpus has no punctuation or line breaks, so the fixture
+# decorates the fixed-width windows deterministically from (doc_id, pos):
+# a terminal-punct cycle ('.', '!', '?', none), a mid-line "javascript"
+# injection, one always-too-short line, and doc-level poisons ("lorem
+# ipsum", '{', blocklist word) on fixed doc_id residues — both engines
+# rebuild the identical documents, then apply the identical rules.
+
+_C4_W = 64
+
+
+def _c4_text_expr() -> "F.Column":
+    wins = (
+        f"transform(sequence(0, int(floor(greatest(length(text)-1,0)"
+        f"/{_C4_W}))), i -> concat(substring(text, i*{_C4_W}+1, {_C4_W}), "
+        f"case when (doc_id + 3*i) % 17 = 0 then ' javascript extra' "
+        f"else '' end, "
+        f"element_at(array('.', '!', '?', ''), int((doc_id*7 + i) % 4) + 1)))"
+    )
+    extras = (
+        "concat(array('too short.'), "
+        "case when doc_id % 13 = 0 then "
+        "array('lorem ipsum dolor sit amet here.') "
+        "else cast(array() as array<string>) end, "
+        "case when doc_id % 11 = 3 then "
+        "array('this config block has a bracket { inside it.') "
+        "else cast(array() as array<string>) end, "
+        "case when doc_id % 19 = 5 then "
+        "array('this page mentions zoinks and more words here.') "
+        "else cast(array() as array<string>) end)"
+    )
+    return F.array_join(F.expr(f"concat({wins}, {extras})"), "\n")
+
+
+def _c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (operators/webtext.py c4_filter) over the
+    deterministically decorated corpus; zero-shuffle doc-local plan."""
+    from gdal_spark.operators.webtext import c4_filter
+
+    d = _docs(spark, sf_dir).withColumn("text", _c4_text_expr())
+    out = c4_filter(d, blocklist=("zoinks",))
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "c4_keep",
+        F.md5("text_clean").alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLES["c4_filter"] = f"""
+with base as (
+  select doc_id,
+    list_transform(range(0, cast(floor(greatest(length(text)-1, 0)
+        /{_C4_W}.0) as int) + 1),
+      i -> substring(text, cast(i*{_C4_W} + 1 as int), {_C4_W})
+           || (case when (doc_id + 3*i) % 17 = 0 then ' javascript extra'
+               else '' end)
+           || (['.', '!', '?', ''])[cast((doc_id*7 + i) % 4 as int) + 1])
+      as wins
+  from documents
+),
+lines as (
+  select doc_id,
+    wins || ['too short.']
+         || (case when doc_id % 13 = 0 then
+             ['lorem ipsum dolor sit amet here.']
+             else cast([] as varchar[]) end)
+         || (case when doc_id % 11 = 3 then
+             ['this config block has a bracket ' || chr(123) || ' inside it.']
+             else cast([] as varchar[]) end)
+         || (case when doc_id % 19 = 5 then
+             ['this page mentions zoinks and more words here.']
+             else cast([] as varchar[]) end) as lns
+  from base
+),
+m as (
+  select doc_id, len(lns) as n_lines,
+    list_filter(lns, x ->
+        (right(x, 1) in ('.', '!', '?', '"'))
+        and len(string_split(x, ' ')) >= 5
+        and not contains(lower(x), 'javascript')) as kept,
+    (contains(lower(array_to_string(lns, chr(10))), 'lorem ipsum')
+     or contains(array_to_string(lns, chr(10)), chr(123))
+     or list_has_any(flatten(list_transform(lns,
+            x -> string_split(lower(x), ' '))), ['zoinks'])) as doc_bad
+  from lines
+)
+select doc_id, n_lines, cast(len(kept) as bigint) as n_kept,
+       (not doc_bad and len(kept) >= 3) as c4_keep,
+       case when (not doc_bad and len(kept) >= 3)
+            then md5(array_to_string(kept, chr(10))) end as kept_md5
+from m order by doc_id
+"""
+QUERIES["c4_filter"] = _c4_filter
+
+
+# --- BM25 lexical retrieval (Robertson & Zaragoza 2009) ---
+
+_BM25_QUERIES = [
+    (0, "spark join table"),
+    (1, "window group vector"),
+    (2, "customer order data"),
+    (3, "stream filter slow"),
+    (4, "batch scan key"),
+]
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 per query (operators/webtext.py bm25_topk): Lucene
+    idf, per-term contributions as exact 6-dp DECIMAL sums, rank on the
+    decimal score with doc-id tie-break."""
+    from gdal_spark.operators.webtext import bm25_topk
+
+    q = spark.createDataFrame(_BM25_QUERIES, "q_id long, q_text string")
+    out = bm25_topk(_docs(spark, sf_dir), q, k=5)
+    return out.orderBy("q_id", "rank")
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return f"""
+with q(q_id, q_text) as (values {vals}),
+qt as (select distinct q_id, unnest(string_split(q_text, ' ')) as term
+       from q),
+tset as (select distinct term from qt),
+d as (select doc_id, len(string_split(text, ' ')) as dl from documents),
+stats as (select count(*) as n, avg(dl) as avgdl from d),
+tok as (select doc_id, unnest(string_split(text, ' ')) as term
+        from documents),
+hits as (
+  select tok.doc_id, tok.term, count(*) as tf, any_value(d.dl) as dl
+  from tok join tset using (term) join d using (doc_id)
+  group by 1, 2
+),
+dfreq as (select term, count(*) as df from hits group by 1),
+idf as (
+  select term,
+         round(ln(1e0 + (cast(n - df as double) + 0.5e0)
+                        / (cast(df as double) + 0.5e0)), 6) as idf,
+         avgdl
+  from dfreq cross join stats
+),
+contrib as (
+  select h.doc_id, h.term,
+         cast(round(idf.idf * ((cast(h.tf as double) * (1.2e0 + 1e0))
+             / (cast(h.tf as double) + 1.2e0 * ((1e0 - 0.75e0)
+                + 0.75e0 * cast(h.dl as double) / idf.avgdl))), 6)
+              as decimal(18,6)) as c
+  from hits h join idf using (term)
+),
+scored as (
+  select qt.q_id, c.doc_id, sum(c.c) as s
+  from contrib c join qt using (term) group by 1, 2
+),
+r as (
+  select q_id, doc_id, s,
+         cast(row_number() over (partition by q_id
+              order by s desc, doc_id) as int) as rank
+  from scored
+)
+select q_id, doc_id, round(cast(s as double), 6) as score, rank
+from r where rank <= 5 order by q_id, rank
+"""
+
+
+ORACLES["bm25_topk"] = _bm25_oracle()
+QUERIES["bm25_topk"] = _bm25_topk

@@ -568,3 +568,117 @@ def test_dsir_log_ratio_table_is_broadcast(spark):
     out = dsir_select(df, target, n_buckets=64, weight_threshold=-10.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_c4_filter_rules(spark):
+    from gdal_spark.operators.webtext import c4_filter
+
+    good1 = "this line has enough words here."
+    good2 = "another good line with plenty of words!"
+    good3 = 'this line ends with a double quote"'
+    docs = [
+        # 3 kept lines + one of each line-level drop -> kept doc
+        (1, "\n".join([
+            good1,
+            "too short.",
+            "this line has no terminal punctuation at all",
+            "this line mentions javascript somewhere in it.",
+            good2,
+            good3,
+        ])),
+        # doc-level poison: lorem ipsum (lines themselves fine)
+        (2, "\n".join([good1, good2, good3,
+                       "some lorem ipsum filler sits right here."])),
+        # doc-level poison: curly bracket
+        (3, "\n".join([good1, good2, good3, "config { block here is bad."])),
+        # doc-level poison: blocklist word
+        (4, "\n".join([good1, good2, good3,
+                       "this page mentions zoinks here sadly."])),
+        # only 2 surviving lines -> dropped by min_kept_lines
+        (5, "\n".join([good1, good2, "too short."])),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = (
+        c4_filter(df, blocklist=("zoinks",))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_lines"] == 6 and out.loc[1, "n_kept"] == 3
+    assert bool(out.loc[1, "c4_keep"])
+    assert out.loc[1, "text_clean"] == "\n".join([good1, good2, good3])
+    for poisoned in (2, 3, 4):
+        assert out.loc[poisoned, "n_kept"] >= 3  # lines fine...
+        assert not bool(out.loc[poisoned, "c4_keep"])  # ...doc dropped
+        assert out.loc[poisoned, "text_clean"] is None
+    assert out.loc[5, "n_kept"] == 2 and not bool(out.loc[5, "c4_keep"])
+
+
+def test_c4_filter_is_mapside(spark):
+    """C4 rules are doc-local array lambdas: the plan must contain NO
+    Exchange — a pure map over the scan (composes shuffle-free at
+    100 TB)."""
+    from gdal_spark.operators.webtext import c4_filter
+
+    df = spark.createDataFrame(
+        [(1, "a fine line with five words.")], "doc_id long, text string"
+    )
+    plan = (
+        c4_filter(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from gdal_spark.operators.webtext import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "banana banana banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(0, "apple"), (1, "banana cherry")], "q_id long, q_text string"
+    )
+    out = bm25_topk(docs, qs, k=5).toPandas()
+    # N=3, avgdl=3; df=2 for all three terms -> shared idf
+    idf = round(math.log(1 + (3 - 2 + 0.5) / 2.5), 6)
+
+    def tfn(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+
+    q0 = out[out.q_id == 0].sort_values("rank")
+    assert list(q0.doc_id) == [1, 2]
+    assert q0.score.iloc[0] == pytest.approx(
+        round(idf * tfn(2, 3), 6), abs=2e-6
+    )
+    q1 = out[out.q_id == 1].sort_values("rank")
+    # doc3: banana tf=3 + cherry tf=1; doc2: cherry only; doc1: banana only
+    assert list(q1.doc_id) == [3, 2, 1]
+    assert q1.score.iloc[0] == pytest.approx(
+        round(idf * tfn(3, 4), 6) + round(idf * tfn(1, 4), 6), abs=2e-6
+    )
+
+
+def test_bm25_sides_are_broadcast(spark):
+    """The corpus side must meet every join unshuffled: query terms,
+    idf, and the per-query sum's qterms side are all broadcast; the
+    only hashpartitioning exchanges are the (doc,term) aggregate, the
+    (q_id, doc) aggregate, and the per-query top-k window."""
+    from gdal_spark.operators.webtext import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "apple banana cherry") for i in range(20)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(0, "apple")], "q_id long, q_text string")
+    plan = (
+        bm25_topk(docs, qs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastExchange") >= 3
+    assert "SortMergeJoin" not in plan
