@@ -276,3 +276,100 @@ def k_shortest_paths(
         B.sort(key=lambda cpc: (cpc[0], cpc[1]))
         A.append(B.pop(0))
     return [(c, p) for c, p, _ in A]
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    prec: int = 12,
+) -> DataFrame:
+    """PageRank (Brin & Page 1998) over a directed link graph
+    (src, dst) — the classic link-based page-quality signal of a
+    web-corpus curation pipeline (seed ranking / crawl prioritization;
+    the reference's GNM family has no analog, SURVEY §1.3).  Parallel
+    edges count with multiplicity; dangling-node mass is redistributed
+    uniformly each iteration (the standard formulation):
+
+        pr'(v) = (1-d)/N + d * (Σ_{u→v} pr(u)/outdeg(u) + dangling/N)
+
+    Numeric contract: per-edge contributions and the rank vector are
+    rounded to `prec` dp and accumulated as DECIMAL, so every sum is
+    order-independent and the whole iteration is bit-reproducible in
+    any engine that mirrors the same double ops (the DuckDB oracle
+    unrolls the identical iterations).
+
+    Scale (100 TB link graph): the edge table is joined to the rank
+    vector once per iteration — one hash shuffle on src, one aggregate
+    on dst, both map-side combined; N and the dangling mass are 1-row
+    aggregates cross-joined broadcast; per-iteration state is the
+    O(nodes) rank vector, localCheckpoint'd so the plan stays flat
+    across iterations (same discipline as shortest_paths).  No driver
+    collect anywhere.
+    """
+    dec = f"decimal(20,{prec})"
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n1 = nodes.agg(F.count("*").alias("_n"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    ej = edges.join(outdeg, "src").persist()
+    dangling = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    base = F.lit(1.0 - damping) / F.col("_n")
+    pr = (
+        nodes.crossJoin(F.broadcast(n1))
+        .select(
+            "node",
+            F.round(F.lit(1.0) / F.col("_n"), prec).cast(dec).alias("pr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(iters):
+            contrib = (
+                pr.join(ej, pr.node == ej.src)
+                .select(
+                    "dst",
+                    F.round(F.col("pr").cast("double") / F.col("od"), prec)
+                    .cast(dec)
+                    .alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            dm = (
+                pr.join(dangling, "node", "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("_m"))
+            )
+            pr = (
+                nodes.join(
+                    contrib.withColumnRenamed("dst", "node"), "node", "left"
+                )
+                .crossJoin(F.broadcast(n1))
+                .crossJoin(F.broadcast(dm))
+                .select(
+                    "node",
+                    F.round(
+                        base
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                            + F.col("_m").cast("double") / F.col("_n")
+                        ),
+                        prec,
+                    )
+                    .cast(dec)
+                    .alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        nodes.unpersist()
+        ej.unpersist()
+        dangling.unpersist()
+    return pr

@@ -259,6 +259,10 @@ def collect() -> tuple[
         # reps stay ann_cosine_topk / ann_ivf_topk; the lexical path
         # rides the local replica.
         "bm25_topk",
+        # r5: PageRank link-quality signal — the graph family's queries
+        # all ride the local replica (recursive-CTE / unrolled-Lloyd
+        # oracles); semantics additionally pinned in tests/test_graph.
+        "link_pagerank",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -88,3 +88,87 @@ ORACLES = {
     "graph_components": _components_oracle(),
     "graph_shortest_paths": _shortest_oracle(),
 }
+
+
+# --- PageRank over a deterministic doc link graph (web-scale link
+# quality signal; Brin & Page 1998).  Each non-dangling doc links to
+# (7*id+1) % N and (13*id+5) % N; docs with id % 10 == 0 emit no links
+# (dangling).  N is data-driven (count of documents), so the same SQL
+# is exact at every sf.  The oracle unrolls the identical
+# decimal-rounded iterations (internal 12 dp, output 6 dp).
+
+_PR_EDGES = """
+    select doc_id as src,
+           (doc_id * 7 + 1) % (select count(*) from documents) as dst
+    from documents where doc_id % 10 != 0
+    union all
+    select doc_id as src,
+           (doc_id * 13 + 5) % (select count(*) from documents) as dst
+    from documents where doc_id % 10 != 0
+"""
+
+_PR_ITERS = 5
+
+
+def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.graph import pagerank
+
+    tables.register_views(spark, sf_dir)
+    e = spark.sql(_PR_EDGES)
+    out = pagerank(e, iters=_PR_ITERS)
+    return out.select(
+        "node", F.round(F.col("pr").cast("double"), 6).alias("pr")
+    ).orderBy("node")
+
+
+def _pagerank_oracle() -> str:
+    steps = [
+        f"""
+    e0 as materialized ({_PR_EDGES}),
+    nodes as materialized (
+        select distinct node from (
+            select src as node from e0
+            union all select dst as node from e0)
+    ),
+    nn as (select cast(count(*) as double) as n from nodes),
+    od as materialized (select src, count(*) as od from e0 group by 1),
+    dang as (select node from nodes
+             where node not in (select src from od)),
+    p0 as (
+        select node,
+               cast(round(1e0 / (select n from nn), 12) as decimal(20,12))
+                 as pr
+        from nodes)"""
+    ]
+    for i in range(_PR_ITERS):
+        steps.append(f"""
+    c{i} as (
+        select e0.dst as node,
+               sum(cast(round(cast(p.pr as double) / od.od, 12)
+                   as decimal(20,12))) as s
+        from p{i} p join e0 on e0.src = p.node join od on od.src = e0.src
+        group by 1
+    ),
+    dm{i} as (
+        select coalesce(sum(pr), 0) as m from p{i}
+        where node in (select node from dang)
+    ),
+    p{i + 1} as (
+        select nodes.node,
+               cast(round((1e0 - 0.85e0) / (select n from nn)
+                   + 0.85e0 * (cast(coalesce(c.s, 0) as double)
+                       + cast((select m from dm{i}) as double)
+                         / (select n from nn)), 12)
+                 as decimal(20,12)) as pr
+        from nodes left join c{i} c using (node)
+    )""")
+    body = ",".join(steps)
+    return f"""
+    with {body}
+    select node, round(cast(pr as double), 6) as pr
+    from p{_PR_ITERS} order by node
+    """
+
+
+QUERIES["link_pagerank"] = _pagerank
+ORACLES["link_pagerank"] = _pagerank_oracle()

@@ -1046,3 +1046,49 @@ def test_streaming_near_dup_simhash(spark, tmp_path):
     assert 0 < len(out) < 400             # 12-bit sigs on 3-token docs do collide
     by_url = {r.doc_id: r.simhash for r in simhash(batch, bits=12).collect()}
     assert all(by_url[r.url] == r.simhash for r in out)
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    """pagerank vs an independent plain-Python power iteration with the
+    same dangling handling (node 5 is dangling; node 9 has no in-links
+    but emits one, exercising both boundary shapes)."""
+    from gdal_spark.operators.graph import pagerank
+
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 5),
+        (9, 1), (2, 3),  # parallel edge: counts with multiplicity
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        r["node"]: float(r["pr"])
+        for r in pagerank(e, iters=5).collect()
+    }
+
+    nodes = sorted({n for ab in edges for n in ab})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        dmass = sum(pr[v] for v in nodes if v not in outdeg)
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += pr[s] / outdeg[s]
+        pr = {
+            v: 0.15 / n + 0.85 * (contrib[v] + dmass / n) for v in nodes
+        }
+    assert set(out) == set(nodes)
+    for v in nodes:
+        assert out[v] == pytest.approx(pr[v], abs=1e-9)
+
+
+def test_pagerank_mass_conserved(spark):
+    from gdal_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(20) if i % 4 != 0],
+        "src long, dst long",
+    )
+    prs = [float(r["pr"]) for r in pagerank(e, iters=4).collect()]
+    assert sum(prs) == pytest.approx(1.0, abs=1e-6)
