@@ -491,6 +491,97 @@ def semdedup(
     )
 
 
+def prototype_prune(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    prune_frac: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022,
+    arXiv:2206.14486 "Beyond neural scaling laws"): k-means cluster the
+    embedding space (train `centroids` with the shared deterministic
+    ivf_train), score every example by its cosine to its cluster
+    prototype (the centroid), and prune the EASIEST `prune_frac` of
+    each cluster — the most prototypical examples, i.e. highest
+    cosine.  Per-cluster pruning preserves the corpus's cluster
+    balance (the paper's protocol).  Returns
+    (vec_id, cid, proto_cos, rnk, keep): rnk ranks within the cluster
+    by descending ROUNDED cosine (ties → lowest id), and
+    keep = rnk > floor(prune_frac * |cluster|).
+
+    Scale: strictly cheaper than semdedup — no pairwise phase at all.
+    Assignment is map-side (broadcast codebook, one Arrow pass); the
+    prototype cosine is a broadcast k-row join + sequential array
+    folds (zip_with + aggregate, JVM codegen); the per-cluster rank is
+    the single exchange, on cid.  O(N·d) work, one shuffle, so the
+    100 TB path is exactly this plan with the codebook trained on a
+    sample.  Rank on the round-6 cosine with an explicit id tie-break
+    keeps the keep set reproducible across engines and retries."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64).tolist()
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        CC = np.asarray(bc.value, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            d2 = np.round(
+                ((X[:, None, :] - CC[None, :, :]) ** 2).sum(axis=2), 8
+            )
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cid": np.argmin(d2, axis=1).astype(np.int64),
+                }
+            )
+            out["vec"] = list(pdf[vec_col])
+            yield out
+
+    cells = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cid long, vec array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cid long, cvec array<double>",
+    )
+    dot = (
+        "aggregate(zip_with(vec, cvec, (x, y) -> x * y), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
+    nx = (
+        "sqrt(aggregate(transform(vec, x -> x * x), "
+        "cast(0 as double), (acc, x) -> acc + x))"
+    )
+    nc = (
+        "sqrt(aggregate(transform(cvec, x -> x * x), "
+        "cast(0 as double), (acc, x) -> acc + x))"
+    )
+    scored = cells.join(F.broadcast(cents), "cid").selectExpr(
+        id_col, "cid", f"round({dot} / ({nx} * {nc}), 6) as proto_cos"
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.desc("proto_cos"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("cid")))
+        .select(
+            id_col,
+            "cid",
+            "proto_cos",
+            "rnk",
+            (
+                F.col("rnk")
+                > F.floor(F.lit(float(prune_frac)) * F.col("_n"))
+            ).alias("keep"),
+        )
+    )
+
+
 def pq_train(
     emb: DataFrame,
     m: int = 4,

@@ -263,6 +263,11 @@ def collect() -> tuple[
         # all ride the local replica (recursive-CTE / unrolled-Lloyd
         # oracles); semantics additionally pinned in tests/test_graph.
         "link_pagerank",
+        # r5: prototype-based data pruning (Sorscher et al. 2022) — the
+        # embedding-curation family's in-window reps stay ann_cosine_topk
+        # / ann_ivf_topk; the shared Lloyd trainer is gated there and by
+        # semdedup on the local replica.
+        "prototype_prune",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -838,3 +838,120 @@ def _ann_ivfpq_oracle() -> str:
 
 QUERIES["ann_ivfpq_topk"] = _ann_ivfpq
 ORACLES["ann_ivfpq_topk"] = _ann_ivfpq_oracle()
+
+
+# --- Prototype pruning (Sorscher et al. 2022, arXiv:2206.14486) --------------
+# k-means the embedding space with the shared deterministic Lloyd trainer,
+# score every vector by cosine to its cluster prototype, and prune the most
+# prototypical prune_frac of EACH cluster (per-cluster pruning preserves
+# cluster balance — the paper's protocol for large datasets).  The oracle
+# unrolls the SAME Lloyd iterations as the IVF/semdedup oracles over the
+# plain embeddings table, then mirrors the round-6 prototype cosine and the
+# rank-on-rounded-values keep rule.
+
+_PP_K = 22  # ivf_default_k(500) — asserted in the query builder
+_PP_ITERS = 2
+_PP_FRAC = 0.25
+
+
+def _prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.similarity import (
+        ivf_default_k,
+        ivf_train,
+        prototype_prune,
+    )
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, v -> cast(v as double))").alias(
+            "embedding"
+        ),
+    )
+    # k derived ≈ √N — equals the oracle's pinned _PP_K at the two oracle
+    # sfs (500 rows); at other sfs the query still runs with its own √N.
+    cents = ivf_train(e, k=None, iters=_PP_ITERS)
+    assert len(cents) == ivf_default_k(e.count())
+    return prototype_prune(e, cents, prune_frac=_PP_FRAC)
+
+
+def _prototype_prune_oracle() -> str:
+    steps = [
+        f"""
+    x as materialized (
+        select vec_id,
+               unnest(range(len(embedding))) as pos,
+               cast(unnest(embedding) as double) as v
+        from embeddings
+    ),
+    c0 as (select vec_id as cid, pos, v from x where vec_id < {_PP_K})"""
+    ]
+    for i in range(_PP_ITERS):
+        steps.append(f"""
+    a{i} as (
+        select x.vec_id, c.cid,
+               round(sum((x.v - c.v) * (x.v - c.v)), 8) as d2
+        from x join c{i} c on c.pos = x.pos
+        group by x.vec_id, c.cid
+    ),
+    m{i} as (
+        select vec_id, cid from (
+            select vec_id, cid,
+                   row_number() over (partition by vec_id
+                                      order by d2, cid) as rn
+            from a{i}
+        ) where rn = 1
+    ),
+    n{i} as (
+        select m.cid, x.pos, round(sum(x.v) / count(*), 6) as v
+        from m{i} m join x on x.vec_id = m.vec_id
+        group by m.cid, x.pos
+    ),
+    c{i + 1} as (
+        select c.cid, c.pos, coalesce(n.v, c.v) as v
+        from c{i} c left join n{i} n
+          on n.cid = c.cid and n.pos = c.pos
+    )""")
+    fc = f"c{_PP_ITERS}"
+    return (
+        "with "
+        + ",".join(steps)
+        + f""",
+    af as (
+        select x.vec_id, c.cid,
+               round(sum((x.v - c.v) * (x.v - c.v)), 8) as d2
+        from x join {fc} c on c.pos = x.pos
+        group by x.vec_id, c.cid
+    ),
+    cells as materialized (
+        select vec_id, cid from (
+            select vec_id, cid,
+                   row_number() over (partition by vec_id
+                                      order by d2, cid) as rn
+            from af
+        ) where rn = 1
+    ),
+    cos as (
+        select ce.vec_id, ce.cid,
+               round(sum(x.v * c.v)
+                     / (sqrt(sum(x.v * x.v)) * sqrt(sum(c.v * c.v))),
+                     6) as proto_cos
+        from cells ce
+        join x on x.vec_id = ce.vec_id
+        join {fc} c on c.cid = ce.cid and c.pos = x.pos
+        group by ce.vec_id, ce.cid
+    )
+    select vec_id, cid, proto_cos, rnk,
+           rnk > floor({_PP_FRAC} * n) as keep
+    from (
+        select vec_id, cid, proto_cos,
+               row_number() over (partition by cid
+                                  order by proto_cos desc, vec_id) as rnk,
+               count(*) over (partition by cid) as n
+        from cos
+    )
+    """
+    )
+
+
+QUERIES["prototype_prune"] = _prototype_prune
+ORACLES["prototype_prune"] = _prototype_prune_oracle()

@@ -376,3 +376,49 @@ def test_semdedup_hot_cell_cap_drops_whole_cell(spark):
     assert out[100].keep and not out[101].keep
     uncapped = similarity.semdedup(df, cents, threshold=0.98, max_cell=None)
     assert uncapped.count() == 22
+
+
+def test_prototype_prune_removes_most_prototypical_per_cluster(spark):
+    """Sorscher-style pruning: per cluster, exactly floor(frac*n) rows
+    are marked keep=false and they are the HIGHEST-prototype-cosine
+    (easiest) ones; ranks are dense 1..n within each cluster with the
+    rounded-cosine + id tie-break. Verified against a numpy mirror of
+    assignment + cosine scoring."""
+    rng = np.random.default_rng(23)
+    base_a = rng.standard_normal(8)
+    base_b = rng.standard_normal(8) + 25.0
+    rows = []
+    for i in range(8):
+        rows.append((i, (base_a + rng.standard_normal(8) * (0.01 + 0.3 * i)).tolist()))
+    for i in range(6):
+        rows.append((100 + i, (base_b + rng.standard_normal(8) * (0.01 + 0.3 * i)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_train(df, k=2, iters=3)
+    out = similarity.prototype_prune(df, cents, prune_frac=0.25).collect()
+    assert len(out) == len(rows)
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r.cid, []).append(r)
+    assert len(by_cid) == 2
+    C = np.asarray(cents, dtype=np.float64)
+    X = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    for cid, members in by_cid.items():
+        n = len(members)
+        cut = int(np.floor(0.25 * n))
+        # dense ranks, exactly `cut` pruned, and they are ranks 1..cut
+        assert sorted(r.rnk for r in members) == list(range(1, n + 1))
+        pruned = [r for r in members if not r.keep]
+        assert len(pruned) == cut
+        assert sorted(r.rnk for r in pruned) == list(range(1, cut + 1))
+        for r in members:
+            # mirror: cosine to own centroid, rounded like the engine
+            v = X[r.vec_id]
+            want = np.round(
+                float(v @ C[cid]) / (np.linalg.norm(v) * np.linalg.norm(C[cid])),
+                6,
+            )
+            assert abs(r.proto_cos - want) < 2e-6
+        # keep-ordering: every pruned cosine >= every kept cosine
+        if pruned:
+            kept = [r.proto_cos for r in members if r.keep]
+            assert min(r.proto_cos for r in pruned) >= max(kept)
