@@ -1016,3 +1016,123 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def domain_mix(
+    df: DataFrame,
+    budget: int,
+    sqrt_steps: int = 1,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    hasher: str = "portable",
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual/multi-domain
+    sampling rule of Arivazhagan et al. 2019 / mT5, with the UniMax
+    per-domain epoch cap of Chung et al. 2023): allocate a total doc
+    `budget` across domains proportionally to n_d^alpha, cap each
+    domain at its own size (downsampling engine: <= 1 epoch), and keep
+    rows through the deterministic hash gate.  Returns the per-domain
+    plan table (n_total, weight, target, rate_permille, n_kept) — the
+    row-level sample is `domain_mix_rows`.
+
+    alpha is dyadic: alpha = 0.5^sqrt_steps (sqrt_steps=0 -> 1.0,
+    1 -> 0.5, 2 -> 0.25).  IEEE sqrt is correctly rounded in every
+    engine, so weight = floor(sqrt^steps(n_d)) is bit-identical in
+    Spark and DuckDB, and ALL downstream math is bigint (weights sum
+    exactly in any accumulation order; targets/rates use integer
+    division) — the whole plan table is reproducible across engines,
+    partitionings, and retries.  True UniMax additionally redistributes
+    budget freed by capped domains; that refinement is a loop over the
+    k-row domain table (driver-side, metadata-bounded), deliberately
+    left closed-form here so the rate table stays a pure SQL expression.
+
+    Scale (100 TB): ONE map-side-combined count over the corpus to k
+    domain rows, a 1-row global weight sum broadcast back, then the
+    rate table broadcast-joins the corpus with a map-side hash-gate
+    filter — the corpus itself never shuffles."""
+    w_expr = "cast(n_total as double)"
+    for _ in range(max(0, int(sqrt_steps))):
+        w_expr = f"sqrt({w_expr})"
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count("*").alias("n_total"))
+        .withColumn("weight", F.expr(f"cast(floor({w_expr}) as bigint)"))
+    )
+    tot = counts.agg(F.sum("weight").alias("_w_sum"))
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.expr(f"least(cast({int(budget)} as bigint) * weight div _w_sum, n_total)"),
+        )
+        .withColumn(
+            "rate_permille",
+            F.expr("least(cast(1000 as bigint), (1000 * target) div n_total)"),
+        )
+    )
+    from gdal_spark.operators.dedup import H64
+
+    gate = H64(f"concat('{salt}', cast({id_col} as string))", hasher) % 1000
+    kept = (
+        df.select(id_col, stratum_col)
+        .join(F.broadcast(rates.select(stratum_col, "rate_permille")), stratum_col)
+        .where(gate < F.col("rate_permille"))
+        .groupBy(stratum_col)
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, stratum_col, "left")
+        .select(
+            stratum_col,
+            "n_total",
+            "weight",
+            "target",
+            "rate_permille",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def domain_mix_rows(
+    df: DataFrame,
+    budget: int,
+    sqrt_steps: int = 1,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    hasher: str = "portable",
+) -> DataFrame:
+    """Row-level companion to `domain_mix`: the same temperature+cap
+    rate table, applied as a schema-preserving filter on df (the shape
+    a pipeline actually materializes).  One broadcast join + map-side
+    gate; corpus never shuffles."""
+    w_expr = "cast(n_total as double)"
+    for _ in range(max(0, int(sqrt_steps))):
+        w_expr = f"sqrt({w_expr})"
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count("*").alias("n_total"))
+        .withColumn("weight", F.expr(f"cast(floor({w_expr}) as bigint)"))
+    )
+    tot = counts.agg(F.sum("weight").alias("_w_sum"))
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.expr(f"least(cast({int(budget)} as bigint) * weight div _w_sum, n_total)"),
+        )
+        .withColumn(
+            "rate_permille",
+            F.expr("least(cast(1000 as bigint), (1000 * target) div n_total)"),
+        )
+        .select(stratum_col, "rate_permille")
+    )
+    from gdal_spark.operators.dedup import H64
+
+    gate = H64(f"concat('{salt}', cast({id_col} as string))", hasher) % 1000
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .where(gate < F.col("rate_permille"))
+        .select(*df.columns)
+    )

@@ -268,6 +268,10 @@ def collect() -> tuple[
         # / ann_ivf_topk; the shared Lloyd trainer is gated there and by
         # semdedup on the local replica.
         "prototype_prune",
+        # r5: temperature-scaled domain mixing (UniMax/mT5 rule) — the
+        # sampling family's in-window rep stays sample_stratified (same
+        # hash gate; this adds the n^alpha rate derivation on top).
+        "domain_mix",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

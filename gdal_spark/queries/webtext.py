@@ -911,3 +911,59 @@ from r where rank <= 5 order by q_id, rank
 
 ORACLES["bm25_topk"] = _bm25_oracle()
 QUERIES["bm25_topk"] = _bm25_topk
+
+
+# --- temperature-scaled domain mixing (UniMax-ish) ---------------------------
+# n_d^0.5 temperature allocation with the <=1-epoch cap, integer-exact end to
+# end: weight = floor(sqrt(n_d)) (IEEE sqrt is correctly rounded in both
+# engines), every downstream value is bigint integer division — no float sum
+# anywhere, so the plan table is bit-identical regardless of accumulation
+# order.  Gate = portable md5 hash64, the same mirror as sample_stratified.
+
+_MIX_BUDGET = 200
+
+
+def _domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.webtext import domain_mix
+
+    d = _docs(spark, sf_dir)
+    return domain_mix(d, budget=_MIX_BUDGET, sqrt_steps=1).orderBy("source")
+
+
+def _domain_mix_oracle() -> str:
+    from gdal_spark.portable import hash64
+
+    h_gate = hash64("concat('mix', cast(doc_id as varchar))", "duckdb")
+    return f"""
+with c as (
+  select source, count(*) as n_total,
+         cast(floor(sqrt(cast(count(*) as double))) as bigint) as weight
+  from documents group by source
+),
+t as (select cast(sum(weight) as bigint) as w_sum from c),
+r as (
+  select c.source, c.n_total, c.weight,
+         cast(least(cast({_MIX_BUDGET} as bigint) * c.weight // t.w_sum,
+                    c.n_total) as bigint) as target
+  from c, t
+),
+r2 as (
+  select source, n_total, weight, target,
+         cast(least(cast(1000 as bigint), (1000 * target) // n_total)
+              as bigint) as rate_permille
+  from r
+),
+g as (
+  select doc_id, source, ({h_gate}) % 1000 as gate from documents
+)
+select r2.source, r2.n_total, r2.weight, r2.target, r2.rate_permille,
+       cast(sum(case when g.gate < r2.rate_permille then 1 else 0 end)
+            as bigint) as n_kept
+from r2 join g on g.source = r2.source
+group by r2.source, r2.n_total, r2.weight, r2.target, r2.rate_permille
+order by r2.source
+"""
+
+
+QUERIES["domain_mix"] = _domain_mix
+ORACLES["domain_mix"] = _domain_mix_oracle()

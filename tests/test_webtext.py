@@ -682,3 +682,48 @@ def test_bm25_sides_are_broadcast(spark):
     )
     assert plan.count("BroadcastExchange") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_domain_mix_temperature_and_cap(spark):
+    """n^0.5 temperature with the <=1-epoch cap: 90/10 skew, budget 40.
+    weights floor(sqrt(90))=9, floor(sqrt(10))=3; targets 40*9//12=30,
+    40*3//12=10 (cap binds exactly for the small domain); rates 333 and
+    1000 permille. The rate-1000 domain keeps every row; the plan's
+    n_kept equals an independently recomputed hash-gate count; and
+    domain_mix_rows returns exactly those rows, schema-preserving."""
+    from gdal_spark.operators.dedup import H64
+    from gdal_spark.operators.webtext import domain_mix, domain_mix_rows
+
+    rows = [(i, "big" if i < 90 else "small", f"t{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = {r.source: r for r in domain_mix(df, budget=40).collect()}
+    assert plan["big"].n_total == 90 and plan["big"].weight == 9
+    assert plan["small"].n_total == 10 and plan["small"].weight == 3
+    assert plan["big"].target == 30 and plan["small"].target == 10
+    assert plan["big"].rate_permille == 333
+    assert plan["small"].rate_permille == 1000
+    assert plan["small"].n_kept == 10  # gate < 1000 is always true
+    gate = H64("concat('mix', cast(doc_id as string))") % 1000
+    want_big = df.where(
+        (F.col("source") == "big") & (gate < F.lit(333))
+    ).count()
+    assert plan["big"].n_kept == want_big
+    kept = domain_mix_rows(df, budget=40)
+    assert kept.columns == df.columns
+    by_src = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"big": want_big, "small": 10}
+
+
+def test_domain_mix_alpha_one_is_proportional(spark):
+    """sqrt_steps=0 (alpha=1) degenerates to proportional allocation:
+    targets budget*n_d//N, no temperature flattening."""
+    from gdal_spark.operators.webtext import domain_mix
+
+    rows = [(i, "a" if i < 80 else "b", "x") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = {r.source: r for r in domain_mix(df, budget=50, sqrt_steps=0).collect()}
+    assert plan["a"].weight == 80 and plan["b"].weight == 20
+    assert plan["a"].target == 40 and plan["b"].target == 10
