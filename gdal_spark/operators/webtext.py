@@ -1136,3 +1136,49 @@ def domain_mix_rows(
         .where(gate < F.col("rate_permille"))
         .select(*df.columns)
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    min_bits: float = 3.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-entropy quality filter: H = -sum_c p_c*log2(p_c) over
+    the document's character unigram distribution, keep = H >= min_bits.
+    Low-entropy documents are the classic junk classes — repeated
+    padding, ASCII art, base64-ish runs, single-character floods —
+    filtered by every published pipeline's "gibberish" stage (C4 /
+    Gopher use word-level proxies; the entropy form is the
+    information-theoretic one).  English prose sits near 4.0-4.2 bits.
+
+    Exactness discipline (same as lm_perplexity): each distinct
+    character's p*log2(p) term is rounded to 6 dp and accumulated as
+    DECIMAL(18,6) in sorted-character order — an exact integer-space
+    sum, so the DuckDB oracle matches bit-for-bit even though the two
+    engines' libm log2 can differ in the last ulp.
+
+    Scale (100 TB): entirely doc-local array lambdas (zero shuffle,
+    whole-stage codegen).  The count pass is O(|alphabet| * len) per
+    document — |alphabet| is bounded by the character set (~100 for
+    real text), not by document length, so this is a constant-factor
+    linear scan; no explode, no groupBy."""
+    chars = f"filter(split({text_col}, ''), x -> x <> '')"
+    n = f"size({chars})"
+    cnt = f"size(filter({chars}, x -> x = ch))"
+    p = f"({cnt} / cast({n} as double))"
+    term = f"cast(round({p} * log2({p}), 6) as decimal(18,6))"
+    fold = (
+        f"aggregate(array_sort(array_distinct({chars})), "
+        f"cast(0 as decimal(18,6)), "
+        f"(a, ch) -> cast(a + {term} as decimal(18,6)))"
+    )
+    return df.select(
+        id_col,
+        F.expr(n).alias("n_chars"),
+        F.expr(f"size(array_distinct({chars}))").alias("n_distinct"),
+        F.expr(
+            f"case when {n} = 0 then cast(0 as double) "
+            f"else round(-cast({fold} as double), 6) end"
+        ).alias("char_entropy"),
+    ).withColumn("keep", F.col("char_entropy") >= F.lit(float(min_bits)))

@@ -272,6 +272,10 @@ def collect() -> tuple[
         # sampling family's in-window rep stays sample_stratified (same
         # hash gate; this adds the n^alpha rate derivation on top).
         "domain_mix",
+        # r5: char-unigram entropy quality filter — the quality family's
+        # in-window reps stay gopher/text_stats-era entries; doc-local
+        # fold, lm_perplexity's decimal-sum parity discipline.
+        "char_entropy_filter",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -967,3 +967,49 @@ order by r2.source
 
 QUERIES["domain_mix"] = _domain_mix
 ORACLES["domain_mix"] = _domain_mix_oracle()
+
+
+# --- character-entropy quality filter ----------------------------------------
+# Doc-local char unigram entropy (operators/webtext.py char_entropy): per-term
+# round-6 DECIMAL accumulation makes the sum order-independent, so the oracle
+# can take the unnest+groupBy route while the engine stays a zero-shuffle
+# array fold — same discipline as lm_perplexity.
+
+
+def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.webtext import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir), min_bits=3.0).orderBy("doc_id")
+
+
+ORACLES["char_entropy_filter"] = """
+with c as (
+  select doc_id,
+         unnest(list_filter(string_split(text, ''), x -> x <> '')) as ch
+  from documents
+),
+n as (select doc_id, count(*) as n_chars from c group by doc_id),
+t as (select doc_id, ch, count(*) as cnt from c group by doc_id, ch),
+terms as (
+  select t.doc_id,
+         cast(round((t.cnt / cast(n.n_chars as double))
+                    * log2(t.cnt / cast(n.n_chars as double)), 6)
+              as decimal(18,6)) as term
+  from t join n using (doc_id)
+),
+e as (
+  select doc_id, count(*) as n_distinct,
+         round(-cast(sum(term) as double), 6) as char_entropy
+  from terms group by doc_id
+)
+select d.doc_id,
+       cast(coalesce(n.n_chars, 0) as int) as n_chars,
+       cast(coalesce(e.n_distinct, 0) as int) as n_distinct,
+       coalesce(e.char_entropy, cast(0 as double)) as char_entropy,
+       coalesce(e.char_entropy, cast(0 as double)) >= 3.0 as keep
+from documents d
+left join n using (doc_id)
+left join e using (doc_id)
+order by doc_id
+"""
+QUERIES["char_entropy_filter"] = _char_entropy

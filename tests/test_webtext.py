@@ -727,3 +727,38 @@ def test_domain_mix_alpha_one_is_proportional(spark):
     plan = {r.source: r for r in domain_mix(df, budget=50, sqrt_steps=0).collect()}
     assert plan["a"].weight == 80 and plan["b"].weight == 20
     assert plan["a"].target == 40 and plan["b"].target == 10
+
+
+def test_char_entropy_values_and_filter(spark):
+    """Entropy values vs a python mirror using the engine's exact
+    rounding (per-term round-6, then negate): constant text -> 0 bits,
+    two-symbol alternation -> 1 bit, prose ~3.9 bits; only prose
+    crosses the 3.0-bit keep line. Empty text -> 0 chars, keep=false.
+    Plan is a zero-shuffle doc-local fold (no Exchange)."""
+    import math
+    from collections import Counter
+
+    from gdal_spark.operators.webtext import char_entropy
+
+    docs = {1: "aaaa", 2: "abab", 3: "the quick brown fox", 4: ""}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    res = char_entropy(df, min_bits=3.0)
+    out = {r.doc_id: r for r in res.collect()}
+    for i, t in docs.items():
+        if not t:
+            assert out[i].n_chars == 0 and out[i].char_entropy == 0.0
+            assert not out[i].keep
+            continue
+        c = Counter(t)
+        n = len(t)
+        want = round(
+            -sum(round((v / n) * math.log2(v / n), 6) for v in c.values()), 6
+        )
+        assert abs(out[i].char_entropy - want) < 1e-9, (i, t)
+        assert out[i].n_distinct == len(c)
+        assert out[i].keep == (out[i].char_entropy >= 3.0)
+    assert out[1].char_entropy == 0.0 and out[2].char_entropy == 1.0
+    assert [i for i in docs if out[i].keep] == [3]
+    assert "Exchange" not in res._jdf.queryExecution().executedPlan().toString()
