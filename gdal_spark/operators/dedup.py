@@ -751,3 +751,40 @@ def simhash_cols(
         for b in range(bits)
     )
     return v.selectExpr(*df.columns, f"{contrib} as {out}")
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    eval_permille: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    hasher: str = "portable",
+) -> DataFrame:
+    """Leakage-safe train/eval split: hash-gate on the DEDUP CLUSTER
+    canonical id, not the document id, so every member of a near-dup
+    cluster lands on the same side.  Splitting i.i.d. by document leaks
+    near-duplicates of eval docs into train — the train-test
+    contamination channel measured by Lee et al. 2022 (arXiv:2107.06499
+    §6.2: models memorize the train-side twin) — and cluster-level
+    assignment is the standard fix.  Returns (id, cluster_id, split)
+    for every input doc; split = 'eval' iff
+    hash64(salt || cluster_id) % 1000 < eval_permille.
+
+    Determinism: the canonical id is the cluster min (stable under any
+    partitioning), and the gate is the portable 60-bit hash — the split
+    is reproducible across engines, retries, and resumed runs, and
+    unseen future docs joining an existing cluster inherit its side.
+
+    Scale: exactly dedup_clusters' cost (CC over dup-pair nodes only,
+    O(log n) linear rounds) plus one map-side hash + comparison — no
+    extra shuffle beyond the cluster resolution itself."""
+    clusters = dedup_clusters(df, pairs, id_col=id_col)
+    gate = H64(f"concat('{salt}', cast(cluster_id as string))", hasher) % 1000
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        F.when(gate < F.lit(int(eval_permille)), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -276,6 +276,10 @@ def collect() -> tuple[
         # in-window reps stay gopher/text_stats-era entries; doc-local
         # fold, lm_perplexity's decimal-sum parity discipline.
         "char_entropy_filter",
+        # r5: leakage-safe split by dedup-cluster canonical — the dedup
+        # family's in-window rep stays dedup_cluster_canonical (same
+        # pair generation + CC closure; this adds the split gate).
+        "cluster_safe_split",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

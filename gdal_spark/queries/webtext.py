@@ -1013,3 +1013,62 @@ left join e using (doc_id)
 order by doc_id
 """
 QUERIES["char_entropy_filter"] = _char_entropy
+
+
+# --- leakage-safe train/eval split (cluster-level assignment) -----------------
+# Same near-dup corpus + minhash pair generation as dedup_cluster_canonical;
+# the split gate hashes the cluster canonical (min id), so near-dup twins can
+# never straddle the split (Lee et al. 2022 arXiv:2107.06499 §6.2).
+
+_SPLIT_EVAL_PERMILLE = 200
+
+
+def _cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators import dedup
+    from gdal_spark.queries import textops
+
+    corpus = textops._near_dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus,
+        k=3,
+        num_perm=textops.NUM_PERM,
+        rows_per_band=textops.ROWS_PER_BAND,
+        threshold=textops.JACCARD_T,
+    )
+    return dedup.cluster_safe_split(
+        corpus, pairs, eval_permille=_SPLIT_EVAL_PERMILLE
+    ).orderBy("doc_id")
+
+
+def _cluster_safe_split_oracle() -> str:
+    from gdal_spark.portable import hash64
+    from gdal_spark.queries import textops
+
+    h_gate = hash64("concat('split', cast(cluster_id as varchar))", "duckdb")
+    return f"""
+with recursive pairs as (
+  {textops._minhash_oracle()}
+),
+corpus as ({textops.NEAR_DUP_CORPUS_SQL}),
+e as (
+  select id_a as la, id_b as lb from pairs
+  union select id_b as la, id_a as lb from pairs
+  union select doc_id as la, doc_id as lb from corpus
+),
+reach(node, r) as (
+  select la, la from e
+  union
+  select e.lb, reach.r from reach join e on e.la = reach.node
+),
+cl as (
+  select node as doc_id, min(r) as cluster_id from reach group by node
+)
+select doc_id, cluster_id,
+       case when ({h_gate}) % 1000 < {_SPLIT_EVAL_PERMILLE}
+            then 'eval' else 'train' end as split
+from cl order by doc_id
+"""
+
+
+ORACLES["cluster_safe_split"] = _cluster_safe_split_oracle()
+QUERIES["cluster_safe_split"] = _cluster_safe_split

@@ -373,3 +373,32 @@ def test_simhash_mapside_parity(spark):
     # plan: the map-side path has no Exchange before the projection
     plan = simhash_cols(docs, bits=16)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cluster_safe_split_keeps_clusters_together(spark):
+    """A~B, B~C (no direct A~C pair): all three land on ONE side via
+    the cluster canonical's gate; singletons split independently;
+    permille 0/1000 degenerate to all-train/all-eval; and the split is
+    reproducible call-to-call (hash gate, not rand)."""
+    from gdal_spark.operators.dedup import cluster_safe_split
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 7), (7, 3)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r for r in cluster_safe_split(df, pairs, 500).collect()}
+    assert len(out) == 10
+    assert {out[0].cluster_id, out[3].cluster_id, out[7].cluster_id} == {0}
+    assert len({out[0].split, out[3].split, out[7].split}) == 1
+    for i in (1, 2, 4, 5, 6, 8, 9):
+        assert out[i].cluster_id == i
+    splits = {r.doc_id: r.split for r in cluster_safe_split(df, pairs, 500).collect()}
+    assert splits == {i: out[i].split for i in out}
+    assert {
+        r.split for r in cluster_safe_split(df, pairs, 0).collect()
+    } == {"train"}
+    assert {
+        r.split for r in cluster_safe_split(df, pairs, 1000).collect()
+    } == {"eval"}
