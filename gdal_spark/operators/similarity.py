@@ -79,6 +79,71 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: list[tuple[int, np.ndarray, int]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query_id, rnk, vec_id, sim) — contrastive hard-negative mining:
+    for each anchor vector, the k most-cosine-similar corpus vectors
+    whose label DIFFERS from the anchor's (same-label candidates — which
+    includes the anchor itself — are masked out, so every returned row
+    is a usable training negative).
+
+    `anchors` is a small driver-side list [(id, vector, label)],
+    broadcast as a dense float64 matrix. Same scale shape as
+    `cosine_topk`: one vectorized numpy pass per partition
+    (mapInPandas), partition-local top-k prune, global window re-rank
+    over the tiny (n_anchors × k × n_partitions) survivor set — the
+    corpus itself never shuffles.
+    """
+    spark = corpus.sparkSession
+    qids = np.array([a[0] for a in anchors], dtype=np.int64)
+    qlabels = np.array([a[2] for a in anchors], dtype=np.int64)
+    qmat = np.stack([np.asarray(a[1], dtype=np.float64) for a in anchors])
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qlabels, qnorm))
+
+    schema = "query_id long, vec_id long, sim double"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qlab, qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labs = pdf[label_col].to_numpy(dtype=np.int64)
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = qn @ mat.T  # (nq, batch)
+            sims = np.where(qlab[:, None] == labs[None, :], -np.inf, sims)
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, kk),
+                    "vec_id": ids[top.ravel()],
+                    "sim": np.take_along_axis(sims, top, axis=1).ravel(),
+                }
+            )
+            yield out[np.isfinite(out["sim"])]
+
+    cand = corpus.select(id_col, label_col, vec_col).mapInPandas(fn, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "vec_id", F.round("sim", 6).alias("sim"))
+    )
+
+
 def hyperplane_signature(
     corpus: DataFrame,
     bits: int = 16,

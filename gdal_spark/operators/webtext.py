@@ -631,6 +631,188 @@ def lm_perplexity(
     return doc.withColumn("bucket", F.ntile(n_buckets).over(w)).drop("_s")
 
 
+def kn_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    broadcast_max: int | None = 4_000_000,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1999 eq. 17) — the standard upgrade over `lm_perplexity`'s
+    add-k smoothing for quality filtering:
+
+        p(w|prev) = (c(prev,w) − d)/c(prev)
+                  + (d · n1p(prev)/c(prev)) · (n_cont(w)/T)
+
+    with n1p(prev) = |{w : c(prev,w)>0}| (distinct continuations of the
+    context), n_cont(w) = |{prev : c(prev,w)>0}| (distinct contexts the
+    word completes — KN's continuation probability), and T = total
+    distinct bigram types. The LM trains on the scored corpus itself, so
+    every scored bigram has c ≥ 1 > d and no zero-count backoff branch is
+    needed.
+
+    Returns (id, n_bigrams, xent, ppl). Exactness discipline mirrors
+    `lm_perplexity`: per-position log-probs round to 6 dp and accumulate
+    as DECIMAL(18,6) (order-independent integer-space sum), xent is one
+    IEEE-exact division, only ppl = exp(xent) (4 dp) re-enters float land.
+
+    Scale (100 TB): all model tables are hash aggregates over the single
+    bigram explode — map-side combined; n1p rides the same groupBy as
+    c_ctx (count vs sum of the c_bi rows), so KN costs ONE extra
+    vocab-sized aggregate (n_cont) over add-k. Scoring joins are
+    size-checked broadcasts (`_sized_side`) with shuffle-hash fallback;
+    the type-count T is a 1-row crossJoin broadcast.
+    """
+    big = doc_bigrams(df, id_col, text_col)
+    lm = big.groupBy("prev", "w").agg(F.count("*").alias("c_bi"))
+    ctx = lm.groupBy("prev").agg(
+        F.sum("c_bi").alias("c_ctx"), F.count("*").alias("n1p")
+    )
+    cont = lm.groupBy("w").agg(F.count("*").alias("n_cont"))
+    types = lm.agg(F.count("*").alias("_t"))
+    d = F.lit(float(discount))
+    p = (F.col("c_bi") - d) / F.col("c_ctx") + (
+        d * F.col("n1p") / F.col("c_ctx")
+    ) * (F.col("n_cont") / F.col("_t"))
+    scored = (
+        big.join(_sized_side(lm, broadcast_max), ["prev", "w"])
+        .join(_sized_side(ctx, broadcast_max), ["prev"])
+        .join(_sized_side(cont, broadcast_max), ["w"])
+        .crossJoin(F.broadcast(types))
+        .withColumn("_logp", F.round(F.log(p), 6).cast("decimal(18,6)"))
+    )
+    doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.sum("_logp").alias("_s")
+    )
+    # xent = round(-S/n, 6) computed ENTIRELY in integer space: -S is an
+    # exact micro-unit integer (decimal(18,6) lattice), and half-up
+    # rounding of S_micro/n is (2·S_micro + n) div (2·n). A float round
+    # here is a trap: a lattice sum over an integer count CAN land
+    # exactly on the 5e-7 boundary (seen in fixture: 43.456098/12 =
+    # 3.6213415 exactly), where Spark's exact-decimal HALF_UP and
+    # DuckDB's x*1e6 rounding disagree on the same double.
+    doc = doc.withColumn(
+        "_s_micro", (-F.col("_s") * 1000000).cast("long")
+    ).withColumn(
+        "xent",
+        F.expr(
+            "((2 * _s_micro + n_bigrams) div (2 * n_bigrams))"
+        ).cast("double")
+        / F.lit(1000000.0),
+    )
+    return (
+        doc.withColumn("ppl", F.round(F.exp("xent"), 4))
+        .drop("_s", "_s_micro")
+    )
+
+
+def domain_quantile_filter(
+    df: DataFrame,
+    frac_num: int = 2,
+    frac_den: int = 5,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain quality gate: keep the top frac_num/frac_den of each
+    domain by an integer-exact chars-per-token score. Global quality
+    thresholds over-prune whole domains with systematically shorter
+    tokens (code vs prose vs forums); per-domain quantiles keep the mix.
+
+    The quantile is EXACT and rank-based — row_number over the rounded
+    integer score with a doc-id tie-break, cutoff ceil(n·num/den)
+    computed in integer space ((n·num + den − 1) div den) — not
+    percentile_approx, so tiny domains behave deterministically and the
+    DuckDB oracle matches bit-for-bit. score_milli = (chars·1000) div
+    tokens never leaves integer land.
+
+    Scale (100 TB): ONE shuffle on the domain key; the two windows
+    (rank, count) share that single partitioning. A pathological
+    mega-domain makes one hot partition — at that shape switch the
+    cutoff to a precomputed per-domain threshold map (broadcast join +
+    map-side filter), same semantics, no window.
+    """
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(F.split(F.col(text_col), " ")).alias("n_toks"),
+        F.length(text_col).alias("n_chars"),
+    ).withColumn(
+        "score_milli",
+        F.expr("(n_chars * 1000) div n_toks"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score_milli").desc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("n_in_domain", F.count("*").over(wn))
+        .where(
+            F.col("rnk")
+            <= F.expr(
+                f"(n_in_domain * {frac_num} + {frac_den} - 1) div {frac_den}"
+            )
+        )
+        .select(id_col, group_col, "n_toks", "score_milli", "rnk")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document novelty score for curriculum ordering / crawl-dive
+    triage: the fraction of the doc's DISTINCT k-gram shingles whose
+    corpus-wide first occurrence (min doc id) is this document. Late
+    near-copies of earlier pages score ~0, genuinely new text ~1 — a
+    cheap order-aware complement to MinHash dedup.
+
+    Returns (id, n_grams, n_novel, novelty) for docs with ≥ k tokens;
+    novelty = round(n_novel / n_grams, 6) is the only float op, over two
+    exact integer counts, so the DuckDB oracle matches bit-for-bit.
+
+    Scale (100 TB): distinct (doc, gram) pairs → min-doc per gram →
+    join back, all keyed on the gram hash: two map-side-combined
+    aggregates plus one join where BOTH sides arrive pre-partitioned on
+    the gram key from the preceding aggregates (no extra exchange for
+    the join probe). No self-join, no driver collect.
+    """
+    grams = (
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+        )
+        .where(F.size("_toks") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_toks) - {k}), "
+                    f"i -> array_join(slice(_toks, i + 1, {k}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    return (
+        grams.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6)
+        )
+    )
+
+
 def tfidf_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -280,6 +280,20 @@ def collect() -> tuple[
         # family's in-window rep stays dedup_cluster_canonical (same
         # pair generation + CC closure; this adds the split gate).
         "cluster_safe_split",
+        # r5: Kneser–Ney bigram scoring — the model-based-quality
+        # family's in-window rep stays lm_perplexity (add-k variant of
+        # the same bigram/decimal-sum machinery).
+        "kn_perplexity",
+        # r5: per-domain exact-quantile gate — the sampling/filter
+        # family's in-window rep stays sample_stratified.
+        "domain_quantile",
+        # r5: k-gram first-occurrence novelty — the dedup/curriculum
+        # family's in-window reps stay dedup_minhash_lsh et al.
+        "ngram_novelty",
+        # r5: contrastive hard-negative mining — the similarity family's
+        # in-window reps stay ann_cosine_topk / ann_ivf_topk (same
+        # broadcast-matmul kernel with a label mask).
+        "hard_negative_mine",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

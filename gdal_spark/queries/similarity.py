@@ -955,3 +955,46 @@ def _prototype_prune_oracle() -> str:
 
 QUERIES["prototype_prune"] = _prototype_prune
 ORACLES["prototype_prune"] = _prototype_prune_oracle()
+
+
+# --- contrastive hard-negative mining ---
+
+
+def _hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-similar DIFFERENT-label vectors per anchor
+    (operators/similarity.py hard_negatives) — the candidate set for
+    contrastive training; same broadcast-matmul + window-re-rank shape
+    as ann_cosine_topk with a label mask."""
+    from gdal_spark.operators.similarity import hard_negatives
+
+    corpus = _emb(spark, sf_dir)
+    arows = (
+        corpus.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    anchors = [
+        (int(r["vec_id"]), np.asarray(r["embedding"]), int(r["label"]))
+        for r in arows
+    ]
+    return hard_negatives(corpus, anchors, k=TOPK)
+
+
+ORACLES["hard_negative_mine"] = f"""
+    with ranked as (
+        select q.vec_id as query_id, c.vec_id as vec_id,
+               list_cosine_similarity(cast(q.embedding as double[]),
+                                      cast(c.embedding as double[])) as sim,
+               row_number() over (
+                   partition by q.vec_id
+                   order by list_cosine_similarity(
+                       cast(q.embedding as double[]),
+                       cast(c.embedding as double[])) desc,
+                       c.vec_id asc) as rnk
+        from embeddings q join embeddings c on q.label <> c.label
+        where q.vec_id < {N_QUERIES}
+    )
+    select query_id, rnk, vec_id, round(sim, 6) as sim
+    from ranked where rnk <= {TOPK}
+"""
+QUERIES["hard_negative_mine"] = _hard_negative_mine

@@ -1072,3 +1072,139 @@ from cl order by doc_id
 
 ORACLES["cluster_safe_split"] = _cluster_safe_split_oracle()
 QUERIES["cluster_safe_split"] = _cluster_safe_split
+
+
+# --- Kneser–Ney bigram perplexity (quality filtering, KN smoothing) ---
+
+
+def _kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (operators/webtext.py
+    kn_perplexity): discounted bigram ML + continuation-probability
+    backoff, per-doc cross-entropy from a 6-dp decimal log-prob sum."""
+    from gdal_spark.operators.webtext import kn_perplexity
+
+    return kn_perplexity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# DuckDB mirror of the engine's exact arithmetic: identical float
+# expression shape ((c−d)/ctx + (d·n1p/ctx)·(cont/T), every divisor an
+# exactly-representable integer), ln rounded to 6 dp into DECIMAL(18,6)
+# so the per-doc sum is order-independent. bg/lm are multi-referenced —
+# materialized to stop DuckDB's exponential CTE inlining.
+ORACLES["kn_perplexity"] = """
+with t as (select doc_id, string_split(text, ' ') as toks from documents),
+bg as materialized (
+  select doc_id,
+         unnest(list_transform(range(1, len(toks) + 1),
+             i -> case when i = 1 then '<s>' else toks[i - 1] end)) as prev,
+         unnest(toks) as w
+  from t
+),
+lm as materialized (
+  select prev, w, count(*) as c_bi from bg group by 1, 2
+),
+ctx as (select prev, sum(c_bi) as c_ctx, count(*) as n1p from lm group by 1),
+cont as (select w, count(*) as n_cont from lm group by 1),
+ty as (select count(*) as t from lm),
+s as (
+  select bg.doc_id,
+         cast(round(ln(
+             (lm.c_bi - cast(0.75 as double)) / ctx.c_ctx
+             + (cast(0.75 as double) * ctx.n1p / ctx.c_ctx)
+               * (cont.n_cont / ty.t)
+         ), 6) as decimal(18,6)) as logp
+  from bg join lm using (prev, w) join ctx using (prev)
+       join cont using (w) cross join ty
+),
+d as (
+  select doc_id, count(*) as n_bigrams,
+         cast(-sum(logp) * 1000000 as bigint) as s_micro
+  from s group by doc_id
+),
+x as (
+  -- integer-space half-up round of S_micro/n: a float round here is a
+  -- trap (lattice-sum / count can land exactly on the 5e-7 boundary)
+  select doc_id, n_bigrams,
+         cast((2 * s_micro + n_bigrams) // (2 * n_bigrams) as double)
+           / cast(1000000 as double) as xent
+  from d
+)
+select doc_id, n_bigrams, xent, round(exp(xent), 4) as ppl
+from x order by doc_id
+"""
+QUERIES["kn_perplexity"] = _kn_perplexity
+
+
+# --- per-domain exact-quantile quality gate ---
+
+
+def _domain_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-40% gate on an integer-exact chars-per-token score
+    (operators/webtext.py domain_quantile_filter): exact rank-based
+    quantile, integer-space cutoff, one shuffle on the domain key."""
+    from gdal_spark.operators.webtext import domain_quantile_filter
+
+    return domain_quantile_filter(_docs(spark, sf_dir)).orderBy(
+        "source", "doc_id"
+    )
+
+
+ORACLES["domain_quantile"] = """
+with sc as (
+  select doc_id, source,
+         len(string_split(text, ' ')) as n_toks,
+         (length(text) * 1000) // len(string_split(text, ' '))
+           as score_milli
+  from documents
+),
+r as (
+  select *,
+         row_number() over (
+             partition by source
+             order by score_milli desc, doc_id asc) as rnk,
+         count(*) over (partition by source) as n_in_domain
+  from sc
+)
+select doc_id, source, n_toks, score_milli, cast(rnk as bigint) as rnk
+from r where rnk <= (n_in_domain * 2 + 5 - 1) // 5
+order by source, doc_id
+"""
+QUERIES["domain_quantile"] = _domain_quantile
+
+
+# --- k-gram novelty (curriculum ordering / crawl-dive triage) ---
+
+
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct 5-gram shingles first seen (by
+    min doc_id) in that doc (operators/webtext.py ngram_novelty) —
+    integer counts, one rounded division."""
+    from gdal_spark.operators.webtext import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# Window bound is corpus-derived (range over len(toks)), per the r4
+# ADVICE on fixed-bound unnest truncation.
+ORACLES["ngram_novelty"] = """
+with t as (select doc_id, string_split(text, ' ') as toks from documents
+           where len(string_split(text, ' ')) >= 5),
+g as materialized (
+  select distinct doc_id, gram from (
+    select doc_id,
+           unnest(list_transform(range(1, len(toks) - 3),
+               i -> array_to_string(toks[i:i+4], ' '))) as gram
+    from t) u
+),
+f as (select gram, min(doc_id) as first_doc from g group by 1),
+p as (
+  select g.doc_id, count(*) as n_grams,
+         cast(sum(case when f.first_doc = g.doc_id then 1 else 0 end)
+              as bigint) as n_novel
+  from g join f using (gram) group by 1
+)
+select doc_id, n_grams, n_novel,
+       round(n_novel / n_grams, 6) as novelty
+from p order by doc_id
+"""
+QUERIES["ngram_novelty"] = _ngram_novelty

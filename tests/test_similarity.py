@@ -422,3 +422,59 @@ def test_prototype_prune_removes_most_prototypical_per_cluster(spark):
         if pruned:
             kept = [r.proto_cos for r in members if r.keep]
             assert min(r.proto_cos for r in pruned) >= max(kept)
+
+
+def test_hard_negatives_masks_same_label_and_ranks(spark):
+    import numpy as np
+
+    from gdal_spark.operators.similarity import hard_negatives
+
+    # anchor 0 (label 0) at e0; nearest vector 1 SHARES its label and
+    # must be masked; vectors 2..4 have other labels at increasing angle
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),   # same label -> excluded
+        (2, [0.9, 0.3, 0.0, 0.0], 1),
+        (3, [0.5, 0.5, 0.0, 0.0], 1),
+        (4, [0.0, 1.0, 0.0, 0.0], 2),
+        (5, [-1.0, 0.0, 0.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = [(0, np.array(rows[0][1]), 0)]
+    got = hard_negatives(df, anchors, k=3).orderBy("rnk").collect()
+    assert [r.vec_id for r in got] == [2, 3, 4]
+    assert all(r.query_id == 0 for r in got)
+    assert 1 not in {r.vec_id for r in got}  # same-label masked
+    assert got[0].sim > got[1].sim > got[2].sim
+
+
+def test_hard_negatives_matches_numpy_on_random_corpus(spark):
+    import numpy as np
+
+    from gdal_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    labels = (np.arange(40) % 4).astype(int)
+    rows = [
+        (int(i), vecs[i].tolist(), int(labels[i])) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(4)
+    anchors = [(int(i), vecs[i], int(labels[i])) for i in range(3)]
+    got = hard_negatives(df, anchors, k=5).collect()
+    norm = vecs.astype(np.float64)
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    for a in range(3):
+        sims = norm[a] @ norm.T
+        sims[labels == labels[a]] = -np.inf
+        order = sorted(
+            range(40), key=lambda j: (-sims[j], j)
+        )[:5]
+        mine = [r.vec_id for r in sorted(
+            (r for r in got if r.query_id == a), key=lambda r: r.rnk
+        )]
+        assert mine == order

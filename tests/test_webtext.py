@@ -762,3 +762,146 @@ def test_char_entropy_values_and_filter(spark):
     assert out[1].char_entropy == 0.0 and out[2].char_entropy == 1.0
     assert [i for i in docs if out[i].keep] == [3]
     assert "Exchange" not in res._jdf.queryExecution().executedPlan().toString()
+
+
+# --- Kneser–Ney bigram perplexity ---
+
+
+def _kn_expected(docs, discount=0.75):
+    """Pure-python mirror of operators.webtext.kn_perplexity."""
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    big = []
+    for did, text in docs:
+        toks = text.split(" ")
+        prev = "<s>"
+        for w in toks:
+            big.append((did, prev, w))
+            prev = w
+    c_bi = Counter((p, w) for _, p, w in big)
+    c_ctx = defaultdict(int)
+    n1p = defaultdict(int)
+    n_cont = defaultdict(int)
+    for (p, w), c in c_bi.items():
+        c_ctx[p] += c
+        n1p[p] += 1
+        n_cont[w] += 1
+    t = len(c_bi)
+    out = {}
+    import math
+
+    for did, _ in docs:
+        logps = []
+        for d2, p, w in big:
+            if d2 != did:
+                continue
+            pr = (c_bi[(p, w)] - discount) / c_ctx[p] + (
+                discount * n1p[p] / c_ctx[p]
+            ) * (n_cont[w] / t)
+            logps.append(
+                Decimal(repr(round(math.log(pr), 6))).quantize(
+                    Decimal("0.000001")
+                )
+            )
+        s_micro = int(-sum(logps) * 1_000_000)
+        n = len(logps)
+        xent = ((2 * s_micro + n) // (2 * n)) / 1_000_000
+        out[did] = (n, xent, round(math.exp(xent), 4))
+    return out
+
+
+def test_kn_perplexity_matches_python_mirror(spark):
+    from gdal_spark.operators.webtext import kn_perplexity
+
+    docs = [
+        (1, "a b a b c"),
+        (2, "a b a b c"),
+        (3, "c c c a z q"),
+        (4, "z q a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.xent, r.ppl)
+        for r in kn_perplexity(df).collect()
+    }
+    exp = _kn_expected(docs)
+    assert got == exp
+    # duplicate docs score identically; the repeated-bigram doc is more
+    # predictable (lower xent) than the rare-bigram one
+    assert got[1] == got[2]
+    assert got[1][1] < got[3][1]
+
+
+def test_kn_perplexity_xent_rounds_half_up_in_integer_space(spark):
+    # the fixture-discovered trap: S_micro/n landing exactly on .5 must
+    # round half-UP (away from zero for the positive xent), not by a
+    # float-multiply trick — plant S_micro = 9, n = 2 -> 4.5 -> 5 micro
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.lit(9).alias("s_micro"), F.lit(2).alias("n")
+    )
+    got = df.selectExpr("(2 * s_micro + n) div (2 * n) as r").head().r
+    assert got == 5
+
+
+# --- per-domain exact-quantile gate ---
+
+
+def test_domain_quantile_exact_cutoffs_and_ties(spark):
+    from gdal_spark.operators.webtext import domain_quantile_filter
+
+    rows = [
+        # domain A: 5 docs -> keep ceil(5*2/5) = 2; scores via
+        # chars-per-token; doc 1/2 tie on identical text -> doc_id asc
+        (1, "A", "longword longword"),
+        (2, "A", "longword longword"),
+        (3, "A", "aa bb"),
+        (4, "A", "a b"),
+        (5, "A", "c d"),
+        # domain B: 1 doc -> ceil(1*2/5) = 1, always kept
+        (6, "B", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = domain_quantile_filter(df, id_col="doc_id").collect()
+    kept = {r.doc_id for r in got}
+    assert kept == {1, 2, 6}
+    by_id = {r.doc_id: r for r in got}
+    # integer-exact score: 'longword longword' = 17 chars / 2 toks
+    assert by_id[1].score_milli == 17 * 1000 // 2
+    assert by_id[1].rnk == 1 and by_id[2].rnk == 2
+    assert by_id[6].rnk == 1
+
+
+# --- k-gram first-occurrence novelty ---
+
+
+def test_ngram_novelty_first_occurrence_semantics(spark):
+    from gdal_spark.operators.webtext import ngram_novelty
+
+    rows = [
+        (1, "a b c d e f"),        # 2 distinct 5-grams, both first here
+        (2, "a b c d e f"),        # exact copy -> novelty 0
+        (3, "a b c d e z"),        # 1 old-prefix? no: 5-grams 'a b c d e'
+        #   (seen in doc 1) and 'b c d e z' (new) -> novelty 0.5
+        (4, "x y"),                # < 5 tokens -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_novelty(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_grams, got[1].n_novel, got[1].novelty) == (2, 2, 1.0)
+    assert (got[2].n_grams, got[2].n_novel, got[2].novelty) == (2, 0, 0.0)
+    assert (got[3].n_grams, got[3].n_novel, got[3].novelty) == (2, 1, 0.5)
+
+
+def test_ngram_novelty_counts_distinct_grams_once(spark):
+    from gdal_spark.operators.webtext import ngram_novelty
+
+    # 'a b a b a b a b a b' repeats the same two 5-grams; distinct
+    # (doc, gram) semantics must count each once
+    df = spark.createDataFrame(
+        [(7, "a b a b a b a b a b")], "doc_id long, text string"
+    )
+    r = ngram_novelty(df).head()
+    assert (r.n_grams, r.n_novel, r.novelty) == (2, 2, 1.0)
