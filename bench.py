@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "bpe_encode",              # r5b BPE tokenizer apply (pure map)
     "remove_dup_spans",        # r5 exact-substring dup removal (Lee et al.)
     "dsir_select",             # r5d DSIR importance-resampling selection
+    "c4_filter",               # r5d C4 cleaning rule set (pure map)
+    "bm25_topk",               # r5d lexical retrieval (Okapi BM25)
+    "link_pagerank",           # r5d link-graph PageRank (iterative joins)
+    "ngram_novelty",           # r5e k-gram first-occurrence novelty
+    "kn_perplexity",           # r5e Kneser-Ney LM scoring
     "chunk_overlap",           # r5 sliding-window chunking (pure map)
     "knn_centers",             # kNN re-rank
     "ann_cosine_topk",         # similarity search
