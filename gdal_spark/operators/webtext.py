@@ -1364,3 +1364,105 @@ def char_entropy(
             f"else round(-cast({fold} as double), 6) end"
         ).alias("char_entropy"),
     ).withColumn("keep", F.col("char_entropy") >= F.lit(float(min_bits)))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, SIGMOD — the MOSS algorithm): hash every k-token gram, slide a
+    w-gram window, select each window's MINIMUM hash (rightmost
+    occurrence on ties, per the paper), emit the distinct selected
+    (position, hash) pairs. Guarantees: at least one fingerprint in
+    every w consecutive grams (so any shared run of k+w-1 tokens is
+    always detected), expected density 2/(w+1) — a principled sparse
+    alternative to full-shingle MinHash for plagiarism / overlap
+    detection.
+
+    Returns (id, pos, fp) rows, pos = 0-based gram index. The gram hash
+    is the portable md5-based 60-bit hash, so the DuckDB oracle
+    reproduces fingerprints bit-for-bit.
+
+    Scale (100 TB): ENTIRELY doc-local — gram hashing, window minima,
+    tie-breaking, and dedup all run inside array lambdas on the doc row;
+    the plan is scan → project → explode with ZERO shuffles. Fingerprint
+    postings (for the overlap join this feeds) shuffle only the selected
+    ~2/(w+1) fraction of grams instead of every shingle.
+    """
+    n = f"(size(_toks) - {k} + 1)"  # number of grams
+    grams = (
+        f"transform(sequence(1, {n}), "
+        f"i -> array_join(slice(_toks, i, {k}), ' '))"
+    )
+    hashes = (
+        "transform(_grams, g -> "
+        "cast(conv(substring(md5(g),1,15),16,10) as bigint))"
+    )
+    # window j (1-based over grams, j in 1..n_grams-w+1): min hash of
+    # slice(j, w); rightmost tie via position in the REVERSED slice
+    fps = (
+        f"array_distinct(transform(sequence(1, size(_h) - {w} + 1), j -> "
+        f"named_struct("
+        f"'pos', j + {w} - cast(array_position("
+        f"  reverse(slice(_h, j, {w})), array_min(slice(_h, j, {w}))) as int)"
+        f" - 1, "
+        f"'fp', array_min(slice(_h, j, {w})))))"
+    )
+    return (
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+        )
+        .where(F.expr(f"size(_toks) >= {k} + {w} - 1"))
+        .withColumn("_grams", F.expr(grams))
+        .withColumn("_h", F.expr(hashes))
+        .select(id_col, F.explode(F.expr(fps)).alias("_fp"))
+        .select(
+            id_col,
+            F.col("_fp.pos").alias("pos"),
+            F.col("_fp.fp").alias("fp"),
+        )
+    )
+
+
+def host_of(col: Column | str) -> Column:
+    """Lowercased host of a URL (scheme required, port excluded)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.regexp_extract(c, "^[a-z]+://([^/:?#]+)", 1)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked_domains: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """Domain-suffix blocklist filter (the RefinedWeb / UT1-blocklist
+    URL-filtering stage): a document is dropped when its URL host equals
+    a blocked domain OR is a subdomain of one ('www.ads.example.com'
+    matches blocked 'ads.example.com'). Returns the KEPT rows with a
+    `host` column added.
+
+    Scale (100 TB): the blocklist is dimension-sized, so it rides the
+    plan as a literal array and matching is `arrays_overlap` of the
+    host's suffix chain against it — a pure map-side filter, ZERO
+    shuffles, corpus never moves. For a blocklist too large to inline
+    (multi-GB), switch to exploding the ≤5-element suffix chain and
+    broadcast-semi-joining the blocklist table — same semantics, still
+    no corpus shuffle.
+    """
+    bl = F.array(*[F.lit(d.lower()) for d in sorted(set(blocked_domains))])
+    suffixes = (
+        "transform(sequence(1, size(_hp)), "
+        "i -> array_join(slice(_hp, i, size(_hp) - i + 1), '.'))"
+    )
+    out = (
+        df.withColumn("host", host_of(url_col))
+        .withColumn("_hp", F.split(F.col("host"), "[.]"))
+        .withColumn("_sfx", F.expr(suffixes))
+        .where(~F.arrays_overlap(F.col("_sfx"), bl))
+        .drop("_hp", "_sfx")
+    )
+    return out

@@ -294,6 +294,14 @@ def collect() -> tuple[
         # in-window reps stay ann_cosine_topk / ann_ivf_topk (same
         # broadcast-matmul kernel with a label mask).
         "hard_negative_mine",
+        # r5: winnowing (MOSS) fingerprints — the fingerprint family's
+        # demoted rep is doc_fingerprint already; this adds the
+        # window-min selection rule on the same portable gram hash.
+        "winnow_fingerprint",
+        # r5: URL domain-suffix blocklist — the URL family's in-window
+        # coverage rides url_dedup's canonicalization; this adds the
+        # RefinedWeb blocklist gate (pure map-side).
+        "url_blocklist",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -1208,3 +1208,90 @@ select doc_id, n_grams, n_novel,
 from p order by doc_id
 """
 QUERIES["ngram_novelty"] = _ngram_novelty
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003, MOSS) ---
+
+_WINNOW_K = 4
+_WINNOW_W = 4
+
+
+def _winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed (pos, fp) fingerprint set per doc (operators/webtext.py
+    winnow_fingerprints): window-min of portable-hashed 4-grams,
+    rightmost tie, doc-local zero-shuffle plan."""
+    from gdal_spark.operators.webtext import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir), k=_WINNOW_K, w=_WINNOW_W
+    ).orderBy("doc_id", "pos")
+
+
+# Same md5 60-bit gram hash, same window-min + rightmost-tie selection
+# (list_position over the REVERSED window) — positions are 0-based gram
+# indices in both engines.
+ORACLES["winnow_fingerprint"] = f"""
+with t as (select doc_id, string_split(text, ' ') as toks from documents
+           where len(string_split(text, ' ')) >= {_WINNOW_K + _WINNOW_W - 1}),
+g as materialized (
+  select doc_id,
+         list_transform(range(1, len(toks) - {_WINNOW_K} + 2),
+             i -> cast(concat('0x', substring(md5(
+                 array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')),1,15))
+                 as bigint)) as h
+  from t
+),
+fp as (
+  select distinct doc_id, u.pos as pos, u.fp as fp from (
+    select doc_id,
+           unnest(list_transform(range(1, len(h) - {_WINNOW_W} + 2),
+               j -> {{'pos': j + {_WINNOW_W}
+                         - list_position(list_reverse(h[j:j+{_WINNOW_W - 1}]),
+                                         list_min(h[j:j+{_WINNOW_W - 1}])) - 1,
+                      'fp': list_min(h[j:j+{_WINNOW_W - 1}])}})) as u
+    from g) q
+)
+select doc_id, cast(pos as int) as pos, fp from fp order by doc_id, pos
+"""
+QUERIES["winnow_fingerprint"] = _winnow_fingerprint
+
+
+# --- URL domain-suffix blocklist filter (RefinedWeb / UT1 stage) ---
+
+_BLOCKED = ["src1.example.com", "src3.example.com"]
+
+# www. on even doc_ids so the suffix (subdomain) match path is exercised
+# by the gate, not just host equality.
+_BL_URL_SPARK = (
+    "concat('HTTPS://', case when doc_id % 2 = 0 then 'WWW.' else '' end, "
+    "upper(source), '.Example.com:443/p/', cast(doc_id as string))"
+)
+
+
+def _url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept rows after domain-suffix blocklist filtering
+    (operators/webtext.py blocklist_filter): host suffix-chain vs a
+    literal blocklist array, pure map-side."""
+    from gdal_spark.operators.webtext import blocklist_filter
+
+    d = _docs(spark, sf_dir).withColumn("url", F.expr(_BL_URL_SPARK))
+    return (
+        blocklist_filter(d, _BLOCKED)
+        .select("doc_id", "source", "host")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["url_blocklist"] = """
+with u as (
+  select doc_id, source,
+         (case when doc_id % 2 = 0 then 'www.' else '' end)
+           || source || '.example.com' as host
+  from documents
+)
+select doc_id, source, host from u
+where not (host = 'src1.example.com' or host like '%.src1.example.com'
+        or host = 'src3.example.com' or host like '%.src3.example.com')
+order by doc_id
+"""
+QUERIES["url_blocklist"] = _url_blocklist

@@ -905,3 +905,91 @@ def test_ngram_novelty_counts_distinct_grams_once(spark):
     )
     r = ngram_novelty(df).head()
     assert (r.n_grams, r.n_novel, r.novelty) == (2, 2, 1.0)
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003) ---
+
+
+def _winnow_mirror(toks, k=4, w=4):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [h60(g) for g in grams]
+    sel = set()
+    for j in range(len(hs) - w + 1):
+        win = hs[j:j + w]
+        m = min(win)
+        # rightmost occurrence on ties, per the paper
+        sel.add((j + max(i for i, v in enumerate(win) if v == m), m))
+    return sel
+
+
+def test_winnow_matches_python_mirror_with_repeats(spark):
+    from gdal_spark.operators.webtext import winnow_fingerprints
+
+    # repeated phrase forces equal hashes inside a window -> exercises
+    # the rightmost tie-break
+    text = "a b c d e f g a b c d e f g x y z w q"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {(r.pos, r.fp) for r in winnow_fingerprints(df).collect()}
+    assert got == _winnow_mirror(text.split())
+
+
+def test_winnow_guarantee_every_window_covered(spark):
+    from gdal_spark.operators.webtext import winnow_fingerprints
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    toks = [f"w{int(x)}" for x in rng.integers(0, 50, size=120)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    pos = sorted(r.pos for r in winnow_fingerprints(df, k=4, w=4).collect())
+    n_grams = len(toks) - 4 + 1
+    # winnowing guarantee: >= 1 selected gram in every window of w grams
+    for j in range(n_grams - 4 + 1):
+        assert any(j <= p < j + 4 for p in pos)
+    # density well below 1 (expected 2/(w+1) = 0.4)
+    assert len(set(pos)) < 0.6 * n_grams
+
+
+def test_winnow_short_docs_excluded(spark):
+    from gdal_spark.operators.webtext import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"  # 6 < k+w-1=7
+    )
+    assert winnow_fingerprints(df).count() == 0
+
+
+# --- URL domain-suffix blocklist ---
+
+
+def test_blocklist_suffix_and_exact_and_port(spark):
+    from gdal_spark.operators.webtext import blocklist_filter
+
+    rows = [
+        (1, "HTTPS://www.ads.Example.com/x"),   # subdomain of blocked
+        (2, "http://ok.example.com/y"),          # kept
+        (3, "https://ads.example.com:443/z"),    # exact, port stripped
+        (4, "https://example.org/"),             # exact
+        (5, "https://adsXexample.com/"),         # NOT a suffix match
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = blocklist_filter(d, ["ads.example.com", "example.org"])
+    assert {r.doc_id for r in kept.collect()} == {2, 5}
+
+
+def test_blocklist_is_mapside(spark):
+    from gdal_spark.operators.webtext import blocklist_filter
+
+    d = spark.createDataFrame(
+        [(1, "https://a.b.c/x")], "doc_id long, url string"
+    )
+    out = blocklist_filter(d, ["b.c"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side filter, zero shuffle
