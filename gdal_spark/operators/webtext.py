@@ -1466,3 +1466,72 @@ def blocklist_filter(
         .drop("_hp", "_sfx")
     )
     return out
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_posting: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The MOSS comparison step over `winnow_fingerprints`: candidate
+    doc pairs sharing >= min_shared winnowed fingerprints, scored by
+    containment overlap = n_shared / min(|fps_a|, |fps_b|).
+
+    Returns (id_a, id_b, n_shared, overlap), id_a < id_b.
+
+    Scale (100 TB): fingerprinting is the doc-local zero-shuffle stage;
+    pairing is a self-equi-join on the fingerprint hash whose fan-out is
+    governed by the SAME stop-bucket discipline as the MinHash LSH path
+    (`dedup.candidate_pairs`): posting lists longer than `max_posting` —
+    boilerplate phrases — are dropped BEFORE the self-join by a window
+    count over exactly the join key, so the cap and both join sides
+    share ONE exchange (ReusedExchange). Winnowing already thins the
+    posting table to ~2/(w+1) of all grams, which is the point of
+    fingerprinting before pairing. Doc sizes are counted AFTER the cap
+    (both engines mirror this), and the size table is one row per doc —
+    size-checked broadcast onto the pair aggregate.
+    """
+    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col,
+                              text_col=text_col).select(id_col, "fp")
+    fps = fps.distinct()
+    if max_posting is not None:
+        wp = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("_pn", F.count("*").over(wp))
+            .where(F.col("_pn") <= max_posting)
+            .drop("_pn")
+        )
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("_n"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, ["fp"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sa = _sized_side(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
+        4_000_000,
+    )
+    sb = _sized_side(
+        sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
+        4_000_000,
+    )
+    return (
+        pairs.join(sa, ["id_a"])
+        .join(sb, ["id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("_na", "_nb"), 6
+            ).alias("overlap"),
+        )
+    )

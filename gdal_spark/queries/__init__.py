@@ -302,6 +302,10 @@ def collect() -> tuple[
         # coverage rides url_dedup's canonicalization; this adds the
         # RefinedWeb blocklist gate (pure map-side).
         "url_blocklist",
+        # r5: MOSS overlap pairs — the pair-generation family's
+        # in-window rep stays dedup_minhash_lsh (same capped self-join
+        # discipline over a different signature).
+        "winnow_overlap",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

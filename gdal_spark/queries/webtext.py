@@ -1295,3 +1295,64 @@ where not (host = 'src1.example.com' or host like '%.src1.example.com'
 order by doc_id
 """
 QUERIES["url_blocklist"] = _url_blocklist
+
+
+# --- MOSS overlap pairs over the winnowed fingerprints ---
+
+_WN_MIN_SHARED = 2
+_WN_MAX_POSTING = 64
+
+
+def _winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing >= 2 winnowed fingerprints with containment
+    overlap (operators/webtext.py winnow_overlap_pairs): capped-posting
+    self-join on the fingerprint hash."""
+    from gdal_spark.operators.webtext import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _docs(spark, sf_dir),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=_WN_MIN_SHARED,
+        max_posting=_WN_MAX_POSTING,
+    ).orderBy("id_a", "id_b")
+
+
+ORACLES["winnow_overlap"] = f"""
+with t as (select doc_id, string_split(text, ' ') as toks from documents
+           where len(string_split(text, ' ')) >= {_WINNOW_K + _WINNOW_W - 1}),
+g as materialized (
+  select doc_id,
+         list_transform(range(1, len(toks) - {_WINNOW_K} + 2),
+             i -> cast(concat('0x', substring(md5(
+                 array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')),1,15))
+                 as bigint)) as h
+  from t
+),
+fp as materialized (
+  select distinct doc_id, u.fp as fp from (
+    select doc_id,
+           unnest(list_transform(range(1, len(h) - {_WINNOW_W} + 2),
+               j -> {{'fp': list_min(h[j:j+{_WINNOW_W - 1}])}})) as u
+    from g) q
+),
+capped as materialized (
+  select doc_id, fp from (
+    select doc_id, fp, count(*) over (partition by fp) as pn from fp)
+  where pn <= {_WN_MAX_POSTING}
+),
+sizes as (select doc_id, count(*) as n from capped group by 1),
+p as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_shared
+  from capped a join capped b using (fp)
+  where a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b, n_shared,
+       round(n_shared / least(sa.n, sb.n), 6) as overlap
+from p join sizes sa on sa.doc_id = p.id_a
+       join sizes sb on sb.doc_id = p.id_b
+where n_shared >= {_WN_MIN_SHARED}
+order by id_a, id_b
+"""
+QUERIES["winnow_overlap"] = _winnow_overlap

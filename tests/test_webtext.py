@@ -993,3 +993,37 @@ def test_blocklist_is_mapside(spark):
     out = blocklist_filter(d, ["b.c"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map-side filter, zero shuffle
+
+
+# --- MOSS overlap pairs ---
+
+
+def test_winnow_overlap_detects_copies_and_orders_pairs(spark):
+    from gdal_spark.operators.webtext import winnow_overlap_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact copy -> full containment
+        (3, base + " with a different tail of new words here"),
+        (4, "completely unrelated text about spark engines at scale ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r for r in
+           winnow_overlap_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in got and got[(1, 2)].overlap == 1.0
+    assert (1, 3) in got and got[(1, 3)].overlap == 1.0  # containment
+    assert all(a < b for a, b in got)
+    assert not any(4 in p for p in got)
+
+
+def test_winnow_overlap_posting_cap_drops_hot_fingerprint(spark):
+    from gdal_spark.operators.webtext import winnow_overlap_pairs
+
+    # 5 identical boilerplate docs -> every fingerprint's posting list
+    # has length 5; cap postings at 3 -> all dropped, no pairs survive
+    rows = [(i, "shared boiler plate phrase here more words too")
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert winnow_overlap_pairs(df, min_shared=1, max_posting=3).count() == 0
+    assert winnow_overlap_pairs(df, min_shared=1, max_posting=None).count() > 0
