@@ -775,37 +775,50 @@ def ngram_novelty(
     novelty = round(n_novel / n_grams, 6) is the only float op, over two
     exact integer counts, so the DuckDB oracle matches bit-for-bit.
 
-    Scale (100 TB): distinct (doc, gram) pairs → min-doc per gram →
-    join back, all keyed on the gram hash: two map-side-combined
-    aggregates plus one join where BOTH sides arrive pre-partitioned on
-    the gram key from the preceding aggregates (no extra exchange for
-    the join probe). No self-join, no driver collect.
+    Scale (100 TB): per-doc gram dedup is DOC-LOCAL (array_distinct on
+    the shingle array — no corpus-wide DISTINCT shuffle), and n_grams is
+    just the array size, so the corpus-scale data shuffles exactly once:
+    the exploded distinct grams into the map-side-combined
+    groupBy(gram).min(id). Novel counts come from a second tiny
+    aggregate OVER THAT RESULT (one row per distinct gram), grouped by
+    the winning doc id — so the final join back to per-doc sizes is
+    doc-count-sized on both sides, with the novel-count side already
+    partitioned on the join key by its producing aggregate. Hot grams
+    stay safe: both aggregates are hash aggregates with partial
+    (map-side) combine, never a window over a skewed gram partition.
+    No self-join, no driver collect.
     """
-    grams = (
+    # total expression (if-guard): Catalyst's InferFiltersFromGenerate
+    # clones the explode argument into a filter that can run BEFORE the
+    # size(_toks) >= k predicate; an unguarded sequence(0, size-k) is
+    # descending for short docs and feeds slice() a 0 start.
+    grams_arr = F.expr(
+        f"if(size(_toks) >= {k}, "
+        f"array_distinct(transform(sequence(0, size(_toks) - {k}), "
+        f"i -> array_join(slice(_toks, i + 1, {k}), ' '))), "
+        f"array())"
+    )
+    docs = (
         df.select(
             F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
         )
         .where(F.size("_toks") >= k)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(_toks) - {k}), "
-                    f"i -> array_join(slice(_toks, i + 1, {k}), ' '))"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
+        .select(id_col, grams_arr.alias("_grams"))
     )
-    first = grams.groupBy("gram").agg(F.min(id_col).alias("_first"))
-    return (
-        grams.join(first, "gram")
+    per_doc = docs.select(
+        id_col, F.size("_grams").cast("long").alias("n_grams")
+    )
+    novel = (
+        docs.select(id_col, F.explode("_grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.min(id_col).alias(id_col))
         .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(
-                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
-            ).alias("n_novel"),
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, id_col, "left")
+        .withColumn(
+            "n_novel", F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
         )
         .withColumn(
             "novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6)
