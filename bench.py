@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "link_pagerank",           # r5d link-graph PageRank (iterative joins)
     "ngram_novelty",           # r5e k-gram first-occurrence novelty
     "kn_perplexity",           # r5e Kneser-Ney LM scoring
+    "winnow_overlap",          # r5e MOSS pairs over winnowed fingerprints
     "chunk_overlap",           # r5 sliding-window chunking (pure map)
     "knn_centers",             # kNN re-rank
     "ann_cosine_topk",         # similarity search
