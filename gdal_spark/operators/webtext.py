@@ -1506,7 +1506,13 @@ def winnow_overlap_pairs(
     posting table to ~2/(w+1) of all grams, which is the point of
     fingerprinting before pairing. Doc sizes are counted AFTER the cap
     (both engines mirror this), and the size table is one row per doc —
-    size-checked broadcast onto the pair aggregate.
+    size-checked broadcast onto the pair aggregate. The size branch
+    RECOMPUTES the fingerprint stage from the scan (verified in the
+    final adaptive plan: 2 FileScans) rather than persisting the
+    corpus-scale posting table — winnowing is map-only array lambdas,
+    so a second scan is cheaper at 100 TB than caching O(postings)
+    state; callers who already materialize fingerprints can pass-
+    through via `winnow_fingerprints` + a manual pair join instead.
     """
     fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col,
                               text_col=text_col).select(id_col, "fp")
