@@ -907,6 +907,38 @@ def test_ngram_novelty_counts_distinct_grams_once(spark):
     assert (r.n_grams, r.n_novel, r.novelty) == (2, 2, 1.0)
 
 
+def test_ngram_novelty_single_corpus_shuffle(spark):
+    """Plan guard for the r5 restructure: per-doc gram dedup is
+    doc-local (array_distinct), so the corpus-scale data crosses the
+    wire exactly once — the exploded grams into groupBy(gram).min.
+    The first cut's corpus-wide DISTINCT partitioned on the (doc, gram)
+    pair key and forced a join-back re-exchange of the full gram table;
+    assert neither pattern returns."""
+    import re
+
+    from gdal_spark.operators.webtext import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = ngram_novelty(df)
+    out.collect()
+    final = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*), \d+\)", final)
+    gram_exchanges = [k for k in keys if "gram" in k]
+    # exactly one exchange carries gram rows, keyed on gram alone —
+    # no (doc_id, gram) pair-key DISTINCT shuffle, no second gram
+    # exchange for a join probe
+    assert len(gram_exchanges) == 1, keys
+    assert "doc_id" not in gram_exchanges[0], keys
+
+
 # --- winnowing fingerprints (Schleimer et al. 2003) ---
 
 
