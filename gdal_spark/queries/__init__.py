@@ -306,6 +306,13 @@ def collect() -> tuple[
         # in-window rep stays dedup_minhash_lsh (same capped self-join
         # discipline over a different signature).
         "winnow_overlap",
+        # r5: raster_blend_modes (gdal raster blend, all 10 composition
+        # modes with byte-exact MulScale255/DivScale255 algebra) takes
+        # the slot of raster_calc_expression — both are per-pixel
+        # expression evaluation and the expression dialect stays
+        # driver-checked in-window via raster_pixel_functions (the
+        # 38-name registry superset).
+        "raster_calc_expression",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

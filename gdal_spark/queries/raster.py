@@ -2719,3 +2719,212 @@ def _dem_variants_oracle() -> str:
 
 QUERIES["raster_dem_variants"] = _dem_variants
 ORACLES["raster_dem_variants"] = _dem_variants_oracle()
+
+
+# --- raster blend (apps/gdalalg_raster_blend.cpp) ---------------------------
+# Base RGB = grad100 bands 1,2,3; overlay gray = band 3 (same grid).
+# The engine kernel is the reference's exact byte-ratio integer algebra,
+# so the oracle replays MulScale255/DivScale255 symbolically in SQL; the
+# hsv-value mode replays the float channel swap in double (same op order
+# as the numpy kernel).
+
+_BLEND_OPACITY = 179  # odd value exercises the ceiling/floor rounding
+_BLEND_WIN = 12
+
+
+def _blend_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from gdal_spark.raster import blend as BL
+
+    blocks = _blocks(spark)
+    over = blocks.where("band = 3")
+    outs = []
+    for mode in BL.MODES:
+        bl = BL.blend(blocks, over, mode=mode, opacity=_BLEND_OPACITY)
+        f = ops.as_features(bl).where(
+            f"x < {_BLEND_WIN} and y < {_BLEND_WIN}"
+        )
+        outs.append(
+            f.select(
+                F.lit(mode).alias("mode"),
+                "band",
+                "x",
+                "y",
+                F.col("value").cast("int").alias("px"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)
+
+
+def _blend_oracle() -> str:
+    op = _BLEND_OPACITY
+
+    def mul(a, b):
+        return f"((({a}) * ({b}) + 255) // 256)"
+
+    def div(a, b):
+        return (
+            f"(case when ({a}) = 0 then 0 when ({b}) = 0 then 255 "
+            f"else (({a}) * 255) // ({b}) end)"
+        )
+
+    def gb(x):
+        # GByte cast at C++ call boundaries: wrap into [0, 255]
+        return f"(((({x}) % 256) + 256) % 256)"
+
+    def sep(mode, c, a, oc, oa, am):
+        edge = f"({mul(c, 255 - oa)} + {mul(oc, 255 - a)})"
+        fa = 255
+        if mode == "multiply":
+            return div(gb(f"{mul(c, oc)} + {edge}"), fa)
+        if mode == "screen":
+            return div(gb(f"({c}) + ({oc}) - {mul(c, oc)}"), fa)
+        if mode == "overlay":
+            lo = div(gb(f"2 * {mul(c, oc)} + {edge}"), fa)
+            hi = div(
+                gb(f"{am} - 2 * {mul(f'{a} - ({c})', f'{oa} - ({oc})')} + {edge}"),
+                fa,
+            )
+            return f"(case when 2 * ({c}) < {a} then {lo} else {hi} end)"
+        if mode == "darken":
+            return div(gb(f"least({mul(oc, a)}, {mul(c, oa)}) + {edge}"), fa)
+        if mode == "lighten":
+            return div(
+                gb(f"greatest({mul(oc, a)}, {mul(c, oa)}) + {edge}"), fa
+            )
+        if mode == "color-dodge":
+            cond = f"{mul(oc, a)} + {mul(c, oa)} >= {am}"
+            ge = div(gb(f"{am} + {edge}"), fa)
+            lt = div(
+                gb(f"{div(mul(c, oa), f'255 - {div(oc, oa)}')} + {edge}"),
+                fa,
+            )
+            return f"(case when {cond} then {ge} else {lt} end)"
+        if mode == "color-burn":
+            cond = f"{mul(oc, a)} + {mul(c, oa)} <= {am}"
+            le = div(gb(edge), fa)
+            inner = gb(f"{div(c, a)} + {div(oc, oa)} - 255")
+            gt = div(gb(f"{mul(am, inner)} + {edge}"), fa)
+            return f"(case when {cond} then {le} else {gt} end)"
+        raise ValueError(mode)
+
+    def mode_exprs(mode):
+        """Return (expr_r, expr_g, expr_b) over columns r, g, b, v."""
+        if mode == "src-over":
+            return tuple(
+                f"((v * {op} + {c} * {255 - op} + 255) // 256)"
+                for c in ("r", "g", "b")
+            )
+        if mode == "hard-light":
+            # overlay with roles swapped; opacity premultiplies the
+            # original overlay (now the base slot)
+            a, oa = op, 255
+            am = (255 * a + 255) // 256
+            cc = mul("v", a)
+            return tuple(sep("overlay", cc, a, c, oa, am) for c in ("r", "g", "b"))
+        if mode == "hsv-value":
+            return None  # handled separately
+        a, oa = 255, op
+        am = (255 * oa + 255) // 256
+        og = mul("v", oa)
+        return tuple(sep(mode, c, a, og, oa, am) for c in ("r", "g", "b"))
+
+    # hsv-value in double, mirroring the numpy op order exactly
+    hsv = """
+      select x, y,
+             least(least(r, g), b) as minc,
+             greatest(greatest(r, g), b) as maxc,
+             r, g, b, v
+      from base
+    """
+    hsv_hs = """
+      select x, y, r, g, b, v, maxc,
+             cast(maxc - minc as double) / greatest(1, maxc) as s,
+             (case when maxc - minc = 0 then 1.0
+                   else 6.0 * (maxc - minc) end) as denom
+      from hsv0
+    """
+    hsv_h = """
+      select x, y, v, s,
+             (case when maxc = b then 4.0/6.0 + (r - g) / denom
+                   when maxc = g then 2.0/6.0 + (b - r) / denom
+                   else (case when (g - b) / denom < 0.0
+                              then (g - b) / denom + 1.0
+                              else (g - b) / denom end)
+              end) as h
+      from hsv1
+    """
+    hsv_i = """
+      select x, y, v, s,
+             least(greatest(cast(trunc(6.0 * h) as bigint), 0), 5) as i,
+             6.0 * h - cast(trunc(6.0 * h) as bigint) as f
+      from hsv2
+    """
+    hsv_pqt = """
+      select x, y, v, i,
+             cast(trunc(v * (1.0 - s) + 0.5) as bigint) as p,
+             cast(trunc(v * (1.0 - s * f) + 0.5) as bigint) as q,
+             cast(trunc(v * (1.0 - s * (1.0 - f)) + 0.5) as bigint) as t
+      from hsv3
+    """
+    hsv_rgb = """
+      select x, y,
+             (case i when 0 then v when 1 then q when 2 then p
+                     when 3 then p when 4 then t else v end) as p1,
+             (case i when 0 then t when 1 then v when 2 then v
+                     when 3 then q when 4 then p else p end) as p2,
+             (case i when 0 then p when 1 then p when 2 then t
+                     when 3 then v when 4 then v else q end) as p3
+      from hsv4
+    """
+
+    selects = []
+    for mode in (
+        "src-over",
+        "multiply",
+        "screen",
+        "overlay",
+        "hard-light",
+        "darken",
+        "lighten",
+        "color-burn",
+        "color-dodge",
+    ):
+        er, eg, eb = mode_exprs(mode)
+        for band, e in zip((1, 2, 3), (er, eg, eb)):
+            selects.append(
+                f"select '{mode}' as mode, {band} as band, x, y, "
+                f"cast({e} as int) as px from base"
+            )
+    for band, col in zip((1, 2, 3), ("p1", "p2", "p3")):
+        selects.append(
+            f"select 'hsv-value' as mode, {band} as band, x, y, "
+            f"cast({col} as int) as px from hsvf"
+        )
+    union = "\nunion all\n".join(selects)
+    return f"""
+    with px as ({PIXELS_CTE}),
+    rgb as (
+      select x, y,
+             max(case when band = 1 then cast(value as bigint) end) as r,
+             max(case when band = 2 then cast(value as bigint) end) as g,
+             max(case when band = 3 then cast(value as bigint) end) as b
+      from px group by x, y
+    ),
+    base as (
+      select x, y, r, g, b, b as v from rgb
+      where x < {_BLEND_WIN} and y < {_BLEND_WIN}
+    ),
+    hsv0 as ({hsv}),
+    hsv1 as ({hsv_hs}),
+    hsv2 as ({hsv_h}),
+    hsv3 as ({hsv_i}),
+    hsv4 as ({hsv_pqt}),
+    hsvf as ({hsv_rgb})
+    {union}
+    """
+
+
+QUERIES["raster_blend_modes"] = _blend_modes
+ORACLES["raster_blend_modes"] = _blend_oracle()
