@@ -313,6 +313,13 @@ def collect() -> tuple[
         # driver-checked in-window via raster_pixel_functions (the
         # 38-name registry superset).
         "raster_calc_expression",
+        # r5: raster_clean_collar (nearblack twopasses, window-oracled)
+        # takes the slot of spatial_join_pip — the spatial-join family
+        # kept TWO in-window reps of the same §2 row 17 (pip + tiles);
+        # the zero-shuffle tiles strategy stays driver-checked with the
+        # same exact-PIP oracle, and pip remains the bench/flagship
+        # path plus green on the local replica.
+        "spatial_join_pip",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

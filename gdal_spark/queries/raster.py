@@ -2928,3 +2928,92 @@ def _blend_oracle() -> str:
 
 QUERIES["raster_blend_modes"] = _blend_modes
 ORACLES["raster_blend_modes"] = _blend_oracle()
+
+
+# --- clean-collar / nearblack (apps/gdalalg_raster_clean_collar.cpp) --------
+# collar64 fixture: jagged near-black border + interior lake + L-shaped
+# bay (model.collar_values). The twopasses variant is window-expressible
+# in SQL (per-row/per-column first/last non-near pixel); floodfill is
+# pinned by tests/test_collar.py against a BFS brute force.
+
+_COLLAR_VALUE_SQL = """
+  case when (x < 3 + y % 4) or (x >= 64 - 2 - y % 3)
+         or (y < 2 + x % 5) or (y >= 64 - 3 - x % 2)
+         or (x between 20 and 25 and y between 30 and 34)
+         or (x >= 3 and x < 40 and y >= 40 and y < 42)
+         or (x >= 36 and x < 44 and y >= 20 and y < 40)
+       then (x * 3 + y * 5 + band) % 11
+       else 60 + (x * 7 + y * 13 + band * 17) % 180 end
+"""
+
+
+def _clean_collar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster import collar as CL
+
+    blocks = model.synth_blocks(spark, model.collar64_spec())
+    out = CL.clean_collar(blocks, 64, 64, algorithm="twopasses")
+    feats = ops.as_features(out)
+    masked = (
+        feats.where("band = 0")
+        .groupBy("y")
+        .agg(
+            F.sum(F.when(F.col("value") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_collar")
+        )
+    )
+    b1 = (
+        feats.where("band = 1")
+        .groupBy("y")
+        .agg(F.sum(F.col("value").cast("long")).alias("sum_b1"))
+    )
+    return (
+        masked.join(b1, "y")
+        .select(F.col("y").cast("int").alias("y"), "n_collar", "sum_b1")
+    )
+
+
+def _clean_collar_oracle() -> str:
+    return f"""
+    with px as (
+      select x.x as x, y.y as y, b.band as band,
+             cast(({_COLLAR_VALUE_SQL}) as bigint) as value
+      from (select unnest(range(64)) as x) x
+      cross join (select unnest(range(64)) as y) y
+      cross join (select unnest(range(1, 4)) as band) b
+    ),
+    nearf as (
+      select x, y, min(case when value <= 15 then 1 else 0 end) = 1 as near
+      from px group by x, y
+    ),
+    rows_ as (
+      select y,
+             min(case when not near then x end) as lo,
+             max(case when not near then x end) as hi
+      from nearf group by y
+    ),
+    cols_ as (
+      select x,
+             min(case when not near then y end) as lo,
+             max(case when not near then y end) as hi
+      from nearf group by x
+    ),
+    mask as (
+      select n.x, n.y,
+             (n.x < coalesce(r.lo, 64) or n.x > coalesce(r.hi, -1)
+              or n.y < coalesce(c.lo, 64) or n.y > coalesce(c.hi, -1)) as m
+      from nearf n
+      join rows_ r on r.y = n.y
+      join cols_ c on c.x = n.x
+    ),
+    b1 as (select x, y, value from px where band = 1)
+    select cast(mask.y as int) as y,
+           cast(sum(case when m then 1 else 0 end) as bigint) as n_collar,
+           cast(sum(case when m then 0 else b1.value end) as bigint) as sum_b1
+    from mask join b1 on b1.x = mask.x and b1.y = mask.y
+    group by mask.y
+    """
+
+
+QUERIES["raster_clean_collar"] = _clean_collar
+ORACLES["raster_clean_collar"] = _clean_collar_oracle()

@@ -133,6 +133,8 @@ def synth_blocks(spark: SparkSession, spec: GridSpec) -> DataFrame:
                     arr = plateau_values(x0, y0, w, h)
                 elif spec.name == "checker48":
                     arr = checker_values(x0, y0, w, h)
+                elif spec.name == "collar64":
+                    arr = collar_values(x0, y0, w, h, band)
                 else:
                     arr = value_grid(x0, y0, w, h, band)
                 rows.append(
@@ -194,3 +196,36 @@ def plateau_values(x0: int, y0: int, w: int, h: int) -> np.ndarray:
     return (((xs[None, :] // 8) * 3 + (ys[:, None] // 8) * 5) % 7).astype(
         np.uint8
     )
+
+def collar64_spec() -> GridSpec:
+    """64×64×3 uint8 fixture for clean-collar (nearblack): a jagged
+    near-black border of varying width, an interior near-black lake
+    that does NOT touch the edge (must survive), and a bay connected
+    to the edge only through an L-shaped path (flood fill removes it,
+    the two-pass scan does not — the reference's algorithm choice,
+    apps/gdalalg_raster_clean_collar.cpp:101-105)."""
+    return GridSpec(
+        "collar64", 64, 64, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+        block=32, bands=3,
+    )
+
+
+def collar_values(x0: int, y0: int, w: int, h: int, band: int) -> np.ndarray:
+    xs = np.arange(x0, x0 + w, dtype=np.int64)[None, :]
+    ys = np.arange(y0, y0 + h, dtype=np.int64)[:, None]
+    W = H = 64
+    border = (
+        (xs < 3 + ys % 4)
+        | (xs >= W - 2 - ys % 3)
+        | (ys < 2 + xs % 5)
+        | (ys >= H - 3 - xs % 2)
+    )
+    lake = (xs >= 20) & (xs < 26) & (ys >= 30) & (ys < 35)
+    # bay: a corridor from the left border into an interior pocket —
+    # edge-connected only through the horizontal leg at y in [40,42)
+    leg = (xs >= 3) & (xs < 40) & (ys >= 40) & (ys < 42)
+    pocket = (xs >= 36) & (xs < 44) & (ys >= 20) & (ys < 40)
+    dark = border | lake | leg | pocket
+    near = ((xs * 3 + ys * 5 + band) % 11).astype(np.uint8)
+    bright = (60 + (xs * 7 + ys * 13 + band * 17) % 180).astype(np.uint8)
+    return np.where(dark, near, bright)
