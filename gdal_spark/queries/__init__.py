@@ -320,6 +320,11 @@ def collect() -> tuple[
         # same exact-PIP oracle, and pip remains the bench/flagship
         # path plus green on the local replica.
         "spatial_join_pip",
+        # r5: nodata-to-alpha / gdaltindex ride the local replica — the
+        # raster family keeps its in-window reps; both are additionally
+        # pinned in tests/test_raster_misc.py.
+        "raster_nodata_to_alpha",
+        "raster_index",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -3017,3 +3017,112 @@ def _clean_collar_oracle() -> str:
 
 QUERIES["raster_clean_collar"] = _clean_collar
 ORACLES["raster_clean_collar"] = _clean_collar_oracle()
+
+
+# --- nodata-to-alpha (apps/gdalalg_raster_nodata_to_alpha.cpp) --------------
+# Per-band nodata [7, 24, 41]: on grad100 the three bands differ by
+# exactly 17 at every pixel, so "all bands at their nodata" is a real,
+# non-trivial pixel set (= band-1 value 7).
+
+_N2A = {1: 7.0, 2: 24.0, 3: 41.0}
+
+
+def _nodata_to_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ops.nodata_to_alpha(_blocks(spark), _N2A)
+    feats = ops.as_features(out.where("band = 4"))
+    return feats.groupBy("y").agg(
+        F.sum(F.when(F.col("value") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_transparent"),
+        F.count("*").cast("long").alias("n_pixels"),
+    ).select(F.col("y").cast("int").alias("y"), "n_transparent", "n_pixels")
+
+
+def _nodata_to_alpha_oracle() -> str:
+    return f"""
+    with px as ({PIXELS_CTE}),
+    hit as (
+      select x, y,
+             min(case when (band = 1 and value = 7)
+                        or (band = 2 and value = 24)
+                        or (band = 3 and value = 41)
+                      then 1 else 0 end) = 1 as transparent
+      from px group by x, y
+    )
+    select cast(y as int) as y,
+           cast(sum(case when transparent then 1 else 0 end) as bigint)
+             as n_transparent,
+           cast(count(*) as bigint) as n_pixels
+    from hit group by y
+    """
+
+
+QUERIES["raster_nodata_to_alpha"] = _nodata_to_alpha
+ORACLES["raster_nodata_to_alpha"] = _nodata_to_alpha_oracle()
+
+
+# --- raster index / gdaltindex (apps/gdaltindex_lib.cpp) --------------------
+
+
+def _raster_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    sets = [
+        model.synth_blocks(spark, s())
+        for s in (
+            model.grad100_spec,
+            model.collar64_spec,
+            model.plateau_spec,
+            model.plane_spec,
+        )
+    ]
+    allb = reduce(DataFrame.unionByName, sets)
+    idx = ops.raster_index(allb)
+    return idx.select(
+        "location",
+        F.round("minlon", 6).alias("minlon"),
+        F.round("maxlon", 6).alias("maxlon"),
+        F.round("minlat", 6).alias("minlat"),
+        F.round("maxlat", 6).alias("maxlat"),
+        F.round("pixel_sx", 6).alias("pixel_sx"),
+        F.round("pixel_sy", 6).alias("pixel_sy"),
+    )
+
+
+def _raster_index_oracle() -> str:
+    # closed-form envelopes from the GridSpec constants: grad100 is
+    # 100x100 at 0.04 deg over (clon-2, clat+2); the others are unit
+    # grids anchored at the origin (north-up, negative gt5)
+    from gdal_spark import portable
+
+    clat, clon = portable.CITIES[0]
+    rows = [
+        (
+            "grad100",
+            clon - 2.0,
+            clon - 2.0 + 100 * 0.04,
+            clat + 2.0 - 100 * 0.04,
+            clat + 2.0,
+            0.04,
+            0.04,
+        ),
+        ("collar64", 0.0, 64.0, -64.0, 0.0, 1.0, 1.0),
+        ("plateau48", 0.0, 48.0, -48.0, 0.0, 1.0, 1.0),
+        ("plane60", 0.0, 60.0, -60.0, 0.0, 1.0, 1.0),
+    ]
+    vals = ", ".join(
+        f"('{n}', {a!r}, {b!r}, {c!r}, {d!r}, {e!r}, {f!r})"
+        for n, a, b, c, d, e, f in rows
+    )
+    return f"""
+    select location,
+           round(minlon, 6) as minlon, round(maxlon, 6) as maxlon,
+           round(minlat, 6) as minlat, round(maxlat, 6) as maxlat,
+           round(pixel_sx, 6) as pixel_sx, round(pixel_sy, 6) as pixel_sy
+    from (values {vals})
+      t(location, minlon, maxlon, minlat, maxlat, pixel_sx, pixel_sy)
+    """
+
+
+QUERIES["raster_index"] = _raster_index
+ORACLES["raster_index"] = _raster_index_oracle()

@@ -882,3 +882,91 @@ def zonal_stats_ext(
         F.col("_amax.amax_x").alias("argmax_x"),
         F.col("_amax.amax_y").alias("argmax_y"),
     )
+
+
+def nodata_to_alpha(
+    blocks: DataFrame, nodata_values: dict[int, float]
+) -> DataFrame:
+    """`gdal raster nodata-to-alpha`
+    (apps/gdalalg_raster_nodata_to_alpha.cpp): append an alpha band
+    (band = max+1) that is 0 where EVERY band equals its nodata value
+    and 255 elsewhere. One groupBy on the block key, numpy band-zip —
+    same shape as the warped-VRT + alpha path the reference builds."""
+    bands = sorted(nodata_values)
+    alpha_band = max(bands) + 1
+    cols = [c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")]
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        hit = None
+        for r in pdf.itertuples():
+            if int(r.band) not in nodata_values:
+                continue
+            a = model.decode((r.buf, r.height, r.width, r.dtype))
+            h = a == nodata_values[int(r.band)]
+            hit = h if hit is None else (hit & h)
+        r0 = pdf.iloc[0]
+        out = [{c: r[c] for c in cols} for _, r in pdf.iterrows()]
+        if hit is None:  # no listed band present: fully opaque alpha
+            hit = np.zeros((int(r0["height"]), int(r0["width"])), bool)
+        alpha = np.where(hit, 0, 255).astype(np.uint8)
+        d = {c: r0[c] for c in cols}
+        d["band"] = alpha_band
+        d["dtype"] = "uint8"
+        d["buf"] = np.ascontiguousarray(alpha).tobytes()
+        out.append(d)
+        return pd.DataFrame(out, columns=cols)
+
+    return blocks.groupBy("dataset", "bx", "by").applyInPandas(
+        fn, model.BLOCK_SCHEMA
+    )
+
+
+def raster_index(blocks: DataFrame) -> DataFrame:
+    """`gdal raster index` / gdaltindex (apps/gdaltindex_lib.cpp,
+    apps/gdalalg_raster_index.cpp): one footprint row per dataset —
+    location field + envelope polygon from the geotransform, plus the
+    pixel sizes the reference's min/max-pixel-size filters test
+    against. Pure aggregate over block metadata (never reads pixel
+    payloads — column pruning keeps `buf` out of the scan)."""
+    corners = blocks.select(
+        "dataset",
+        "gt0",
+        "gt1",
+        "gt3",
+        "gt5",
+        (F.col("x0") + F.col("width")).alias("x1"),
+        (F.col("y0") + F.col("height")).alias("y1"),
+        "x0",
+        "y0",
+    )
+    env = corners.groupBy("dataset").agg(
+        F.min(F.col("gt0") + F.col("x0") * F.col("gt1")).alias("minlon"),
+        F.max(F.col("gt0") + F.col("x1") * F.col("gt1")).alias("maxlon"),
+        F.min(F.col("gt3") + F.col("y1") * F.col("gt5")).alias("minlat"),
+        F.max(F.col("gt3") + F.col("y0") * F.col("gt5")).alias("maxlat"),
+        F.first("gt1").alias("pixel_sx"),
+        (-F.first("gt5")).alias("pixel_sy"),
+    )
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.col("minlon").cast("string"), F.lit(" "),
+        F.col("minlat").cast("string"), F.lit(", "),
+        F.col("maxlon").cast("string"), F.lit(" "),
+        F.col("minlat").cast("string"), F.lit(", "),
+        F.col("maxlon").cast("string"), F.lit(" "),
+        F.col("maxlat").cast("string"), F.lit(", "),
+        F.col("minlon").cast("string"), F.lit(" "),
+        F.col("maxlat").cast("string"), F.lit(", "),
+        F.col("minlon").cast("string"), F.lit(" "),
+        F.col("minlat").cast("string"), F.lit("))"),
+    )
+    return env.select(
+        F.col("dataset").alias("location"),
+        "minlon",
+        "maxlon",
+        "minlat",
+        "maxlat",
+        "pixel_sx",
+        "pixel_sy",
+        wkt.alias("wkt"),
+    )
