@@ -325,6 +325,11 @@ def collect() -> tuple[
         # pinned in tests/test_raster_misc.py.
         "raster_nodata_to_alpha",
         "raster_index",
+        # r5: linear (Delaunay barycentric) gridding — the gridding
+        # family's in-window rep stays vector_grid_variants; the
+        # planar-fixture oracle rides the local replica and the
+        # fallback semantics are pinned in tests/test_raster_misc.py.
+        "vector_grid_linear",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

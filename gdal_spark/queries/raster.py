@@ -3126,3 +3126,79 @@ def _raster_index_oracle() -> str:
 
 QUERIES["raster_index"] = _raster_index
 ORACLES["raster_index"] = _raster_index_oracle()
+
+
+# --- linear (Delaunay) gridding — GDALGridLinear (alg/gdalgrid.cpp:2458) ----
+# Planar fixture: z = 2.5x - 1.25y + 10 on every input point, so ANY
+# valid triangulation reproduces the plane exactly inside the hull —
+# the oracle needs no triangulation, just the plane and the 4-corner
+# hull test. Outside the hull the reference falls back to nearest
+# neighbor (default radius = infinity); the oracle ranks points by
+# (d2, v) exactly like the engine. Cell centers sit > 0.1 units off
+# every hull edge, so the inside test is rounding-proof.
+
+_LIN_CORNERS = [(1.03, 1.07), (8.97, 1.13), (8.91, 8.95), (1.07, 8.89)]
+_LIN_PTS = _LIN_CORNERS + [
+    ((i * 0.731) % 7.5 + 1.3, (i * 0.377) % 7.4 + 1.4) for i in range(30)
+]
+_LIN_XYZ = [(x, y, 2.5 * x - 1.25 * y + 10.0) for x, y in _LIN_PTS]
+_LIN_NC = _LIN_NR = 20
+_LIN_CELL = 0.5
+
+
+def _grid_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.grid import CellGrid, grid_linear
+
+    pts = spark.createDataFrame(
+        _LIN_XYZ, "lon double, lat double, value double"
+    )
+    g = CellGrid(0.0, 0.0, 10.0, 10.0, _LIN_NC, _LIN_NR)
+    out = grid_linear(pts, g)
+    return out.select(
+        "col", "row", F.round("value", 6).alias("value")
+    )
+
+
+def _grid_linear_oracle() -> str:
+    vals = ", ".join(f"({x!r}, {y!r}, {z!r})" for x, y, z in _LIN_XYZ)
+    (x1, y1), (x2, y2), (x3, y3), (x4, y4) = _LIN_CORNERS
+    edges = []
+    for (ax, ay), (bx, by) in zip(
+        _LIN_CORNERS, _LIN_CORNERS[1:] + _LIN_CORNERS[:1]
+    ):
+        edges.append(
+            f"(({bx!r} - {ax!r}) * (cy - {ay!r})"
+            f" - ({by!r} - {ay!r}) * (cx - {ax!r})) >= 0"
+        )
+    inside = " and ".join(edges)
+    return f"""
+    with pts as (
+      select * from (values {vals}) t(lon, lat, value)
+    ),
+    cells as (
+      select c.col, r.row,
+             (c.col + 0.5) * {_LIN_CELL!r} as cx,
+             (r.row + 0.5) * {_LIN_CELL!r} as cy
+      from (select unnest(range({_LIN_NC})) as col) c
+      cross join (select unnest(range({_LIN_NR})) as row) r
+    ),
+    nn as (
+      select col, row, value,
+             row_number() over (
+               partition by col, row
+               order by (cx - lon) * (cx - lon) + (cy - lat) * (cy - lat),
+                        value
+             ) as rn
+      from cells cross join pts
+    )
+    select cells.col, cells.row,
+           round(case when {inside}
+                      then 2.5 * cx - 1.25 * cy + 10.0
+                      else nn.value end, 6) as value
+    from cells join nn on nn.col = cells.col and nn.row = cells.row
+    where nn.rn = 1
+    """
+
+
+QUERIES["vector_grid_linear"] = _grid_linear_q
+ORACLES["vector_grid_linear"] = _grid_linear_oracle()

@@ -38,3 +38,36 @@ def test_raster_index_footprints(spark):
     first = r.wkt[len("POLYGON (("):-2].split(", ")[0]
     last = r.wkt[len("POLYGON (("):-2].split(", ")[-1]
     assert first == last  # closed ring
+
+
+def test_grid_linear_plane_and_fallbacks(spark):
+    """GDALGridLinear (alg/gdalgrid.cpp:2458): planar input reproduced
+    exactly inside the hull; outside-hull cells fall back to nearest
+    neighbor (radius=inf) or nodata (radius=0)."""
+    import numpy as np
+
+    from gdal_spark.raster.grid import CellGrid, grid_linear
+
+    pts_xy = [(1.0, 1.0), (9.0, 1.2), (8.8, 9.0), (1.2, 8.8), (5.0, 5.1)]
+    xyz = [(x, y, 3.0 * x + 2.0 * y - 5.0) for x, y in pts_xy]
+    pts = spark.createDataFrame(xyz, "lon double, lat double, value double")
+    g = CellGrid(0.0, 0.0, 10.0, 10.0, 10, 10)
+    rows = {(r.col, r.row): r.value for r in grid_linear(pts, g).collect()}
+    assert len(rows) == 100
+    # interior cell (center 4.5, 5.5) is inside the hull: exact plane
+    assert abs(rows[(4, 5)] - (3.0 * 4.5 + 2.0 * 5.5 - 5.0)) < 1e-9
+    # corner cell (center 0.5, 0.5) is outside: nearest is (1,1)
+    assert abs(rows[(0, 0)] - (3.0 + 2.0 - 5.0)) < 1e-12
+    # radius=0: outside-hull cells get nodata
+    rows0 = {
+        (r.col, r.row): r.value
+        for r in grid_linear(pts, g, radius=0.0, nodata=-99.0).collect()
+    }
+    assert rows0[(0, 0)] == -99.0
+    assert abs(rows0[(4, 5)] - rows[(4, 5)]) < 1e-12
+    # non-planar sanity: values stay within the vertex z-range
+    xyz2 = [(x, y, float((i * 37) % 11)) for i, (x, y) in enumerate(pts_xy)]
+    pts2 = spark.createDataFrame(xyz2, "lon double, lat double, value double")
+    vals = np.array([r.value for r in grid_linear(pts2, g).collect()])
+    zs = [z for _, _, z in xyz2]
+    assert vals.min() >= min(zs) - 1e-9 and vals.max() <= max(zs) + 1e-9
