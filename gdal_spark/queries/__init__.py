@@ -330,6 +330,11 @@ def collect() -> tuple[
         # planar-fixture oracle rides the local replica and the
         # fallback semantics are pinned in tests/test_raster_misc.py.
         "vector_grid_linear",
+        # r5: gdal raster compare — QA diff utility adjacent to the
+        # in-window per-pixel expression reps (raster_pixel_functions,
+        # raster_blend_modes); rides the local replica and is pinned in
+        # tests/test_raster_misc.py.
+        "raster_compare",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

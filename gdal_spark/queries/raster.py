@@ -3202,3 +3202,76 @@ def _grid_linear_oracle() -> str:
 
 QUERIES["vector_grid_linear"] = _grid_linear_q
 ORACLES["vector_grid_linear"] = _grid_linear_oracle()
+
+
+# --- raster compare (apps/gdalalg_raster_compare.cpp) -----------------------
+# Compare grad100 against a copy whose band-2 values are bumped by +5
+# inside the SRCWIN window (clipped at the uint8 ceiling) — per-band
+# differing-pixel counts and max abs difference, both closed-form.
+
+
+def _raster_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator as _It
+
+    blocks = _blocks(spark)
+    x0, y0, w, h = SRCWIN
+
+    def bump(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                a = model.decode(
+                    (r["buf"], r["height"], r["width"], r["dtype"])
+                ).astype(_np.int64)
+                if int(r["band"]) == 2:
+                    ys, xs = _np.mgrid[0 : int(r["height"]), 0 : int(r["width"])]
+                    gx = xs + int(r["x0"])
+                    gy = ys + int(r["y0"])
+                    win = (
+                        (gx >= x0) & (gx < x0 + w) & (gy >= y0) & (gy < y0 + h)
+                    )
+                    a = _np.where(win, _np.minimum(a + 5, 255), a)
+                d = {c: r[c] for c in pdf.columns}
+                d["dataset"] = "grad100_edit"
+                d["buf"] = _np.ascontiguousarray(
+                    a.astype(_np.uint8)
+                ).tobytes()
+                out.append(d)
+            yield _pd.DataFrame(out, columns=list(pdf.columns))
+
+    import pandas as pd  # noqa: F401  (bump closure)
+
+    edited = blocks.mapInPandas(bump, model.BLOCK_SCHEMA)
+    cmpd = ops.compare(blocks, edited)
+    return cmpd.select(
+        "band",
+        "pixels_differing",
+        F.round("max_value_difference", 6).alias("max_value_difference"),
+    )
+
+
+def _raster_compare_oracle() -> str:
+    x0, y0, w, h = SRCWIN
+    return f"""
+    with px as ({PIXELS_CTE}),
+    edit as (
+      select x, y, band, value,
+             case when band = 2
+                    and x between {x0} and {x0 + w - 1}
+                    and y between {y0} and {y0 + h - 1}
+                  then least(value + 5, 255) else value end as value_b
+      from px
+    )
+    select band,
+           cast(sum(case when value <> value_b then 1 else 0 end) as bigint)
+             as pixels_differing,
+           round(max(abs(value - value_b)), 6) as max_value_difference
+    from edit group by band
+    """
+
+
+QUERIES["raster_compare"] = _raster_compare
+ORACLES["raster_compare"] = _raster_compare_oracle()

@@ -140,8 +140,7 @@ def clean_collar(
     border_ids: set[int] = set()
     if algorithm == "twopasses":
         stops = collar_stops(near)
-        # bounded-metadata: one row per raster row/column (O(W + H))
-        stop_rows = stops.collect()
+        stop_rows = stops.collect()  # bounded-metadata: one row per raster row/column (O(W + H))
         lstop: dict[int, tuple[int, int]] = {}
         tstop: dict[int, tuple[int, int]] = {}
         for r in stop_rows:
@@ -206,15 +205,13 @@ def clean_collar(
         )
         border_ids = {
             int(r.region_id)
-            # bounded-metadata: one id per border-touching collar
-            # component — a handful per dataset
-            for r in border.select("region_id").collect()
+            # one id per border-touching collar component
+            for r in border.select("region_id").collect()  # bounded-metadata: a handful per dataset
         }
         root_of = {
-            # bounded-metadata: one row per cross-seam provisional
-            # label (block-perimeter scale, not pixel scale)
+            # one row per cross-seam provisional label
             int(r.label): int(r.root)
-            for r in mapping.collect()
+            for r in mapping.collect()  # bounded-metadata: block-perimeter scale, not pixel scale
         }
     else:
         raise ValueError("algorithm must be twopasses or floodfill")

@@ -303,9 +303,9 @@ def grid_linear(
     with spark.range and evaluated per Arrow batch with numpy."""
     from gdal_spark.geometry.clip import delaunay
 
-    # bounded-metadata: the gdal_grid contract — the point layer is held
-    # in RAM by the reference itself; rows here are O(|point layer|)
-    rows = points.select(x_col, y_col, v_col).collect()
+    # the gdal_grid contract — the reference itself holds the point
+    # layer in RAM; rows here are O(|point layer|)
+    rows = points.select(x_col, y_col, v_col).collect()  # bounded-metadata: point layer, not the raster
     xy = np.array([[r[0], r[1]] for r in rows], dtype=np.float64)
     z = np.array([r[2] for r in rows], dtype=np.float64)
     uniq, idx = np.unique(xy, axis=0, return_index=True)

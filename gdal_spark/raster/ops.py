@@ -970,3 +970,61 @@ def raster_index(blocks: DataFrame) -> DataFrame:
         "pixel_sy",
         wkt.alias("wkt"),
     )
+
+
+def compare(
+    a: DataFrame, b: DataFrame
+) -> DataFrame:
+    """`gdal raster compare` (apps/gdalalg_raster_compare.cpp:860-890):
+    per-band `pixels differing` count and `maximum pixel value
+    difference`. Blocks are zipped on (band, bx, by) — one hash join,
+    numpy diff per block, map-side partial aggregation to one row per
+    band; dataset names are carried through for the report header."""
+    left = a.select(
+        "band", "bx", "by", "x0", "y0", "width", "height",
+        F.col("dtype").alias("dtype_a"), F.col("buf").alias("buf_a"),
+        F.col("dataset").alias("dataset_a"),
+    )
+    right = b.select(
+        "band", "bx", "by",
+        F.col("dtype").alias("dtype_b"), F.col("buf").alias("buf_b"),
+        F.col("dataset").alias("dataset_b"),
+    )
+    both = left.join(right, ["band", "bx", "by"])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                va = model.decode(
+                    (r.buf_a, r.height, r.width, r.dtype_a)
+                ).astype(np.float64)
+                vb = model.decode(
+                    (r.buf_b, r.height, r.width, r.dtype_b)
+                ).astype(np.float64)
+                d = np.abs(va - vb)
+                rows.append(
+                    (
+                        str(r.dataset_a),
+                        str(r.dataset_b),
+                        int(r.band),
+                        int((d > 0).sum()),
+                        float(d.max()) if d.size else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "dataset_a", "dataset_b", "band", "n_diff", "max_diff",
+                ],
+            )
+
+    partials = both.mapInPandas(
+        fn,
+        "dataset_a string, dataset_b string, band int, "
+        "n_diff long, max_diff double",
+    )
+    return partials.groupBy("dataset_a", "dataset_b", "band").agg(
+        F.sum("n_diff").alias("pixels_differing"),
+        F.max("max_diff").alias("max_value_difference"),
+    )

@@ -71,3 +71,60 @@ def test_grid_linear_plane_and_fallbacks(spark):
     vals = np.array([r.value for r in grid_linear(pts2, g).collect()])
     zs = [z for _, _, z in xyz2]
     assert vals.min() >= min(zs) - 1e-9 and vals.max() <= max(zs) + 1e-9
+
+
+def test_raster_compare_diff_report(spark):
+    """`gdal raster compare` (apps/gdalalg_raster_compare.cpp:860-890):
+    per-band differing-pixel count and max abs value difference between
+    two datasets zipped on block keys; identical inputs report zero."""
+    import numpy as np
+
+    from gdal_spark.raster import model, ops
+
+    from pyspark.sql import functions as F
+
+    blocks = model.synth_blocks(spark, model.grad100_spec())
+    same = {
+        r.band: r
+        for r in ops.compare(
+            blocks, blocks.withColumn("dataset", F.lit("copy"))
+        ).collect()
+    }
+    assert set(same) == {1, 2, 3}
+    assert all(r.pixels_differing == 0 for r in same.values())
+    assert all(r.max_value_difference == 0.0 for r in same.values())
+
+    # bump band 2 by +5 inside a 3x4 window, clipped at 255
+    def bump(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = dict(r)
+                if int(r["band"]) == 2:
+                    a = model.decode(
+                        (r["buf"], r["height"], r["width"], r["dtype"])
+                    ).astype(np.int64)
+                    ys, xs = np.mgrid[: int(r["height"]), : int(r["width"])]
+                    gx, gy = xs + int(r["x0"]), ys + int(r["y0"])
+                    win = (gx >= 10) & (gx < 14) & (gy >= 20) & (gy < 23)
+                    a = np.where(win, np.minimum(a + 5, 255), a)
+                    d["buf"] = np.ascontiguousarray(
+                        a.astype(np.uint8)
+                    ).tobytes()
+                d["dataset"] = "edited"
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=list(pdf.columns))
+
+    edited = blocks.mapInPandas(bump, model.BLOCK_SCHEMA)
+    diff = {r.band: r for r in ops.compare(blocks, edited).collect()}
+    assert diff[1].pixels_differing == 0 and diff[3].pixels_differing == 0
+    # band 2 window: 12 pixels; +5 clips at 255 for fixture values >= 251
+    v = model.value_grid(10, 20, 4, 3, 2).astype(np.int64)
+    exp_diff = int((np.minimum(v + 5, 255) != v).sum())
+    assert diff[2].pixels_differing == exp_diff
+    assert diff[2].max_value_difference == float(
+        np.abs(np.minimum(v + 5, 255) - v).max()
+    )
+    assert diff[2].dataset_a == "grad100" and diff[2].dataset_b == "edited"
