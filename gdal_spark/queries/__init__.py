@@ -335,6 +335,11 @@ def collect() -> tuple[
         # raster_blend_modes); rides the local replica and is pinned in
         # tests/test_raster_misc.py.
         "raster_compare",
+        # r5: gdal raster pixel-info / update — point lookup and
+        # in-place window rewrite; same per-pixel family as the
+        # in-window translate/calc reps, local replica + pytest.
+        "raster_pixel_info",
+        "raster_update",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -3275,3 +3275,133 @@ def _raster_compare_oracle() -> str:
 
 QUERIES["raster_compare"] = _raster_compare
 ORACLES["raster_compare"] = _raster_compare_oracle()
+
+
+# --- raster pixel-info (apps/gdalalg_raster_pixel_info.cpp) -----------------
+# Five georeferenced positions at exact pixel centers; both engines
+# evaluate the SAME IEEE-double expression floor((x - gt0) / gt1) from
+# identical literals, so the pixel indices agree bit-for-bit even
+# though 0.04°/px is not binary-exact.
+
+_PI_PIX = [(3, 7), (17, 23), (50, 50), (82, 64), (99, 99)]
+
+
+def _pi_points() -> list[tuple[int, str, str]]:
+    g = model.grad100_spec().gt
+    return [
+        (
+            i,
+            repr(g[0] + (px + 0.5) * g[1]),
+            repr(g[3] + (py + 0.5) * g[5]),
+        )
+        for i, (px, py) in enumerate(_PI_PIX)
+    ]
+
+
+def _raster_pixel_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = spark.sql(
+        "select * from values "
+        + ", ".join(
+            f"({i}, cast({x} as double), cast({y} as double))"
+            for i, x, y in _pi_points()
+        )
+        + " as t(point_id, x, y)"
+    )
+    out = ops.pixel_info(_blocks(spark), pts)
+    return out.orderBy("point_id", "band")
+
+
+def _raster_pixel_info_oracle() -> str:
+    g = model.grad100_spec().gt
+    pts = " union all ".join(
+        f"select {i} as point_id, cast({x} as double) as x,"
+        f" cast({y} as double) as y"
+        for i, x, y in _pi_points()
+    )
+    return f"""
+    with pts as ({pts}),
+    loc as (
+      select point_id,
+             cast(floor((x - cast({g[0]!r} as double))
+                        / cast({g[1]!r} as double)) as bigint) as px,
+             cast(floor((y - cast({g[3]!r} as double))
+                        / cast({g[5]!r} as double)) as bigint) as py
+      from pts
+    ),
+    px as ({PIXELS_CTE})
+    select loc.point_id, px.band, loc.px, loc.py, px.value
+    from loc join px on px.x = loc.px and px.y = loc.py
+    order by point_id, band
+    """
+
+
+QUERIES["raster_pixel_info"] = _raster_pixel_info
+ORACLES["raster_pixel_info"] = _raster_pixel_info_oracle()
+
+
+# --- raster update (apps/gdalalg_raster_update.cpp) -------------------------
+# Source raster = the complement (255 - v) of grad100 over the block
+# range bx in {1,2}, by = 1 (x in [32,96), y in [32,64)), with
+# src_nodata = 0: destination pixels survive wherever 255 - v == 0
+# (i.e. v == 255). Report per-band stats of the updated raster — exact
+# integer sums, fully closed-form.
+
+_UPD_WIN = (32, 32, 64, 32)  # x, y, w, h of the updated block range
+
+
+def _raster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator as _It
+
+    blocks = _blocks(spark)
+
+    def complement(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                a = model.decode(
+                    (r["buf"], r["height"], r["width"], r["dtype"])
+                )
+                d = {c: r[c] for c in pdf.columns}
+                d["dataset"] = "grad100_patch"
+                d["buf"] = _np.ascontiguousarray(
+                    (255 - a).astype(_np.uint8)
+                ).tobytes()
+                out.append(d)
+            yield _pd.DataFrame(out, columns=list(pdf.columns))
+
+    import pandas as pd  # noqa: F401  (complement closure)
+
+    src = blocks.where(
+        (F.col("bx").isin(1, 2)) & (F.col("by") == 1)
+    ).mapInPandas(complement, model.BLOCK_SCHEMA)
+    updated = ops.update(blocks, src, src_nodata=0.0)
+    s = ops.band_stats(updated)
+    return s.select(
+        "band", "cnt", "vmin", "vmax", "vsum",
+        F.round("mean", 6).alias("mean"),
+    )
+
+
+def _raster_update_oracle() -> str:
+    x0, y0, w, h = _UPD_WIN
+    return f"""
+    with px as ({PIXELS_CTE}),
+    upd as (
+      select band,
+             case when x between {x0} and {x0 + w - 1}
+                    and y between {y0} and {y0 + h - 1}
+                    and (255 - value) <> 0
+                  then 255 - value else value end as value
+      from px
+    )
+    select band, count(*) as cnt, min(value) as vmin, max(value) as vmax,
+           sum(value) as vsum, round(avg(value), 6) as mean
+    from upd group by band
+    """
+
+
+QUERIES["raster_update"] = _raster_update
+ORACLES["raster_update"] = _raster_update_oracle()

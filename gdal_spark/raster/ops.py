@@ -1028,3 +1028,99 @@ def compare(
         F.sum("n_diff").alias("pixels_differing"),
         F.max("max_diff").alias("max_value_difference"),
     )
+
+
+def pixel_info(blocks: DataFrame, points: DataFrame) -> DataFrame:
+    """`gdal raster pixel-info` (apps/gdalalg_raster_pixel_info.cpp:54,
+    gdallocationinfo): per-position pixel lookup. `points` is a tiny
+    (point_id, x, y) georeferenced-position table — pixel indices are
+    derived from each block's affine geotransform with the reference's
+    floor convention (gdallocationinfo.cpp: dfPixel = (x - gt0) / gt1
+    for north-up grids, truncated to int), then matched to the owning
+    block with a BROADCAST of the positions (positions are user input,
+    inherently small — the corpus-scale side is the block table, which
+    is scanned once with zero shuffle). Nearest-neighbour sampling, the
+    reference's default `-r`; one output row per (position, band)."""
+    pts = F.broadcast(
+        points.select(
+            F.col("point_id"),
+            F.col("x").alias("_qx"),
+            F.col("y").alias("_qy"),
+        )
+    )
+    px = F.floor((F.col("_qx") - F.col("gt0")) / F.col("gt1"))
+    py = F.floor((F.col("_qy") - F.col("gt3")) / F.col("gt5"))
+    hit = blocks.join(
+        pts,
+        (px >= F.col("x0"))
+        & (px < F.col("x0") + F.col("width"))
+        & (py >= F.col("y0"))
+        & (py < F.col("y0") + F.col("height")),
+    ).select(
+        "point_id", "band", "buf", "height", "width", "dtype",
+        "x0", "y0",
+        px.alias("px"), py.alias("py"),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype))
+                rows.append(
+                    (
+                        int(r.point_id),
+                        int(r.band),
+                        int(r.px),
+                        int(r.py),
+                        float(a[int(r.py) - int(r.y0), int(r.px) - int(r.x0)]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["point_id", "band", "px", "py", "value"]
+            )
+
+    return hit.mapInPandas(
+        fn, "point_id long, band int, px long, py long, value double"
+    )
+
+
+def update(
+    dst: DataFrame, src: DataFrame, src_nodata: float | None = None
+) -> DataFrame:
+    """`gdal raster update` (apps/gdalalg_raster_update.cpp): write the
+    source raster into an existing destination in place. The reference
+    reprojects the source onto the destination grid first and then
+    rewrites only the overlapping blocks; here `src` must already be on
+    `dst`'s grid (compose with resample.warp for the reproject leg) and
+    the overlap is exactly the shared (band, bx, by) block keys — one
+    LEFT hash join, numpy merge per overlapping block, untouched
+    destination blocks pass through byte-identical. `src_nodata` pixels
+    are masked out (the update keeps the destination value), matching
+    the warped-source alpha/nodata masking of the reference."""
+    s = src.select(
+        "band", "bx", "by",
+        F.col("dtype").alias("_sdt"), F.col("buf").alias("_sbuf"),
+    )
+    both = dst.join(s, ["band", "bx", "by"], "left")
+    out_cols = [f.split()[0] for f in model.BLOCK_SCHEMA.split(", ")]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = {c: r[c] for c in out_cols}
+                if r["_sbuf"] is not None:
+                    a = model.decode(
+                        (r["buf"], r["height"], r["width"], r["dtype"])
+                    )
+                    b = model.decode(
+                        (r["_sbuf"], r["height"], r["width"], r["_sdt"])
+                    ).astype(a.dtype)
+                    if src_nodata is not None:
+                        b = np.where(b == src_nodata, a, b)
+                    d["buf"] = np.ascontiguousarray(b).tobytes()
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return both.mapInPandas(fn, model.BLOCK_SCHEMA)

@@ -128,3 +128,78 @@ def test_raster_compare_diff_report(spark):
         np.abs(np.minimum(v + 5, 255) - v).max()
     )
     assert diff[2].dataset_a == "grad100" and diff[2].dataset_b == "edited"
+
+
+def test_pixel_info_positions(spark):
+    """gdal raster pixel-info (gdallocationinfo): georeferenced
+    positions at pixel centers resolve to the right pixel and value;
+    positions outside the raster emit no rows."""
+    import numpy as np
+
+    from gdal_spark.raster import model, ops
+
+    g = model.grad100_spec().gt
+    pix = [(0, 0), (41, 87), (99, 99)]
+    pts = spark.createDataFrame(
+        [
+            (i, g[0] + (px + 0.5) * g[1], g[3] + (py + 0.5) * g[5])
+            for i, (px, py) in enumerate(pix)
+        ]
+        + [(9, g[0] - 1.0, g[3] + 1.0)],  # off-raster
+        "point_id long, x double, y double",
+    )
+    blocks = model.synth_blocks(spark, model.grad100_spec())
+    rows = ops.pixel_info(blocks, pts).collect()
+    assert len(rows) == 9  # 3 in-raster points x 3 bands, none for id 9
+    got = {(r.point_id, r.band): (r.px, r.py, r.value) for r in rows}
+    for i, (px, py) in enumerate(pix):
+        for b in (1, 2, 3):
+            v = float(model.value_grid(px, py, 1, 1, b)[0, 0])
+            assert got[(i, b)] == (px, py, v)
+
+
+def test_raster_update_window(spark):
+    """gdal raster update: src blocks overwrite the matching dst
+    blocks, src_nodata pixels keep the dst value, non-overlapping
+    blocks pass through byte-identical."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from gdal_spark.raster import model, ops
+
+    blocks = model.synth_blocks(spark, model.grad100_spec())
+
+    def complement(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                a = model.decode(
+                    (r["buf"], r["height"], r["width"], r["dtype"])
+                )
+                d = dict(r)
+                d["buf"] = np.ascontiguousarray(
+                    (255 - a).astype(np.uint8)
+                ).tobytes()
+                out.append(d)
+            yield pd.DataFrame(out, columns=list(pdf.columns))
+
+    src = blocks.where(
+        (F.col("bx") == 1) & (F.col("by") == 1) & (F.col("band") == 2)
+    ).mapInPandas(complement, model.BLOCK_SCHEMA)
+    upd = ops.update(blocks, src, src_nodata=0.0)
+    full = np.zeros((3, 100, 100), np.int64)
+    for r in upd.collect():
+        a = model.decode((r.buf, r.height, r.width, r.dtype))
+        full[r.band - 1, r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
+    for b in (1, 2, 3):
+        v = model.value_grid(0, 0, 100, 100, b).astype(np.int64)
+        exp = v.copy()
+        if b == 2:
+            win = np.zeros_like(v, bool)
+            win[32:64, 32:64] = True
+            c = 255 - v
+            exp = np.where(win & (c != 0), c, v)
+        assert np.array_equal(full[b - 1], exp), f"band {b}"
