@@ -332,3 +332,36 @@ def explode_collections(
     return df.select(id_col, geom_col).mapInPandas(
         fn, f"{id_col} long, part int, {geom_col} binary"
     )
+
+
+def vector_tile_index(layers: list[tuple[str, DataFrame]]) -> DataFrame:
+    """`gdal vector index` (ogrtindex; apps/gdalalg_vector_index.h:29):
+    one row per source layer — location name, feature count, and the
+    layer extent (OGREnvelope of all features). Each layer's envelope
+    is a distributed min/max aggregation over per-feature envelope
+    accessors (functions.st st_xmin/...): map-side partials, one
+    O(layers)-row result, never a collect of features. Layers are
+    unioned AFTER aggregation so the result is one tiny frame."""
+    from pyspark.sql import functions as F
+
+    outs = []
+    for loc, df in layers:
+        g = "geometry"
+        outs.append(
+            df.select(
+                F.expr(f"st_xmin({g})").alias("_x0"),
+                F.expr(f"st_ymin({g})").alias("_y0"),
+                F.expr(f"st_xmax({g})").alias("_x1"),
+                F.expr(f"st_ymax({g})").alias("_y1"),
+            ).agg(
+                F.count("*").alias("n_features"),
+                F.round(F.min("_x0"), 6).alias("minx"),
+                F.round(F.min("_y0"), 6).alias("miny"),
+                F.round(F.max("_x1"), 6).alias("maxx"),
+                F.round(F.max("_y1"), 6).alias("maxy"),
+            ).select(F.lit(loc).alias("location"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -340,6 +340,11 @@ def collect() -> tuple[
         # in-window translate/calc reps, local replica + pytest.
         "raster_pixel_info",
         "raster_update",
+        # r5: gdal raster create (distributed blank-raster synthesis)
+        # and gdal vector index (ogrtindex per-layer extent rows) —
+        # utility parity, local replica + pytest.
+        "raster_create",
+        "vector_index",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -3405,3 +3405,58 @@ def _raster_update_oracle() -> str:
 
 QUERIES["raster_update"] = _raster_update
 ORACLES["raster_update"] = _raster_update_oracle()
+
+
+# --- raster create (apps/gdalalg_raster_create.h:28) ------------------------
+# Distributed blank-raster creation: 64×64×2 uint8 burned to 9, block
+# grid enumerated via spark.range (never driver-side). Stats and the
+# GDAL checksum of a constant raster are closed-form.
+
+
+def _raster_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = model.GridSpec(
+        "blank64", 64, 64, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+        block=32, bands=2,
+    )
+    blocks = ops.create(spark, spec, burn=9.0)
+    s = ops.band_stats(blocks)
+    cs = ops.checksum(blocks, width=64)
+    return (
+        s.join(cs, ["band"])
+        .select("band", "cnt", "vmin", "vmax", "vsum", "checksum")
+        .orderBy("band")
+    )
+
+
+def _raster_create_oracle() -> str:
+    # checksum: sum over pixels of 9 % primes[(y*64+x) % 11], mod 65536.
+    # 64*64 = 4096 pixel indices cycle through the 11-prime table:
+    # 4096 = 372*11 + 4 -> 372 full cycles + indices 0..3.
+    return """
+    with prim as (
+      select * from (values (0,7),(1,11),(2,13),(3,17),(4,19),(5,23),
+                            (6,29),(7,31),(8,37),(9,41),(10,43))
+             as t(i, p)
+    ),
+    px as (
+      select b.band, (g.g % 64) as x, (g.g // 64) as y, g.g as gidx
+      from (select unnest(range(4096)) as g) g
+      cross join (select unnest(range(1, 3)) as band) b
+    ),
+    terms as (
+      select band, cast(9 % p as bigint) as term
+      from px join prim on prim.i = (px.gidx % 11)
+    )
+    select band,
+           cast(4096 as bigint) as cnt,
+           cast(9.0 as double) as vmin,
+           cast(9.0 as double) as vmax,
+           cast(4096 * 9.0 as double) as vsum,
+           cast(sum(term) % 65536 as bigint) as checksum
+    from terms group by band
+    order by band
+    """
+
+
+QUERIES["raster_create"] = _raster_create
+ORACLES["raster_create"] = _raster_create_oracle()

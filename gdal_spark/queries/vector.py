@@ -867,3 +867,43 @@ def _curve_measures_oracle() -> str:
 
 QUERIES["st_curve_measures"] = _curve_measures
 ORACLES["st_curve_measures"] = _curve_measures_oracle()
+
+
+# --- vector index (ogrtindex; apps/gdalalg_vector_index.h:29) ---------------
+# One row per layer: location, feature count, extent envelope. Both
+# octagon layers derive bit-exactly in numpy and SQL, so the envelope
+# bounds are oracle-checkable to 6 dp.
+
+
+def _vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.layer_algebra import vector_tile_index
+
+    register_st_functions(spark)
+    a = tables.polygons_a_df(spark, sf_dir)
+    b = tables.polygons_b_df(spark, sf_dir)
+    out = vector_tile_index([("layer_a", a), ("layer_b", b)])
+    return out.orderBy("location")
+
+
+def _vector_index_oracle() -> str:
+    av = portable.poly_verts_cte("duckdb")
+    bv = portable.poly_b_verts_cte("duckdb")
+    return f"""
+    with av as ({av}), bv as ({bv})
+    select 'layer_a' as location,
+           count(distinct polygon_id) as n_features,
+           round(min(vx), 6) as minx, round(min(vy), 6) as miny,
+           round(max(vx), 6) as maxx, round(max(vy), 6) as maxy
+    from av
+    union all
+    select 'layer_b' as location,
+           count(distinct b_id) as n_features,
+           round(min(vx), 6) as minx, round(min(vy), 6) as miny,
+           round(max(vx), 6) as maxx, round(max(vy), 6) as maxy
+    from bv
+    order by location
+    """
+
+
+QUERIES["vector_index"] = _vector_index
+ORACLES["vector_index"] = _vector_index_oracle()

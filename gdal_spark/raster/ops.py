@@ -1085,6 +1085,41 @@ def pixel_info(blocks: DataFrame, points: DataFrame) -> DataFrame:
     )
 
 
+def create(spark, spec, burn: float = 0.0) -> DataFrame:
+    """`gdal raster create` (apps/gdalalg_raster_create.h:28): create a
+    new raster dataset of the given geometry, burned to a constant
+    value. Unlike the driver-side fixture builder (model.synth_blocks,
+    which materializes tiny test rasters), this enumerates the block
+    grid DISTRIBUTED — spark.range over band*nby*nbx block ids, buffers
+    synthesized inside Arrow batches — so creating a continent-scale
+    blank mosaic (10^8 blocks) never touches the driver."""
+    nbx, nby = spec.n_blocks()
+    n = spec.bands * nby * nbx
+    name, W, H, bs = spec.name, spec.width, spec.height, spec.block
+    gt, dtype, nodata = spec.gt, spec.dtype, spec.nodata
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split()[0] for f in model.BLOCK_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for bid in pdf["id"]:
+                band, rest = divmod(int(bid), nby * nbx)
+                by, bx = divmod(rest, nbx)
+                x0, y0 = bx * bs, by * bs
+                w, h = min(bs, W - x0), min(bs, H - y0)
+                arr = np.full((h, w), burn, dtype=np.dtype(dtype))
+                rows.append(
+                    (
+                        name, band + 1, bx, by, x0, y0, w, h, dtype,
+                        *[float(g) for g in gt], nodata,
+                        arr.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(n).mapInPandas(fn, model.BLOCK_SCHEMA)
+
+
 def update(
     dst: DataFrame, src: DataFrame, src_nodata: float | None = None
 ) -> DataFrame:

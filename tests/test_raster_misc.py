@@ -203,3 +203,51 @@ def test_raster_update_window(spark):
             c = 255 - v
             exp = np.where(win & (c != 0), c, v)
         assert np.array_equal(full[b - 1], exp), f"band {b}"
+
+
+def test_raster_create_distributed(spark):
+    """gdal raster create: the block grid comes from spark.range (a
+    distributed Range scan, never a driver-built row list), partial
+    blocks are clipped at the raster edge, and buffers carry the burn
+    value."""
+    import numpy as np
+
+    from gdal_spark.raster import model, ops
+
+    spec = model.GridSpec(
+        "b50", 50, 40, (0.0, 0.25, 0.0, 10.0, 0.0, -0.25),
+        block=32, bands=1,
+    )
+    df = ops.create(spark, spec, burn=3.0)
+    assert "Range" in df._jdf.queryExecution().executedPlan().toString()
+    rows = df.collect()
+    assert len(rows) == 4  # 2x2 block grid
+    dims = {(r.bx, r.by): (r.width, r.height) for r in rows}
+    assert dims == {(0, 0): (32, 32), (1, 0): (18, 32),
+                    (0, 1): (32, 8), (1, 1): (18, 8)}
+    for r in rows:
+        a = model.decode((r.buf, r.height, r.width, r.dtype))
+        assert a.shape == (r.height, r.width) and (a == 3).all()
+        assert (r.gt0, r.gt1, r.gt5) == (0.0, 0.25, -0.25)
+
+
+def test_vector_tile_index(spark):
+    """gdal vector index (ogrtindex): one row per layer with feature
+    count and the aggregated extent; bounds match the numpy rings."""
+    import numpy as np
+
+    from gdal_spark import tables
+    from gdal_spark.functions import register_st_functions
+    from gdal_spark.operators.layer_algebra import vector_tile_index
+
+    register_st_functions(spark)
+    sf = "/root/testdata/sf0.001"
+    a = tables.polygons_a_df(spark, sf)
+    rows = vector_tile_index([("a", a)]).collect()
+    assert len(rows) == 1 and rows[0].location == "a"
+    assert rows[0].n_features == a.count()
+    rings = np.vstack(
+        [tables.polygon_rings_local(i) for i in range(rows[0].n_features)]
+    )
+    assert rows[0].minx == round(float(rings[:, 0].min()), 6)
+    assert rows[0].maxy == round(float(rings[:, 1].max()), 6)
