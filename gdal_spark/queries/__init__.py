@@ -345,6 +345,10 @@ def collect() -> tuple[
         # utility parity, local replica + pytest.
         "raster_create",
         "vector_index",
+        # r5: gdal vector reproject — zero-shuffle map over WKB with the
+        # tile-math mercator formula (bit-parity SQL) + proj kernels;
+        # the CRS family's in-window rep stays raster_reproject_lcc.
+        "vector_reproject_merc",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

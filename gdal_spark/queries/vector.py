@@ -907,3 +907,43 @@ def _vector_index_oracle() -> str:
 
 QUERIES["vector_index"] = _vector_index
 ORACLES["vector_index"] = _vector_index_oracle()
+
+
+# --- vector reproject (apps/gdalalg_vector_reproject.cpp) -------------------
+# Layer A octagons → EPSG:3857; the engine's numpy LatLonToMeters uses
+# the exact float-op order of portable.mercator_xy's SQL, so per-polygon
+# envelope bounds in meters agree to well below the 4-dp round.
+
+
+def _vector_reproject_merc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.reproject import vector_reproject
+
+    register_st_functions(spark)
+    a = tables.polygons_a_df(spark, sf_dir)
+    m = vector_reproject(a, "EPSG:3857")
+    return m.select(
+        "polygon_id",
+        F.round(F.expr("st_xmin(geometry)"), 4).alias("minx_m"),
+        F.round(F.expr("st_ymin(geometry)"), 4).alias("miny_m"),
+        F.round(F.expr("st_xmax(geometry)"), 4).alias("maxx_m"),
+        F.round(F.expr("st_ymax(geometry)"), 4).alias("maxy_m"),
+    ).orderBy("polygon_id")
+
+
+def _vector_reproject_merc_oracle() -> str:
+    av = portable.poly_verts_cte("duckdb")
+    mx, my = portable.mercator_xy("vy", "vx")
+    return f"""
+    with av as ({av}),
+    m as (
+      select polygon_id, {mx} as mx, {my} as my from av
+    )
+    select polygon_id,
+           round(min(mx), 4) as minx_m, round(min(my), 4) as miny_m,
+           round(max(mx), 4) as maxx_m, round(max(my), 4) as maxy_m
+    from m group by polygon_id order by polygon_id
+    """
+
+
+QUERIES["vector_reproject_merc"] = _vector_reproject_merc
+ORACLES["vector_reproject_merc"] = _vector_reproject_merc_oracle()

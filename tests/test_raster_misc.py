@@ -251,3 +251,50 @@ def test_vector_tile_index(spark):
     )
     assert rows[0].minx == round(float(rings[:, 0].min()), 6)
     assert rows[0].maxy == round(float(rings[:, 1].max()), 6)
+
+
+def test_vector_reproject(spark):
+    """vector reproject: 3857 matches the numpy LatLonToMeters mirror
+    exactly; UTM obeys the TM analytic invariants (central meridian →
+    easting 500000, equator → northing 0, east-west symmetry); other
+    columns pass through untouched."""
+    import numpy as np
+
+    from gdal_spark import tables
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.operators.reproject import (
+        _merc_forward,
+        vector_reproject,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = tables.polygons_a_df(spark, sf)
+    out = {
+        r.polygon_id: bytes(r.geometry)
+        for r in vector_reproject(a, "EPSG:3857").collect()
+    }
+    for pid in (0, 7, 24):
+        src = tables.polygon_rings_local(pid)
+        got = W.parse_wkb(out[pid])[1][0]
+        ex, ey = _merc_forward(src[:, 0], src[:, 1])
+        assert np.array_equal(got[:, 0], ex) and np.array_equal(
+            got[:, 1], ey
+        )
+
+    pts = spark.createDataFrame(
+        [
+            (0, bytearray(W.points_to_wkb([-75.0], [0.0])[0])),
+            (1, bytearray(W.points_to_wkb([-75.0], [40.0])[0])),
+            (2, bytearray(W.points_to_wkb([-74.0], [40.0])[0])),
+            (3, bytearray(W.points_to_wkb([-76.0], [40.0])[0])),
+        ],
+        "fid long, geometry binary",
+    )
+    utm = {
+        r.fid: W.parse_wkb(bytes(r.geometry))[1][0]
+        for r in vector_reproject(pts, "utm:18").collect()
+    }
+    assert utm[0][0] == 500000.0 and abs(utm[0][1]) < 1e-6
+    assert utm[1][0] == 500000.0 and utm[1][1] > 4.4e6
+    assert abs((utm[2][0] - 500000.0) + (utm[3][0] - 500000.0)) < 1e-6
+    assert abs(utm[2][1] - utm[3][1]) < 1e-6
