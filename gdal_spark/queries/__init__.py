@@ -349,6 +349,11 @@ def collect() -> tuple[
         # tile-math mercator formula (bit-parity SQL) + proj kernels;
         # the CRS family's in-window rep stays raster_reproject_lcc.
         "vector_reproject_merc",
+        # r5: gdal raster scale / resize — linear rescale (exact factor
+        # 2 lattice) and warp-backed resize; in-window reps stay
+        # raster_translate_stats / raster_warp_area_kernels.
+        "raster_scale",
+        "raster_resize",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

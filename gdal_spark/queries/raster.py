@@ -3460,3 +3460,68 @@ def _raster_create_oracle() -> str:
 
 QUERIES["raster_create"] = _raster_create
 ORACLES["raster_create"] = _raster_create_oracle()
+
+
+# --- raster scale (apps/gdalalg_raster_scale.cpp) ---------------------------
+# Linear map [55, 200] -> [0, 290] with clipping: the factor is exactly
+# 2.0, so scaled values are exact integers and the per-band stats are
+# closed-form.
+
+
+def _raster_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ops.scale_minmax(
+        _blocks(spark), 0.0, 290.0, src_min=55.0, src_max=200.0
+    )
+    s = ops.band_stats(out)
+    return s.select("band", "cnt", "vmin", "vmax", "vsum").orderBy("band")
+
+
+def _raster_scale_oracle() -> str:
+    return f"""
+    with px as ({PIXELS_CTE}),
+    sc as (
+      select band,
+             (least(greatest(value, 55), 200) - 55) * 2.0 as v
+      from px
+    )
+    select band, count(*) as cnt, min(v) as vmin, max(v) as vmax,
+           sum(v) as vsum
+    from sc group by band order by band
+    """
+
+
+QUERIES["raster_scale"] = _raster_scale
+ORACLES["raster_scale"] = _raster_scale_oracle()
+
+
+# --- raster resize (apps/gdalalg_raster_resize.cpp) -------------------------
+# 100x100 -> 40x40 nearest: the sampling lattice 2.5*X + 0.75 never
+# lands on a .5 tie, so the nearest pick is closed-form.
+
+
+def _raster_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ops.resize(_blocks(spark), 40, 40, "nearest", band=1)
+    s = ops.band_stats(out)
+    return s.select("band", "cnt", "vmin", "vmax", "vsum")
+
+
+def _raster_resize_oracle() -> str:
+    val = model.VALUE_SQL.format(
+        x="cast(floor(2.5 * x.x + 1.25) as bigint)",
+        y="cast(floor(2.5 * y.y + 1.25) as bigint)",
+        band="1",
+    )
+    return f"""
+    with px as (
+      select cast(({val}) as double) as v
+      from (select unnest(range(40)) as x) x
+      cross join (select unnest(range(40)) as y) y
+    )
+    select 1 as band, count(*) as cnt, min(v) as vmin, max(v) as vmax,
+           sum(v) as vsum
+    from px
+    """
+
+
+QUERIES["raster_resize"] = _raster_resize
+ORACLES["raster_resize"] = _raster_resize_oracle()

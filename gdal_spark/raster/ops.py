@@ -1085,6 +1085,47 @@ def pixel_info(blocks: DataFrame, points: DataFrame) -> DataFrame:
     )
 
 
+def resize(
+    blocks: DataFrame, out_w: int, out_h: int, method: str = "nearest",
+    band: int | None = None,
+) -> DataFrame:
+    """`gdal raster resize` (apps/gdalalg_raster_resize.cpp:44-91): same
+    georeferenced extent, new pixel dimensions. The destination grid is
+    the source geotransform with pixel sizes scaled by srcW/dstW and
+    srcH/dstH; the heavy lifting is resample.reproject_grid's cover
+    shuffle (one map-only ship stage + one groupBy per dst block), so
+    resize shares its scale behavior and all 14 kernels with the warp
+    path."""
+    from gdal_spark.raster import resample
+
+    meta = blocks.select(
+        "dataset", "gt0", "gt1", "gt3", "gt5", "dtype", "nodata"
+    ).first()  # bounded-metadata: one dataset-level row
+    dims = blocks.agg(
+        F.max(F.col("x0") + F.col("width")).alias("w"),
+        F.max(F.col("y0") + F.col("height")).alias("h"),
+    ).first()  # bounded-metadata: raster dims
+    nb = blocks.agg(F.max("band")).first()[0]  # bounded-metadata
+    dst = model.GridSpec(
+        f"{meta.dataset}_{out_w}x{out_h}",
+        out_w,
+        out_h,
+        (
+            meta.gt0,
+            meta.gt1 * dims.w / out_w,
+            0.0,
+            meta.gt3,
+            0.0,
+            meta.gt5 * dims.h / out_h,
+        ),
+        block=32,
+        bands=int(nb),
+        dtype=meta.dtype,
+        nodata=meta.nodata,
+    )
+    return resample.reproject_grid(blocks, dst, method, band=band)
+
+
 def create(spark, spec, burn: float = 0.0) -> DataFrame:
     """`gdal raster create` (apps/gdalalg_raster_create.h:28): create a
     new raster dataset of the given geometry, burned to a constant
@@ -1118,6 +1159,65 @@ def create(spark, spec, burn: float = 0.0) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return spark.range(n).mapInPandas(fn, model.BLOCK_SCHEMA)
+
+
+def scale_minmax(
+    blocks: DataFrame,
+    dst_min: float,
+    dst_max: float,
+    src_min: float | None = None,
+    src_max: float | None = None,
+    clip: bool = True,
+    ot: str = "float64",
+) -> DataFrame:
+    """`gdal raster scale` (apps/gdalalg_raster_scale.cpp:37-46 /
+    GDALTranslate -scale): linear map [src_min, src_max] → [dst_min,
+    dst_max], inputs clipped to the source range unless `no-clip`. When
+    the source range is omitted the reference computes per-band min/max
+    (ComputeRasterMinMax); here that is a distributed per-band
+    aggregation whose k-row result joins back BROADCAST — the pixel
+    side never shuffles."""
+    if src_min is None or src_max is None:
+        # per-band range via the existing stats partials
+        s = band_stats(blocks).select(
+            "band",
+            F.col("vmin").alias("_smin"),
+            F.col("vmax").alias("_smax"),
+        )
+        src_rng = F.broadcast(s)
+    else:
+        src_rng = None
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split()[0] for f in model.BLOCK_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                a = model.decode(
+                    (r["buf"], r["height"], r["width"], r["dtype"])
+                ).astype(np.float64)
+                smin = float(
+                    r["_smin"] if src_min is None else src_min
+                )
+                smax = float(
+                    r["_smax"] if src_max is None else src_max
+                )
+                if clip:
+                    a = np.clip(a, smin, smax)
+                k = (dst_max - dst_min) / (smax - smin)
+                out = dst_min + (a - smin) * k
+                d = {c: r[c] for c in cols}
+                d["dtype"] = ot
+                d["buf"] = np.ascontiguousarray(
+                    out.astype(np.dtype(ot))
+                ).tobytes()
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=cols)
+
+    src_df = (
+        blocks.join(src_rng, ["band"]) if src_rng is not None else blocks
+    )
+    return src_df.mapInPandas(fn, model.BLOCK_SCHEMA)
 
 
 def update(

@@ -298,3 +298,52 @@ def test_vector_reproject(spark):
     assert utm[1][0] == 500000.0 and utm[1][1] > 4.4e6
     assert abs((utm[2][0] - 500000.0) + (utm[3][0] - 500000.0)) < 1e-6
     assert abs(utm[2][1] - utm[3][1]) < 1e-6
+
+
+def test_raster_scale_autorange(spark):
+    """gdal raster scale with the source range omitted: per-band
+    min/max computed distributed (the ComputeRasterMinMax analog) and
+    broadcast back; output spans exactly [dst_min, dst_max]."""
+    import numpy as np
+
+    from gdal_spark.raster import model, ops
+
+    blocks = model.synth_blocks(spark, model.grad100_spec())
+    out = ops.scale_minmax(blocks, 10.0, 20.0)
+    s = {r.band: r for r in ops.band_stats(out).collect()}
+    for b in (1, 2, 3):
+        assert s[b].vmin == 10.0 and s[b].vmax == 20.0
+    # spot-check linearity on band 1 (src range is 0..255)
+    v = model.value_grid(0, 0, 100, 100, 1).astype(np.float64)
+    exp = 10.0 + v * (10.0 / 255.0)
+    got = np.zeros((100, 100))
+    for r in out.where("band = 1").collect():
+        a = model.decode((r.buf, r.height, r.width, r.dtype))
+        got[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
+    assert np.allclose(got, exp, rtol=0, atol=1e-12)
+
+
+def test_raster_resize_roundtrip_dims(spark):
+    """gdal raster resize: output grid has the requested dims, the
+    same world extent, and nearest picks the expected lattice."""
+    import numpy as np
+
+    from gdal_spark.raster import model, ops
+
+    blocks = model.synth_blocks(spark, model.grad100_spec())
+    out = ops.resize(blocks, 40, 40, "nearest", band=1)
+    rows = out.collect()
+    W = max(r.x0 + r.width for r in rows)
+    H = max(r.y0 + r.height for r in rows)
+    assert (W, H) == (40, 40)
+    g = model.grad100_spec().gt
+    r0 = rows[0]
+    assert r0.gt0 == g[0] and r0.gt3 == g[3]
+    assert abs(r0.gt1 * 40 - g[1] * 100) < 1e-12  # same extent
+    got = np.zeros((40, 40))
+    for r in rows:
+        a = model.decode((r.buf, r.height, r.width, r.dtype))
+        got[r.y0 : r.y0 + r.height, r.x0 : r.x0 + r.width] = a
+    ix = np.floor(2.5 * np.arange(40) + 1.25).astype(np.int64)
+    exp = model.value_grid(0, 0, 100, 100, 1)[np.ix_(ix, ix)]
+    assert np.array_equal(got, exp)
