@@ -354,6 +354,12 @@ def collect() -> tuple[
         # raster_translate_stats / raster_warp_area_kernels.
         "raster_scale",
         "raster_resize",
+        # r5: gdal raster overview add / refresh --bbox — dataset-level
+        # factor-2 overviews and the incremental dirty-window rebuild
+        # (oracle = full recompute of the patched raster); the pyramid
+        # family's in-window rep stays raster_tile_pyramid.
+        "raster_overview",
+        "raster_overview_refresh",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

@@ -3525,3 +3525,102 @@ def _raster_resize_oracle() -> str:
 
 QUERIES["raster_resize"] = _raster_resize
 ORACLES["raster_resize"] = _raster_resize_oracle()
+
+
+# --- raster overview add / refresh (apps/gdalalg_raster_overview_*.cpp) -----
+# Dataset-level factor-2 overview of grad100 (100x100 -> 50x50): the
+# 2x2 average with the overview build's floor(v + 0.5) byte rounding is
+# closed-form over the analytic fixture. The refresh query rebuilds
+# ONLY the overview blocks under the update patch window and must match
+# the full recompute of the patched raster.
+
+_OV_REDUCE = """
+      select band, (x // 2) as ox, (y // 2) as oy,
+             floor(sum(value) / 4.0 + 0.5) as v
+      from {src} group by band, (x // 2), (y // 2)
+"""
+
+
+def _raster_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster import resample as RS
+
+    ov = RS.overview_blocks(_blocks(spark))
+    s = ops.band_stats(ov)
+    return s.select("band", "cnt", "vmin", "vmax", "vsum").orderBy("band")
+
+
+def _raster_overview_oracle() -> str:
+    red = _OV_REDUCE.format(src="px")
+    return f"""
+    with px as ({PIXELS_CTE}),
+    ov as ({red})
+    select band, count(*) as cnt, min(v) as vmin, max(v) as vmax,
+           sum(v) as vsum
+    from ov group by band order by band
+    """
+
+
+QUERIES["raster_overview"] = _raster_overview
+ORACLES["raster_overview"] = _raster_overview_oracle()
+
+
+def _raster_overview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator as _It
+
+    from gdal_spark.raster import resample as RS
+
+    blocks = _blocks(spark)
+    x0, y0, w, h = _UPD_WIN
+
+    def complement(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                a = model.decode(
+                    (r["buf"], r["height"], r["width"], r["dtype"])
+                )
+                d = {c: r[c] for c in pdf.columns}
+                d["dataset"] = "grad100_patch"
+                d["buf"] = _np.ascontiguousarray(
+                    (255 - a).astype(_np.uint8)
+                ).tobytes()
+                out.append(d)
+            yield _pd.DataFrame(out, columns=list(pdf.columns))
+
+    import pandas as pd  # noqa: F401  (complement closure)
+
+    src = blocks.where(
+        (F.col("bx").isin(1, 2)) & (F.col("by") == 1)
+    ).mapInPandas(complement, model.BLOCK_SCHEMA)
+    updated = ops.update(blocks, src, src_nodata=0.0)
+    stale_ov = RS.overview_blocks(blocks)
+    refreshed = RS.overview_refresh(updated, stale_ov, _UPD_WIN)
+    s = ops.band_stats(refreshed)
+    return s.select("band", "cnt", "vmin", "vmax", "vsum").orderBy("band")
+
+
+def _raster_overview_refresh_oracle() -> str:
+    x0, y0, w, h = _UPD_WIN
+    red = _OV_REDUCE.format(src="upd")
+    return f"""
+    with px as ({PIXELS_CTE}),
+    upd as (
+      select band, x, y,
+             case when x between {x0} and {x0 + w - 1}
+                    and y between {y0} and {y0 + h - 1}
+                    and (255 - value) <> 0
+                  then 255 - value else value end as value
+      from px
+    ),
+    ov as ({red})
+    select band, count(*) as cnt, min(v) as vmin, max(v) as vmax,
+           sum(v) as vsum
+    from ov group by band order by band
+    """
+
+
+QUERIES["raster_overview_refresh"] = _raster_overview_refresh
+ORACLES["raster_overview_refresh"] = _raster_overview_refresh_oracle()

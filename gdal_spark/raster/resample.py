@@ -968,3 +968,114 @@ def proximity_maxdist(
         .cogroup(targets.groupBy("bx", "by"))
         .applyInPandas(dist, model.BLOCK_SCHEMA)
     )
+
+
+def overview_blocks(
+    blocks: DataFrame, method: str = "average", block: int = 32
+) -> DataFrame:
+    """`gdal raster overview add` (apps/gdalalg_raster_overview_add.cpp;
+    kernels gcore/overview.cpp): dataset-level factor-2 overview as a
+    new block table. Each source block reduces MAP-SIDE to a
+    half-resolution patch (reduce_2x2 — the shuffle moves 1/4 of the
+    pixel bytes), patches regroup into destination blocks on their
+    (band, dbx, dby) key — ONE exchange total. Byte outputs round as
+    the overview build does (floor(v + 0.5), gcore/overview.cpp:543
+    average path)."""
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype))
+                red = reduce_2x2(a, method)
+                if np.dtype(r.dtype).kind in "ui":
+                    info = np.iinfo(np.dtype(r.dtype))
+                    red = np.clip(
+                        np.floor(red + 0.5), info.min, info.max
+                    )
+                px0, py0 = r.x0 // 2, r.y0 // 2
+                rows.append(
+                    (
+                        r.dataset, int(r.band),
+                        px0 // block, py0 // block, px0, py0,
+                        red.shape[1], red.shape[0], str(r.dtype),
+                        r.gt0, r.gt1 * 2.0, r.gt2,
+                        r.gt3, r.gt4, r.gt5 * 2.0,
+                        r.nodata,
+                        np.ascontiguousarray(
+                            red.astype(np.dtype(r.dtype))
+                        ).tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")],
+            )
+
+    patches = blocks.mapInPandas(shrink, model.BLOCK_SCHEMA)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dataset, band, dbx, dby = key
+        r0 = pdf.iloc[0]
+        bx0, by0 = int(dbx) * block, int(dby) * block
+        w = int((pdf["x0"] + pdf["width"]).max() - bx0)
+        h = int((pdf["y0"] + pdf["height"]).max() - by0)
+        canvas = np.zeros((h, w), dtype=np.dtype(r0["dtype"]))
+        for _, r in pdf.iterrows():
+            a = model.decode(
+                (r["buf"], r["height"], r["width"], r["dtype"])
+            )
+            ox, oy = int(r["x0"]) - bx0, int(r["y0"]) - by0
+            canvas[oy : oy + a.shape[0], ox : ox + a.shape[1]] = a
+        return pd.DataFrame(
+            [
+                (
+                    r0["dataset"], int(band), int(dbx), int(dby),
+                    bx0, by0, w, h, r0["dtype"],
+                    r0["gt0"], r0["gt1"], r0["gt2"],
+                    r0["gt3"], r0["gt4"], r0["gt5"], r0["nodata"],
+                    canvas.tobytes(),
+                )
+            ],
+            columns=[c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")],
+        )
+
+    return patches.groupBy("dataset", "band", "bx", "by").applyInPandas(
+        assemble, model.BLOCK_SCHEMA
+    )
+
+
+def overview_refresh(
+    base: DataFrame,
+    existing_ov: DataFrame,
+    bbox: tuple[int, int, int, int],
+    method: str = "average",
+    block: int = 32,
+) -> DataFrame:
+    """`gdal raster overview refresh --bbox`
+    (apps/gdalalg_raster_overview_refresh.cpp): recompute ONLY the
+    overview blocks whose window intersects the dirty base-pixel bbox
+    (x0, y0, w, h); every other overview row passes through
+    byte-identical. The dirty key set derives from the bbox alone, so
+    both the keep-filter and the base-scan restriction are
+    Catalyst-pushed closed-form predicates — the incremental cost is
+    one overview_blocks pass over the dirty base stripe, never the full
+    raster. This is the 100 TB maintenance path: a daily-updated region
+    refreshes in time proportional to the region, not the mosaic."""
+    x0, y0, w, h = bbox
+    dbx0, dbx1 = (x0 // 2) // block, ((x0 + w - 1) // 2) // block
+    dby0, dby1 = (y0 // 2) // block, ((y0 + h - 1) // 2) // block
+    dirty = (
+        (F.col("bx") >= dbx0) & (F.col("bx") <= dbx1)
+        & (F.col("by") >= dby0) & (F.col("by") <= dby1)
+    )
+    # base blocks feeding the dirty overview blocks: the dst-block
+    # range mapped back to base pixels (factor 2, block-aligned)
+    sx0, sx1 = dbx0 * block * 2, (dbx1 + 1) * block * 2
+    sy0, sy1 = dby0 * block * 2, (dby1 + 1) * block * 2
+    feed = base.where(
+        (F.col("x0") < sx1) & (F.col("x0") + F.col("width") > sx0)
+        & (F.col("y0") < sy1) & (F.col("y0") + F.col("height") > sy0)
+    )
+    recomputed = overview_blocks(feed, method, block).where(dirty)
+    return existing_ov.where(~dirty).unionAll(recomputed)

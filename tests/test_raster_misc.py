@@ -347,3 +347,59 @@ def test_raster_resize_roundtrip_dims(spark):
     ix = np.floor(2.5 * np.arange(40) + 1.25).astype(np.int64)
     exp = model.value_grid(0, 0, 100, 100, 1)[np.ix_(ix, ix)]
     assert np.array_equal(got, exp)
+
+
+def test_overview_refresh_incremental(spark):
+    """overview refresh --bbox: the refreshed table equals a full
+    overview recompute of the patched raster byte-for-byte, and blocks
+    outside the dirty window pass through from the stale overview
+    untouched."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from gdal_spark.raster import model, ops
+    from gdal_spark.raster import resample as RS
+
+    blocks = model.synth_blocks(spark, model.grad100_spec())
+
+    def complement(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                a = model.decode(
+                    (r["buf"], r["height"], r["width"], r["dtype"])
+                )
+                d = dict(r)
+                d["buf"] = np.ascontiguousarray(
+                    (255 - a).astype(np.uint8)
+                ).tobytes()
+                out.append(d)
+            yield pd.DataFrame(out, columns=list(pdf.columns))
+
+    src = blocks.where(
+        (F.col("bx") == 2) & (F.col("by") == 2) & (F.col("band") == 1)
+    ).mapInPandas(complement, model.BLOCK_SCHEMA)
+    updated = ops.update(blocks, src, src_nodata=0.0)
+    stale = RS.overview_blocks(blocks)
+    got = {
+        (r.band, r.bx, r.by): bytes(r.buf)
+        for r in RS.overview_refresh(
+            updated, stale, (64, 64, 32, 32)
+        ).collect()
+    }
+    full = {
+        (r.band, r.bx, r.by): bytes(r.buf)
+        for r in RS.overview_blocks(updated).collect()
+    }
+    assert got == full
+    stale_map = {
+        (r.band, r.bx, r.by): bytes(r.buf) for r in stale.collect()
+    }
+    # dirty window (64,64,32,32) -> overview block (1,1) only
+    for k, buf in got.items():
+        if (k[1], k[2]) != (1, 1):
+            assert buf == stale_map[k]
+    assert got[(1, 1, 1)] != stale_map[(1, 1, 1)]
