@@ -247,6 +247,23 @@ NOTES = {
         "(shared ivf_train) shuffles once per Lloyd iteration with "
         "map-side partial sums; the driver sees k array rows."
     ),
+    "vector_reproject_merc": (
+        "r5f vector reproject: ONE zero-shuffle MapInPandas over the "
+        "layer (numpy vertex-array transforms, never per-vertex "
+        "Python) followed by the envelope accessors — a pure map "
+        "pipeline. At 10^12 features this is a single pass; the CRS "
+        "math adds no exchange."
+    ),
+    "raster_overview_refresh": (
+        "r5f incremental overview maintenance. The dirty overview-"
+        "block key range derives closed-form from the --bbox, so the "
+        "keep-side is a pushed-down filter over the existing overview "
+        "(no join) and the recompute side scans ONLY the dirty base "
+        "stripe (pushed-down x0/y0 range predicates) before the one "
+        "regroup exchange of overview_blocks. Refresh cost is "
+        "proportional to the dirty region — the plan you want when a "
+        "daily update touches one tile of a 100 TB mosaic."
+    ),
 }
 
 
