@@ -911,6 +911,27 @@ def _set_precision(buf: bytes, grid: float) -> bytes:
     raise ValueError(f"set_precision: unsupported type {t}")
 
 
+_MULTI_OF = {1: 4, 2: 5, 3: 6}  # point/line/polygon → multi type
+
+
+def _force_multi(buf: bytes) -> bytes:
+    """st_multi / `gdal vector geom set-type` multi-promotion
+    (OGRGeometryFactory::forceTo, apps/gdalalg_vector_set_geom_type.cpp):
+    wrap a single geometry in the matching Multi* container by
+    prepending the container header; already-multi inputs pass through
+    unchanged (idempotent, like the reference)."""
+    import struct as _struct
+
+    t = W.parse_wkb(buf)[0]
+    if t not in _MULTI_OF:
+        return buf
+    return (
+        _struct.pack("<BI", 1, _MULTI_OF[t])
+        + _struct.pack("<I", 1)
+        + bytes(buf)
+    )
+
+
 def _swap_xy(buf: bytes) -> bytes:
     """swap-xy (apps/gdalalg_vector_swap_xy.cpp): exchange coordinate
     order in place."""
@@ -1126,6 +1147,7 @@ def register_extra_st(spark: SparkSession) -> None:
         BinaryType(),
     ))
     reg("st_swapxy", P(lambda s: _each(s, _swap_xy), BinaryType()))
+    reg("st_multi", P(lambda s: _each(s, _force_multi), BinaryType()))
     reg("st_numgeometries", P(
         lambda s: _each(
             s,

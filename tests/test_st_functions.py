@@ -507,3 +507,34 @@ def test_batch_setop_microbench():
     speedup = (t2 - t1) / max(t1 - t0, 1e-9)
     assert [v is None for v in fast] == [v is None for v in slow]
     assert speedup >= 5.0, f"speedup {speedup:.1f}x"
+
+
+def test_st_multi_promotion(spark):
+    """st_multi (forceTo wkbMulti*, apps/gdalalg_vector_set_geom_type):
+    single geometries wrap in the matching container, numgeometries
+    becomes 1, type string changes, multis pass through unchanged."""
+    from gdal_spark import tables
+    from gdal_spark.functions import register_st_functions
+    from gdal_spark.geometry import wkb as W
+
+    register_st_functions(spark)
+    pid = 3
+    poly = W.polygon_to_wkb([tables.polygon_rings_local(pid)])
+    pt = W.points_to_wkb([1.5], [2.5])[0]
+    df = spark.createDataFrame(
+        [(0, bytearray(pt)), (1, bytearray(poly))],
+        "fid long, geometry binary",
+    )
+    rows = {
+        r.fid: r
+        for r in df.selectExpr(
+            "fid",
+            "st_geometrytype(st_multi(geometry)) as t",
+            "st_numgeometries(st_multi(geometry)) as n",
+            "st_multi(st_multi(geometry)) = st_multi(geometry) as idem",
+            "st_area(st_multi(geometry)) = st_area(geometry) as area_eq",
+        ).collect()
+    }
+    assert rows[0].t == "MULTIPOINT" and rows[0].n == 1 and rows[0].idem
+    assert rows[1].t == "MULTIPOLYGON" and rows[1].n == 1
+    assert rows[1].idem and rows[1].area_eq
