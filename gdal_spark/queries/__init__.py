@@ -360,6 +360,10 @@ def collect() -> tuple[
         # family's in-window rep stays raster_tile_pyramid.
         "raster_overview",
         "raster_overview_refresh",
+        # r5: gdal raster neighbors — generic radius-r kernel convolve
+        # (named 3x3/5x5 kernels + combine methods); the focal family's
+        # in-window rep stays raster_hillshade.
+        "raster_neighbors",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

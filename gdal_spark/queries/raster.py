@@ -3624,3 +3624,54 @@ def _raster_overview_refresh_oracle() -> str:
 
 QUERIES["raster_overview_refresh"] = _raster_overview_refresh
 ORACLES["raster_overview_refresh"] = _raster_overview_refresh_oracle()
+
+
+# --- raster neighbors (apps/gdalalg_raster_neighbors.cpp) -------------------
+# gaussian-3x3 weighted mean over grad100: each output pixel is a
+# dyadic rational (integer sum / 16), so the SQL mirror with clamped
+# (edge-replicate) coordinates is exact.
+
+_NB_K3 = [[1, 2, 1], [2, 4, 2], [1, 2, 1]]
+
+
+def _raster_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = RF.neighbors(_blocks(spark), kernel="gaussian-3x3", method="mean")
+    s = ops.band_stats(out)
+    return s.select(
+        "band", "cnt",
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round("vsum", 6).alias("vsum"),
+    ).orderBy("band")
+
+
+def _raster_neighbors_oracle() -> str:
+    terms = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            k = _NB_K3[dy + 1][dx + 1]
+            cx = f"least(greatest(x + ({dx}), 0), {W - 1})"
+            cy = f"least(greatest(y + ({dy}), 0), {H - 1})"
+            terms.append(
+                f"{k} * ({model.VALUE_SQL.format(x=cx, y=cy, band='band')})"
+            )
+    expr = " + ".join(terms)
+    return f"""
+    with cells as (
+      select x.x as x, y.y as y, b.band as band
+      from (select unnest(range({W})) as x) x
+      cross join (select unnest(range({H})) as y) y
+      cross join (select unnest(range(1, {BANDS + 1})) as band) b
+    ),
+    nb as (
+      select band, cast(({expr}) as double) / 16.0 as v from cells
+    )
+    select band, count(*) as cnt,
+           round(min(v), 6) as vmin, round(max(v), 6) as vmax,
+           round(sum(v), 6) as vsum
+    from nb group by band order by band
+    """
+
+
+QUERIES["raster_neighbors"] = _raster_neighbors
+ORACLES["raster_neighbors"] = _raster_neighbors_oracle()

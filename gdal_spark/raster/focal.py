@@ -391,3 +391,196 @@ def focal(blocks: DataFrame, op: str) -> DataFrame:
     return halo.groupBy("dataset", "band", "tbx", "tby").applyInPandas(
         fn, model.BLOCK_SCHEMA
     )
+
+
+# --- generic radius-r neighborhood convolution (gdal raster neighbors) ------
+
+#: named kernels, apps/gdalalg_raster_neighbors.cpp:49-77 (Wikipedia
+#: image-processing kernels; integer matrices exactly as the reference)
+NEIGHBOR_KERNELS: dict[str, list[list[int]]] = {
+    "u": [[0, 0, 0], [-1, 0, 1], [0, 0, 0]],
+    "v": [[0, -1, 0], [0, 0, 0], [0, 1, 0]],
+    "edge1": [[0, -1, 0], [-1, 4, -1], [0, -1, 0]],
+    "edge2": [[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]],
+    "sharpen": [[0, -1, 0], [-1, 5, -1], [0, -1, 0]],
+    "gaussian-3x3": [[1, 2, 1], [2, 4, 2], [1, 2, 1]],
+    "gaussian-5x5": [
+        [1, 4, 6, 4, 1],
+        [4, 16, 24, 16, 4],
+        [6, 24, 36, 24, 6],
+        [4, 16, 24, 16, 4],
+        [1, 4, 6, 4, 1],
+    ],
+    "unsharp-masking-5x5": [
+        [1, 4, 6, 4, 1],
+        [4, 16, 24, 16, 4],
+        [6, 24, -476, 24, 6],
+        [4, 16, 24, 16, 4],
+        [1, 4, 6, 4, 1],
+    ],
+}
+
+
+def neighbors(
+    blocks: DataFrame,
+    kernel: "str | list[list[float]]" = "equal",
+    size: int = 3,
+    method: str = "mean",
+) -> DataFrame:
+    """`gdal raster neighbors` (apps/gdalalg_raster_neighbors.cpp:34,
+    206-224): arbitrary odd-size neighborhood combine. `kernel` is a
+    name from NEIGHBOR_KERNELS, "equal" (all-ones of `size`), or an
+    explicit matrix. method "sum" = Σ k·v; "mean" = Σ k·v / Σ k when
+    Σ k ≠ 0 (the reference's normalization rule), else the raw sum;
+    min/max/median/stddev/mode combine the values whose kernel weight
+    is non-zero.
+
+    Generic radius-r halo: every block ships r-wide edge strips to its
+    8 neighbors with ABSOLUTE pixel coordinates; the receiver places
+    them on a (h+2r, w+2r) canvas and edge-replicates whatever remains
+    outside the raster (row-fill then column-fill — exactly clamped
+    indexing). ONE shuffle whose payload is ~2r/blocksize of the data;
+    the stencil is shifted-view numpy accumulation, never per-pixel
+    Python. Requires r ≤ the smallest block dimension (one-ring
+    exchange; r ≤ 8 covers every kernel the reference ships)."""
+    if isinstance(kernel, str):
+        if kernel == "equal":
+            K = np.ones((size, size), dtype=np.float64)
+        else:
+            K = np.array(NEIGHBOR_KERNELS[kernel], dtype=np.float64)
+    else:
+        K = np.array(kernel, dtype=np.float64)
+    if K.shape[0] != K.shape[1] or K.shape[0] % 2 != 1:
+        raise ValueError("kernel must be odd square")
+    r = K.shape[0] // 2
+    if r > 8:
+        raise ValueError("kernel radius > 8 exceeds the one-ring halo")
+
+    def emit(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                a = model.decode((row.buf, row.height, row.width, row.dtype))
+                pieces = {
+                    (0, 0): (a, row.x0, row.y0),
+                    (-1, 0): (a[:, :r], row.x0, row.y0),
+                    (1, 0): (a[:, -r:], row.x0 + row.width - r, row.y0),
+                    (0, -1): (a[:r, :], row.x0, row.y0),
+                    (0, 1): (a[-r:, :], row.x0, row.y0 + row.height - r),
+                    (-1, -1): (a[:r, :r], row.x0, row.y0),
+                    (1, -1): (a[:r, -r:], row.x0 + row.width - r, row.y0),
+                    (-1, 1): (a[-r:, :r], row.x0, row.y0 + row.height - r),
+                    (1, 1): (
+                        a[-r:, -r:],
+                        row.x0 + row.width - r,
+                        row.y0 + row.height - r,
+                    ),
+                }
+                for (dx, dy), (s, sx, sy) in pieces.items():
+                    out.append(
+                        (
+                            row.dataset, row.band,
+                            row.bx + dx, row.by + dy, dx, dy,
+                            sx, sy, s.shape[1], s.shape[0], row.dtype,
+                            row.gt0, row.gt1, row.gt2,
+                            row.gt3, row.gt4, row.gt5, row.nodata,
+                            np.ascontiguousarray(s).tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=[c.split()[0] for c in _HALO_SCHEMA.split(", ")]
+            )
+
+    halo = blocks.mapInPandas(emit, _HALO_SCHEMA)
+    cols = [c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")]
+    ksum = float(K.sum())
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        self_rows = pdf[(pdf.dx == 0) & (pdf.dy == 0)]
+        if len(self_rows) == 0:
+            return pd.DataFrame(columns=cols)
+        c = self_rows.iloc[0]
+        h, w = int(c.height), int(c.width)
+        ox, oy = int(c.x0) - r, int(c.y0) - r
+        canvas = np.full((h + 2 * r, w + 2 * r), np.nan)
+        for row in pdf.itertuples():
+            s = model.decode((row.buf, row.height, row.width, row.dtype))
+            px, py = int(row.x0) - ox, int(row.y0) - oy
+            sl = s[
+                max(0, -py) : s.shape[0], max(0, -px) : s.shape[1]
+            ]
+            py, px = max(py, 0), max(px, 0)
+            canvas[py : py + sl.shape[0], px : px + sl.shape[1]] = sl[
+                : canvas.shape[0] - py, : canvas.shape[1] - px
+            ]
+        # edge replicate = clamped indexing: fill rows, then columns
+        for ax in (1, 0):
+            idx = np.where(~np.isnan(canvas), 1, 0)
+            if idx.all():
+                break
+            valid = ~np.isnan(canvas)
+            if ax == 1:
+                for i in range(canvas.shape[0]):
+                    v = np.flatnonzero(valid[i])
+                    if v.size and v.size < canvas.shape[1]:
+                        canvas[i, : v[0]] = canvas[i, v[0]]
+                        canvas[i, v[-1] + 1 :] = canvas[i, v[-1]]
+            else:
+                for j in range(canvas.shape[1]):
+                    v = np.flatnonzero(~np.isnan(canvas[:, j]))
+                    if v.size and v.size < canvas.shape[0]:
+                        canvas[: v[0], j] = canvas[v[0], j]
+                        canvas[v[-1] + 1 :, j] = canvas[v[-1], j]
+        n = K.shape[0]
+        views = [
+            (K[i, j], canvas[i : i + h, j : j + w])
+            for i in range(n)
+            for j in range(n)
+        ]
+        if method in ("sum", "mean"):
+            out = np.zeros((h, w))
+            for kw, v in views:
+                if kw != 0.0:
+                    out = out + kw * v
+            if method == "mean" and ksum != 0.0:
+                out = out / ksum
+        else:
+            stackv = np.stack([v for kw, v in views if kw != 0.0], axis=0)
+            if method == "min":
+                out = stackv.min(axis=0)
+            elif method == "max":
+                out = stackv.max(axis=0)
+            elif method == "median":
+                out = np.median(stackv, axis=0)
+            elif method == "stddev":
+                out = stackv.std(axis=0)
+            elif method == "mode":
+                sv = np.sort(stackv, axis=0)
+                best = sv[0]
+                bestc = np.ones(best.shape)
+                cnt = np.ones(best.shape)
+                for k in range(1, sv.shape[0]):
+                    same = sv[k] == sv[k - 1]
+                    cnt = np.where(same, cnt + 1, 1)
+                    better = cnt > bestc
+                    best = np.where(better, sv[k], best)
+                    bestc = np.where(better, cnt, bestc)
+                out = best
+            else:
+                raise ValueError(f"unknown method {method}")
+        return pd.DataFrame(
+            [
+                (
+                    str(c.dataset) + "_nb", int(c.band),
+                    int(key[2]), int(key[3]),
+                    int(c.x0), int(c.y0), w, h, "float64",
+                    c.gt0, c.gt1, c.gt2, c.gt3, c.gt4, c.gt5, None,
+                    np.ascontiguousarray(out).tobytes(),
+                )
+            ],
+            columns=cols,
+        )
+
+    return halo.groupBy("dataset", "band", "tbx", "tby").applyInPandas(
+        fn, model.BLOCK_SCHEMA
+    )

@@ -195,3 +195,57 @@ def test_hillshade_zt_equals_horn_on_plane(plane_blocks):
             r.height, r.width)
         vals[op] = arr[10, 10]
     assert vals["hillshade"] == vals["hillshade_zt"]
+
+
+def test_neighbors_generic_kernels(spark):
+    """gdal raster neighbors: generic radius-r halo matches a
+    whole-array edge-replicate mirror for every named kernel shape —
+    including the 5x5 kernels whose halo crosses block seams 2 deep —
+    and the non-convolution combine methods."""
+    import numpy as np
+
+    from gdal_spark.raster import focal, model
+
+    blocks = model.synth_blocks(spark, model.grad100_spec()).where(
+        "band = 1"
+    )
+    v = model.value_grid(0, 0, 100, 100, 1)
+
+    def mirror(K, method):
+        r = K.shape[0] // 2
+        pad = np.pad(v.astype(np.float64), r, mode="edge")
+        h, w = v.shape
+        views = [
+            (K[i, j], pad[i : i + h, j : j + w])
+            for i in range(K.shape[0])
+            for j in range(K.shape[0])
+        ]
+        if method in ("sum", "mean"):
+            out = sum(kw * x for kw, x in views if kw != 0.0)
+            if method == "mean" and K.sum() != 0:
+                out = out / K.sum()
+            return out
+        st = np.stack([x for kw, x in views if kw != 0.0])
+        return {
+            "min": st.min(0),
+            "max": st.max(0),
+            "median": np.median(st, 0),
+            "stddev": st.std(0),
+        }[method]
+
+    cases = [("gaussian-5x5", "mean"), ("edge2", "sum"),
+             ("u", "sum"), ("equal", "median"), ("equal", "stddev"),
+             ("unsharp-masking-5x5", "mean")]
+    for kern, method in cases:
+        out = focal.neighbors(blocks, kernel=kern, method=method)
+        full = np.zeros((100, 100))
+        for r_ in out.collect():
+            a = model.decode((r_.buf, r_.height, r_.width, r_.dtype))
+            full[r_.y0 : r_.y0 + r_.height, r_.x0 : r_.x0 + r_.width] = a
+        K = (
+            np.ones((3, 3))
+            if kern == "equal"
+            else np.array(focal.NEIGHBOR_KERNELS[kern], dtype=np.float64)
+        )
+        exp = mirror(K, method)
+        assert np.allclose(full, exp, rtol=0, atol=1e-9), (kern, method)
