@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "layer_intersection_area", # layer algebra / clipping
     "raster_zonal_stats",      # raster↔vector aggregation
     "raster_tile_pyramid",     # tile pyramid (z8→z6)
+    "raster_overview_refresh", # r5f incremental overview maintenance
+    "vector_reproject_merc",   # r5f zero-shuffle CRS transform
     "spatial_sort_morton",     # clustering key + range partition
 ]
 
