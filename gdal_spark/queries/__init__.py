@@ -364,6 +364,13 @@ def collect() -> tuple[
         # (named 3x3/5x5 kernels + combine methods); the focal family's
         # in-window rep stays raster_hillshade.
         "raster_neighbors",
+        # r5: gdal pipeline runner — the '!'-chain compiles onto the
+        # SAME operators the window already gates (make-point / filter
+        # / select / sort / limit are relational_suite + spatial reps),
+        # so the chain query rides the local replica; step semantics
+        # (tee, materialize, clip, geometry steps, raster chain) are
+        # pinned in tests/test_pipeline_runner.py.
+        "pipeline_chain",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

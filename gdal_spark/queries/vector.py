@@ -947,3 +947,39 @@ def _vector_reproject_merc_oracle() -> str:
 
 QUERIES["vector_reproject_merc"] = _vector_reproject_merc
 ORACLES["vector_reproject_merc"] = _vector_reproject_merc_oracle()
+
+
+# --- gdal pipeline runner (apps/gdalalg_pipeline.cpp) ------------------------
+# A '!'-separated step chain through gdal_spark.pipeline: geocoded pages
+# get a point geometry (make-point), a spatial bbox filter (the
+# SetSpatialFilterRect envelope rule), projection, sort, and a binding
+# limit.  The oracle rewrites the same chain as one SQL statement —
+# point envelope == the point, so the bbox filter is exactly the
+# lon/lat range test.
+
+
+def _pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.pipeline import run_vector_pipeline
+
+    return run_vector_pipeline(
+        spark,
+        "read geo_pages ! make-point --x lon --y lat "
+        "! filter --bbox -10.03,35.02,20.01,55.04 "
+        "! select --fields url,lang,city_id "
+        "! sort --by city_id,url ! limit 40",
+        sf_dir=sf_dir,
+    )
+
+
+def _pipeline_chain_oracle() -> str:
+    return f"""
+    with g as ({portable.geo_pages_cte('duckdb')})
+    select url, lang, city_id from g
+    where lon >= -10.03 and lon <= 20.01
+      and lat >= 35.02 and lat <= 55.04
+    order by city_id, url limit 40
+    """
+
+
+QUERIES["pipeline_chain"] = _pipeline_chain
+ORACLES["pipeline_chain"] = _pipeline_chain_oracle()
