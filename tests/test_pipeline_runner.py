@@ -181,3 +181,19 @@ def test_json_pipeline_entry(spark):
         sf_dir=SF_SMOKE,
     )
     assert out.count() == 4
+
+
+def test_pipeline_filter_pushes_to_scan(spark):
+    """The chain is a lazy Catalyst plan: a mid-chain filter/select
+    reaches the parquet scan as PushedFilters + a pruned ReadSchema."""
+    out = P.run_vector_pipeline(
+        spark,
+        "read lineitem ! filter --where 'l_quantity > 40' "
+        "! select --fields l_orderkey,l_quantity ! limit 10",
+        sf_dir=SF_SMOKE,
+    )
+    ex = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "GreaterThan(l_quantity,40.0)" in ex
+    assert "l_orderkey" in ex.split("ReadSchema")[1].splitlines()[0]
