@@ -254,6 +254,16 @@ NOTES = {
         "pipeline. At 10^12 features this is a single pass; the CRS "
         "math adds no exchange."
     ),
+    "pipeline_chain": (
+        "r5g pipeline runner: the parsed '!'-chain is ONE lazy Catalyst "
+        "plan — the make-point and bbox-filter steps are a single "
+        "projection + filter over the page scan, select prunes columns, "
+        "and the sort/limit compile to TakeOrderedAndProject (no global "
+        "sort materialization). Steps add no exchanges beyond what the "
+        "operators themselves need; a mid-chain relational filter still "
+        "reaches the parquet scan as PushedFilters "
+        "(tests/test_pipeline_runner.py::test_pipeline_filter_pushes_to_scan)."
+    ),
     "raster_overview_refresh": (
         "r5f incremental overview maintenance. The dirty overview-"
         "block key range derives closed-form from the --bbox, so the "
