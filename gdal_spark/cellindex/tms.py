@@ -346,3 +346,35 @@ def create_raster(
         ),
         tuple(mats),
     )
+
+
+def to_json(s: TileMatrixSet) -> dict:
+    """Export the TMS 1.0 (17-083r2) JSON shape the reference writes
+    (gcore/tilematrixset.cpp:611-656 exportToTMSJsonV1); round-trips
+    through from_json (tile assignment parity, scale denominators
+    preserved exactly)."""
+    return {
+        "type": "TileMatrixSetType",
+        "identifier": s.identifier,
+        "title": s.title,
+        "supportedCRS": s.crs,
+        "boundingBox": {
+            "type": "BoundingBoxType",
+            "crs": s.crs,
+            "lowerCorner": [s.bbox[0], s.bbox[1]],
+            "upperCorner": [s.bbox[2], s.bbox[3]],
+        },
+        "tileMatrix": [
+            {
+                "type": "TileMatrixType",
+                "identifier": str(m.z),
+                "scaleDenominator": m.scale_denominator,
+                "topLeftCorner": [m.top_left_x, m.top_left_y],
+                "tileWidth": m.tile_width,
+                "tileHeight": m.tile_height,
+                "matrixWidth": m.matrix_width,
+                "matrixHeight": m.matrix_height,
+            }
+            for m in s.matrices
+        ],
+    }

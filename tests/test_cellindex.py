@@ -234,3 +234,38 @@ def test_hex_cells_axial_adjacency(spark):
     }
     assert out["a"] == out["b"]
     assert out["a"] != out["c"]
+
+
+def test_tms_to_json_roundtrip():
+    """exportToTMSJsonV1 parity (gcore/tilematrixset.cpp:611-656):
+    to_json -> from_json preserves scale denominators exactly and tile
+    assignment bit-for-bit (resolution re-derives from the scale
+    denominator, so compare behavior, not float identity)."""
+    import json
+
+    import numpy as np
+
+    from gdal_spark.cellindex import tms
+
+    web = tms.get("WebMercatorQuad")
+    rt = tms.from_json(json.dumps(tms.to_json(web)))
+    assert rt.identifier == "WebMercatorQuad"
+    assert rt.max_zoom == web.max_zoom
+    xs = np.linspace(-2.003e7, 2.003e7, 101)
+    ys = np.linspace(-2.003e7, 2.003e7, 101)
+    for z in (0, 3, 11):
+        a, b = web.matrix(z), rt.matrix(z)
+        assert b.scale_denominator == a.scale_denominator
+        assert abs(b.res_x - a.res_x) <= 1e-13 * a.res_x
+        assert (
+            np.array(a.tile_for(xs, ys)) == np.array(b.tile_for(xs, ys))
+        ).all()
+    geo = tms.get("geodetic")
+    rg = tms.from_json(
+        tms.to_json(geo), meters_per_unit=tms.HALF_CIRCUMFERENCE / 180.0
+    )
+    for z in (0, 6):
+        assert (
+            rg.matrix(z).scale_denominator == geo.matrix(z).scale_denominator
+        )
+        assert abs(rg.matrix(z).res_x - geo.matrix(z).res_x) <= 1e-13
