@@ -371,6 +371,11 @@ def collect() -> tuple[
         # (tee, materialize, clip, geometry steps, raster chain) are
         # pinned in tests/test_pipeline_runner.py.
         "pipeline_chain",
+        # r5: multi-input named-variable calc (A[1] + B[2] reads across
+        # datasets, bare-name per-band expansion) — same expression
+        # dialect the window already gates via raster_pixel_functions;
+        # rides the local replica beside raster_calc_expression.
+        "raster_calc_multi",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

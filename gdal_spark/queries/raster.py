@@ -3675,3 +3675,50 @@ def _raster_neighbors_oracle() -> str:
 
 QUERIES["raster_neighbors"] = _raster_neighbors
 ORACLES["raster_neighbors"] = _raster_neighbors_oracle()
+
+
+# --- multi-input calc (apps/gdalalg_raster_calc.cpp:609,717) ----------------
+# Two NAMED inputs (bands 1 and 2 of the analytic grid as separate
+# variables A and B) + an indexed expression; oracle = the same
+# arithmetic over the analytic band formulas, exactly the
+# raster_calc_expression discipline.
+
+_CALC_MULTI_EXPR = "A[1] + 2*B[2] + where(A[1] > B[2], 1, 0) - min(A[1], B[2])"
+
+
+def _calc_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.calc import calc_multi
+
+    g = _blocks(spark)
+    out = calc_multi(
+        {"A": g.where("band = 1"), "B": g.where("band = 2")},
+        _CALC_MULTI_EXPR,
+    )
+    return (
+        ops.as_features(out)
+        .where("x < 40 and y < 40")
+        .select("x", "y", F.round("value", 6).alias("value"))
+    )
+
+
+def _calc_multi_oracle() -> str:
+    def val(b):
+        return (
+            "cast(("
+            + model.VALUE_SQL.format(x="x.x", y="y.y", band=str(b))
+            + ") as double)"
+        )
+
+    v1, v2 = val(1), val(2)
+    return f"""
+    select x.x as x, y.y as y,
+           round({v1} + 2 * {v2}
+                 + (case when {v1} > {v2} then 1 else 0 end)
+                 - least({v1}, {v2}), 6) as value
+    from (select unnest(range(40)) as x) x
+    cross join (select unnest(range(40)) as y) y
+    """
+
+
+QUERIES["raster_calc_multi"] = _calc_multi_query
+ORACLES["raster_calc_multi"] = _calc_multi_oracle()

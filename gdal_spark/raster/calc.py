@@ -288,3 +288,142 @@ def calc(blocks: DataFrame, expr: str, out_name: str | None = None) -> DataFrame
     return blocks.groupBy("dataset", "bx", "by").applyInPandas(
         fn, model.BLOCK_SCHEMA
     )
+
+
+# --- multi-input calc (named datasets, A[band] variables) -------------------
+
+_VAR_IDX = re.compile(r"([A-Za-z_]\w*)\s*\[\s*(\d+)\s*\]")
+
+
+def _bare_name(expr: str, name: str) -> bool:
+    """True if `name` occurs as a complete un-indexed variable (the
+    reference's MatchIsCompleteVariableNameWithNoIndex,
+    apps/gdalalg_raster_calc.cpp:60-105)."""
+    return re.search(rf"(?<![\w.]){re.escape(name)}(?!\s*[\w(\[])", expr) is not None
+
+
+def set_band_indices(expr: str, name: str, band: int) -> str:
+    """Replace bare `name` with `name[band]`; `name[k]` is left alone
+    (apps/gdalalg_raster_calc.cpp SetBandIndices: "X" -> "X[3]" but
+    "X[1]" untouched)."""
+    return re.sub(
+        rf"(?<![\w.]){re.escape(name)}(?!\s*[\w(\[])",
+        f"{name}[{band}]",
+        expr,
+    )
+
+
+def calc_multi(
+    inputs: dict[str, DataFrame],
+    expr: str,
+    out_name: str = "calc",
+) -> DataFrame:
+    """`gdal raster calc` with multiple NAMED inputs
+    (apps/gdalalg_raster_calc.cpp:609,717: each input binds a variable,
+    default "X"; "A[2]" reads band 2 of input A; an un-indexed name
+    expands the expression per band — "X + 3" over an n-band raster
+    produces n output bands, all inputs' un-indexed uses advancing in
+    lockstep, which requires equal band counts like the reference).
+
+    Distributed shape: each block table is tagged with its variable
+    name, the union regroups ONCE on (bx, by) — the only exchange —
+    and every output band evaluates inside one applyInPandas task per
+    block.  Inputs must share the block grid; mismatched block windows
+    raise (the reference re-grids mismatched extents via its VRT
+    machinery — out of scope, grids here come from the same table
+    model)."""
+    if not inputs:
+        raise ValueError("calc_multi: no inputs")
+    # band inventory per input (k rows per raster)
+    bands: dict[str, list[int]] = {}
+    for nm, df in inputs.items():
+        rows = df.select("band").distinct().collect()  # bounded-metadata: k band ids
+        bands[nm] = sorted(int(r["band"]) for r in rows)
+
+    # indexed uses must reference existing bands
+    for nm, b in _VAR_IDX.findall(expr):
+        if nm in bands and int(b) not in bands[nm]:
+            raise ValueError(f"calc_multi: {nm}[{b}] not in {bands[nm]}")
+
+    bare = [nm for nm in inputs if _bare_name(expr, nm)]
+    if bare:
+        counts = {len(bands[nm]) for nm in bare}
+        if len(counts) != 1:
+            raise ValueError(
+                "calc_multi: un-indexed variables need equal band counts "
+                f"({ {nm: len(bands[nm]) for nm in bare} })"
+            )
+        n_out = counts.pop()
+        per_band = []
+        for i in range(n_out):
+            e = expr
+            for nm in bare:
+                e = set_band_indices(e, nm, bands[nm][i])
+            per_band.append(e)
+    else:
+        per_band = [expr]
+
+    # A[2] -> flat names the tokenizer accepts, parsed ONCE driver-side
+    asts = [
+        parse_expr(_VAR_IDX.sub(r"\1__\2", e)) for e in per_band
+    ]
+
+    first = next(iter(inputs.values()))
+    cols = [c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")]
+    tagged = None
+    for nm, df in inputs.items():
+        t = df.select(F.lit(nm).alias("vname"), *cols)
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        env = {}
+        shape = None
+        r0 = pdf.iloc[0]
+        for r in pdf.itertuples():
+            a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                np.float64
+            )
+            if shape is None:
+                shape = a.shape
+            elif a.shape != shape or (r.x0, r.y0) != (r0.x0, r0.y0):
+                raise ValueError(
+                    "calc_multi: inputs disagree on the block grid"
+                )
+            env[f"{r.vname}__{int(r.band)}"] = a
+        out_rows = []
+        for i, ast in enumerate(asts):
+            out = eval_expr(ast, env)
+            out = np.broadcast_to(
+                np.asarray(out, dtype=np.float64), shape
+            )
+            out_rows.append(
+                (
+                    out_name,
+                    i + 1,
+                    int(key[0]),
+                    int(key[1]),
+                    int(r0.x0),
+                    int(r0.y0),
+                    shape[1],
+                    shape[0],
+                    "float64",
+                    r0.gt0,
+                    r0.gt1,
+                    r0.gt2,
+                    r0.gt3,
+                    r0.gt4,
+                    r0.gt5,
+                    None,
+                    np.ascontiguousarray(out).tobytes(),
+                )
+            )
+        return pd.DataFrame(out_rows, columns=cols)
+
+    # one exchange on (bx, by); the vname tag rides into the kernel
+    out_schema = model.BLOCK_SCHEMA
+    return (
+        tagged.groupBy("bx", "by")
+        .applyInPandas(
+            lambda key, pdf: fn(key, pdf), out_schema
+        )
+    )

@@ -313,3 +313,47 @@ def test_floyd_steinberg_preserves_mean():
     # exact palette color maps to itself, no dithering noise
     img2 = np.zeros((8, 8, 3))
     assert (floyd_steinberg(img2, pal) == 0).all()
+
+
+def test_calc_multi_named_inputs(spark):
+    """calc_multi (apps/gdalalg_raster_calc.cpp:609,717): A[b] indexed
+    reads, bare-name per-band expansion, block-grid mismatch guard."""
+    import numpy as np
+    import pytest as _pytest
+
+    from gdal_spark.raster import calc as C
+    from gdal_spark.raster import model
+
+    G = model.synth_blocks(spark, model.grad100_spec())
+    A, B = G.where("band = 1"), G.where("band = 2")
+    out = C.calc_multi(
+        {"A": A, "B": B}, "A[1] + 2*B[2] + where(A[1] > B[2], 1, 0)"
+    )
+    got = {(r["bx"], r["by"]): r for r in out.collect()}
+    ar = {(r["bx"], r["by"]): r for r in A.collect()}
+    br = {(r["bx"], r["by"]): r for r in B.collect()}
+    assert set(got) == set(ar)
+    for k, r in got.items():
+        a = model.decode(
+            (ar[k]["buf"], ar[k]["height"], ar[k]["width"], ar[k]["dtype"])
+        ).astype(np.float64)
+        b = model.decode(
+            (br[k]["buf"], br[k]["height"], br[k]["width"], br[k]["dtype"])
+        ).astype(np.float64)
+        exp = a + 2 * b + (a > b).astype(np.float64)
+        assert np.array_equal(
+            np.frombuffer(r["buf"]).reshape(r["height"], r["width"]), exp
+        )
+    # bare name expands per band: one output band per input band
+    out2 = C.calc_multi({"X": G}, "X + 3")
+    assert sorted({r["band"] for r in out2.collect()}) == [1, 2, 3]
+    # un-indexed variables with unequal band counts are rejected
+    with _pytest.raises(ValueError, match="equal band counts"):
+        C.calc_multi({"X": G, "Y": A}, "X + Y")
+    # indexed read of a missing band is rejected driver-side
+    with _pytest.raises(ValueError, match="not in"):
+        C.calc_multi({"A": A}, "A[7]")
+    # different block grids raise inside the kernel
+    P = model.synth_blocks(spark, model.plane_spec()).where("band = 1")
+    with _pytest.raises(Exception, match="block grid"):
+        C.calc_multi({"A": A, "B": P}, "A[1] + B[1]").collect()
