@@ -198,3 +198,31 @@ def cell_to_lonlat(cell) -> tuple[np.ndarray, np.ndarray]:
     lon = np.degrees(np.arctan2(y, x))
     lat = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
     return lon, lat
+
+
+def cell_face_pos(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(face, hilbert position, level) decomposition of packed cell
+    ids — the integer key pair operators/cells.compact_pos_cells
+    groups on (parent = pos div 4, the bit-prefix rule of
+    cell_parent)."""
+    c = np.asarray(cell, dtype=np.uint64)
+    lev = cell_level(c)
+    face = (c >> np.uint64(2 * MAX_LEVEL + 1)).astype(np.int64)
+    ppos = c >> (2 * (MAX_LEVEL - lev) + 1).astype(np.uint64)
+    pos = (ppos & ((np.uint64(1) << (2 * lev).astype(np.uint64)) - np.uint64(1))).astype(
+        np.int64
+    )
+    return face, pos, lev
+
+
+def face_pos_to_cell(face, pos, level) -> np.ndarray:
+    """Inverse of cell_face_pos: repack (face, pos, level) into the
+    64-bit id with its trailing-one marker."""
+    face = np.asarray(face, dtype=np.uint64)
+    pos = np.asarray(pos, dtype=np.uint64)
+    lev = np.asarray(level, dtype=np.uint64)
+    shift = np.uint64(2) * (np.uint64(MAX_LEVEL) - lev) + np.uint64(1)
+    ppos = (face << (np.uint64(2) * lev)) | pos
+    return ((ppos << shift) | (np.uint64(1) << (shift - np.uint64(1)))).astype(
+        np.int64
+    )

@@ -376,6 +376,14 @@ def collect() -> tuple[
         # dialect the window already gates via raster_pixel_functions;
         # rides the local replica beside raster_calc_expression.
         "raster_calc_multi",
+        # r5: cell-cover compaction (north-star "cell encode +
+        # compaction"; S2 CellUnion-Normalize / H3 compactCells rule) —
+        # the tile-key math it rolls up is driver-gated in-window via
+        # spatial_join_tiles / tile_assign_geodetic; the unrolled
+        # per-level round oracle rides the local replica and the
+        # operator is pinned in tests/test_cells.py (incl. the S2
+        # face/pos variant and the codegen-only uncompact).
+        "cell_compact",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

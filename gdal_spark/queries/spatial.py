@@ -360,3 +360,73 @@ def _hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["hex_density"] = _hex_density
 ORACLES["hex_density"] = _hex_density_sql("duckdb")
+
+
+# --- cell-cover compaction (north star: "cell encode + compaction") ---------
+# Children (z+1) of every distinct page tile are generated, then
+# compacted back: every complete 4-sibling family collapses to its
+# parent, cascading to level 0.  The oracle unrolls the SAME per-level
+# rounds (group-by-parent having count 4, anti-join survivors) as
+# generated SQL — bit-exact tile math via the shared portable fragment.
+
+_COMPACT_Z = 8
+
+
+def _cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gdal_spark import tables
+    from gdal_spark.operators.cells import compact_quad_cells
+
+    tables.register_views(spark, sf_dir)
+    tx, ty = portable.tile_cols_list("lat", "lon", _COMPACT_Z)
+    kids = (
+        spark.table("geo_pages")
+        .selectExpr(tx, ty)
+        .distinct()
+        .withColumn("dx", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(0), F.lit(1))))
+        .selectExpr(
+            f"{_COMPACT_Z + 1} as z",
+            "tile_x * 2 + dx as x",
+            "tile_y * 2 + dy as y",
+        )
+    )
+    return compact_quad_cells(kids).orderBy("z", "x", "y")
+
+
+def _cell_compact_oracle() -> str:
+    z = _COMPACT_Z
+    tile = portable.tile_cols("lat", "lon", z)
+    parts = [
+        f"g as ({portable.geo_pages_cte('duckdb')})",
+        f"t as (select distinct tile_x, tile_y from (select {tile} from g))",
+        f"l{z + 1} as (select distinct cast(tile_x * 2 + v.dx as bigint) as x,"
+        " cast(tile_y * 2 + v.dy as bigint) as y from t cross join"
+        " (values (0, 0), (0, 1), (1, 0), (1, 1)) v(dx, dy))",
+    ]
+    for lvl in range(z + 1, 0, -1):
+        parts.append(
+            f"comp{lvl} as (select x // 2 as px, y // 2 as py from l{lvl}"
+            " group by 1, 2 having count(*) = 4)"
+        )
+        parts.append(
+            f"keep{lvl} as (select cast({lvl} as integer) as z, x, y"
+            f" from l{lvl} k where not exists (select 1 from comp{lvl} c"
+            " where c.px = k.x // 2 and c.py = k.y // 2))"
+        )
+        parts.append(
+            f"l{lvl - 1} as (select px as x, py as y from comp{lvl})"
+        )
+    unions = " union all ".join(
+        [f"select z, x, y from keep{lvl}" for lvl in range(z + 1, 0, -1)]
+        + ["select cast(0 as integer) as z, x, y from l0"]
+    )
+    return (
+        "with " + ",\n".join(parts) + f"\nselect * from ({unions}) "
+        "order by z, x, y"
+    )
+
+
+QUERIES["cell_compact"] = _cell_compact
+ORACLES["cell_compact"] = _cell_compact_oracle()
