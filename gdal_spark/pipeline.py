@@ -310,6 +310,14 @@ _FOCAL_OPS = {
 }
 
 
+def _raster_dims(blocks: DataFrame) -> tuple[int, int]:
+    r = blocks.agg(
+        F.max(F.col("x0") + F.col("width")).alias("w"),
+        F.max(F.col("y0") + F.col("height")).alias("h"),
+    ).first()  # bounded-metadata: raster dims
+    return int(r["w"]), int(r["h"])
+
+
 def run_raster_pipeline(
     spark: SparkSession,
     text: str,
@@ -324,6 +332,12 @@ def run_raster_pipeline(
     resize --size W,H [--method M] | reclassify --map "1=2,3=4"
     [--default D] | calc --expr E | select --bands 1,2 |
     tee <path> | materialize [path] | write <path>
+
+    Raster→vector conversion steps (registered in the reference's
+    mixed pipeline, apps/gdalalg_pipeline.cpp includes): polygonize
+    [--band N] | footprint [--band N] [--nodata V] | contour --levels
+    a,b,c | as-features — after one of these the rows are features,
+    not blocks, so only tee/materialize/write may follow.
 
     `read` accepts a synthetic GridSpec name (the engine's raster
     sources are tables, SURVEY §2.1) or a parquet block-table path."""
@@ -394,6 +408,34 @@ def run_raster_pipeline(
         elif name == "select":
             bands = [int(b) for b in opts["bands"].split(",")]
             blocks = blocks.where(F.col("band").isin(bands))
+        elif name == "polygonize":
+            from gdal_spark.raster.polygonize import polygonize
+
+            w, _h = _raster_dims(blocks)
+            blocks = polygonize(blocks, w, band=int(opts.get("band", 1)))
+        elif name == "footprint":
+            from gdal_spark.raster.polygonize import footprint
+
+            w, h = _raster_dims(blocks)
+            blocks = footprint(
+                blocks,
+                w,
+                h,
+                band=int(opts.get("band", 1)),
+                nodata=float(opts.get("nodata", 0.0)),
+            )
+        elif name == "contour":
+            from gdal_spark.raster.contour import (
+                contour_polylines,
+                contour_segments,
+            )
+
+            w, h = _raster_dims(blocks)
+            blocks = contour_polylines(
+                contour_segments(blocks, _floats(opts["levels"]), w, h)
+            )
+        elif name == "as-features":
+            blocks = ops.as_features(blocks)
         elif name == "tee":
             blocks = blocks.persist()
             blocks.write.mode("overwrite").parquet(pos[0])

@@ -197,3 +197,49 @@ def test_pipeline_filter_pushes_to_scan(spark):
     )
     assert "GreaterThan(l_quantity,40.0)" in ex
     assert "l_orderkey" in ex.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_raster_to_vector_steps(spark, tmp_path):
+    """Mixed raster→vector pipeline steps (apps/gdalalg_pipeline.cpp
+    registers polygonize/footprint/contour/as_features as pipeline
+    members): parity with the directly-composed operators."""
+    from gdal_spark.raster import model, ops
+    from gdal_spark.raster.contour import contour_polylines, contour_segments
+
+    out = P.run_raster_pipeline(
+        spark, "read checker ! polygonize --band 1"
+    )
+    direct_w = (
+        model.synth_blocks(spark, model.checker_spec())
+        .agg(F.max(F.col("x0") + F.col("width")))
+        .first()[0]
+    )  # bounded-metadata: raster width
+    from gdal_spark.raster.polygonize import polygonize
+
+    direct = polygonize(
+        model.synth_blocks(spark, model.checker_spec()), int(direct_w), band=1
+    )
+    assert sorted(
+        (r["value"], r["n_pixels"]) for r in out.collect()
+    ) == sorted((r["value"], r["n_pixels"]) for r in direct.collect())
+
+    cont = P.run_raster_pipeline(
+        spark,
+        "read plane ! contour --levels 20,40 ! materialize "
+        + str(tmp_path / "cont"),
+    )
+    g = model.synth_blocks(spark, model.plane_spec())
+    w = int(
+        g.agg(F.max(F.col("x0") + F.col("width"))).first()[0]
+    )  # bounded-metadata
+    h = int(
+        g.agg(F.max(F.col("y0") + F.col("height"))).first()[0]
+    )  # bounded-metadata
+    dc = contour_polylines(contour_segments(g, [20.0, 40.0], w, h))
+    assert cont.count() == dc.count() > 0
+
+    feats = P.run_raster_pipeline(
+        spark, "read grad100 ! select --bands 1 ! as-features ! tee "
+        + str(tmp_path / "feat")
+    )
+    assert feats.where("x = 3 and y = 4").count() == 1
