@@ -384,6 +384,12 @@ def collect() -> tuple[
         # operator is pinned in tests/test_cells.py (incl. the S2
         # face/pos variant and the codegen-only uncompact).
         "cell_compact",
+        # r5: contour --polygonize (level-band polygons) — pure
+        # composition of the in-window-gated classify + polygonize CCL
+        # machinery (raster_polygonize, raster_contour_lines stay the
+        # family reps); rides the local replica, geometry pinned in
+        # tests/test_polygonize.py.
+        "raster_contour_polygons",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

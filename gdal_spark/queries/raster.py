@@ -3722,3 +3722,71 @@ def _calc_multi_oracle() -> str:
 
 QUERIES["raster_calc_multi"] = _calc_multi_query
 ORACLES["raster_calc_multi"] = _calc_multi_oracle()
+
+
+# --- contour polygons (apps/gdalalg_raster_contour.cpp:75 --polygonize) -----
+# Level bands of the analytic plane z = 3x + 4y; every band is a
+# single 4-connected region (linear ramp, band width >= the max pixel
+# step), so region counts, pixel counts and the amin/amax bounds are
+# all closed-form in SQL.  Geometry (traced rings, area == n_pixels)
+# is pinned by tests/test_polygonize.py.
+
+_CP_LEVELS = [50.0, 100.0, 200.0, 300.0]
+
+
+def _contour_polygons_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.contour import contour_polygons
+
+    g = model.synth_blocks(spark, model.plane_spec())
+    cp = contour_polygons(g, _CP_LEVELS, 60, 60)
+    return (
+        cp.groupBy("band_code")
+        .agg(
+            F.count("*").alias("n_regions"),
+            F.sum("n_pixels").alias("n_pixels"),
+            F.min("amin").alias("amin"),
+            F.min("amax").alias("amax"),
+        )
+        .orderBy("band_code")
+    )
+
+
+def _contour_polygons_oracle() -> str:
+    lv = _CP_LEVELS
+    code = (
+        "case "
+        + " ".join(
+            f"when z < {lv[i]} then {i}" for i in range(len(lv))
+        )
+        + f" else {len(lv)} end"
+    )
+    amin = (
+        "case band_code "
+        + " ".join(
+            f"when {i + 1} then cast({lv[i]} as double)"
+            for i in range(len(lv))
+        )
+        + " else null end"
+    )
+    amax = (
+        "case band_code "
+        + " ".join(
+            f"when {i} then cast({lv[i]} as double)" for i in range(len(lv))
+        )
+        + " else null end"
+    )
+    return f"""
+    with px as (
+      select cast(3 * x.x + 4 * y.y as double) as z
+      from (select unnest(range(60)) as x) x
+      cross join (select unnest(range(60)) as y) y
+    ),
+    c as (select ({code}) as band_code from px)
+    select band_code, cast(1 as bigint) as n_regions,
+           count(*) as n_pixels, ({amin}) as amin, ({amax}) as amax
+    from c group by band_code order by band_code
+    """
+
+
+QUERIES["raster_contour_polygons"] = _contour_polygons_q
+ORACLES["raster_contour_polygons"] = _contour_polygons_oracle()

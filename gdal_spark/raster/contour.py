@@ -197,3 +197,77 @@ def contour_polylines(segs: DataFrame) -> DataFrame:
     return segs.groupBy("dataset", "band", "level").applyInPandas(
         stitch, out_schema
     )
+
+
+# --- contour polygons (gdal raster contour --polygonize) --------------------
+
+
+def classify_bands(blocks: DataFrame, levels: list[float]) -> DataFrame:
+    """Int32 band-code raster: code = number of levels <= pixel value
+    (band k covers [level_{k-1}, level_k), code 0 below the first
+    level, code len(levels) at/above the last) — the level-banding the
+    reference's polygon contour generator applies per cell
+    (alg/contour.cpp GDALContourGenerateEx POLYGONIZE=YES). Pure map
+    stage over the block table."""
+    from typing import Iterator
+
+    from gdal_spark.raster import model
+
+    lv = np.asarray(sorted(levels), dtype=np.float64)
+    cols = [c.split()[0] for c in model.BLOCK_SCHEMA.split(", ")]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            bufs = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.float64
+                )
+                code = np.searchsorted(lv, a.ravel(), side="right").astype(
+                    np.int32
+                )
+                bufs.append(code.tobytes())
+            out["buf"] = bufs
+            out["dtype"] = "int32"
+            yield out[cols]
+
+    return blocks.mapInPandas(fn, model.BLOCK_SCHEMA)
+
+
+def contour_polygons(
+    blocks: DataFrame,
+    levels: list[float],
+    width: int,
+    height: int,
+    band: int = 1,
+) -> DataFrame:
+    """`gdal raster contour --polygonize` (apps/
+    gdalalg_raster_contour.cpp:75, -amin/-amax fields :59-60): polygon
+    per connected region of each level band, with the band's bounds as
+    amin/amax (NULL on the open ends). Classification is one map
+    stage; the region extraction is the SAME distributed CCL +
+    ring-trace pipeline as polygonize (one shuffle keyed by region) —
+    composition, not new machinery."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.raster.polygonize import polygonize_wkb
+
+    lv = sorted(float(v) for v in levels)
+    arr = "array(" + ", ".join(f"cast({v} as double)" for v in lv) + ")"
+    cls = classify_bands(blocks.where(F.col("band") == band), lv)
+    out = polygonize_wkb(cls, width, height, band=band)
+    return out.select(
+        "region_id",
+        F.col("value").cast("int").alias("band_code"),
+        "n_pixels",
+        F.expr(
+            f"case when value >= 1 then element_at({arr}, cast(value as int))"
+            " else null end"
+        ).alias("amin"),
+        F.expr(
+            f"case when value < {len(lv)} then"
+            f" element_at({arr}, cast(value as int) + 1) else null end"
+        ).alias("amax"),
+        "wkb",
+    )

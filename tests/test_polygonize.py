@@ -213,3 +213,39 @@ def test_contour_polylines_stitch(spark):
     loops = contour_polylines(segs2).collect()
     assert len(loops) == 1
     assert loops[0].closed is True
+
+
+def test_contour_polygons_bands_on_plane(spark):
+    """contour --polygonize (apps/gdalalg_raster_contour.cpp:75):
+    level bands of the analytic plane -> one connected region per
+    band, amin/amax = band bounds (NULL open ends), traced polygon
+    area == pixel count."""
+    from gdal_spark.geometry.kernels import polygon_area
+    from gdal_spark.geometry.wkb import parse_wkb
+    from gdal_spark.raster.contour import contour_polygons
+
+    g = model.synth_blocks(spark, model.plane_spec())
+    rows = contour_polygons(g, [50.0, 100.0, 200.0, 300.0], 60, 60).collect()
+    by_code = {}
+    for r in rows:
+        by_code.setdefault(r.band_code, []).append(r)
+    assert set(by_code) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 1 for v in by_code.values())
+    assert sum(r.n_pixels for r in rows) == 3600
+    bounds = {0: (None, 50.0), 1: (50.0, 100.0), 2: (100.0, 200.0),
+              3: (200.0, 300.0), 4: (300.0, None)}
+    for code, (lo, hi) in bounds.items():
+        r = by_code[code][0]
+        assert r.amin == lo and r.amax == hi
+        _, payload = parse_wkb(bytes(r.wkb))
+        assert polygon_area(payload) == r.n_pixels
+    # pixel-level truth: z = 3x + 4y, band = #levels <= z
+    import numpy as np
+
+    z = model.plane_values(0, 0, 60, 60).astype(np.float64)
+    for code in bounds:
+        want = int(
+            (np.searchsorted([50.0, 100.0, 200.0, 300.0], z.ravel(),
+                             side="right") == code).sum()
+        )
+        assert by_code[code][0].n_pixels == want
