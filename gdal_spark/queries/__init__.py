@@ -390,6 +390,12 @@ def collect() -> tuple[
         # family reps); rides the local replica, geometry pinned in
         # tests/test_polygonize.py.
         "raster_contour_polygons",
+        # r5: GetHistogram (bucket rule + out-of-range clamp) — the
+        # band-statistics family's in-window rep stays
+        # raster_band_stats; the histogram rides the local replica and
+        # the clamp/skip edge semantics are pinned in
+        # tests/test_raster_ops.py.
+        "raster_histogram",
     ]
     head = {k: v for k, v in queries.items() if k not in demoted}
     tail = {k: queries[k] for k in demoted if k in queries}

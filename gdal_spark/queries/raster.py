@@ -3790,3 +3790,31 @@ def _contour_polygons_oracle() -> str:
 
 QUERIES["raster_contour_polygons"] = _contour_polygons_q
 ORACLES["raster_contour_polygons"] = _contour_polygons_oracle()
+
+
+# --- band histogram (gcore/gdalrasterband.cpp GetHistogram) -----------------
+# 16 buckets over [0, 256): bucket = value div 16 on the analytic
+# uint8 fixture — exact integer SQL mirror of the floor((v-min)*scale)
+# rule.
+
+
+def _raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.histogram(_blocks(spark), 0.0, 256.0, 16)
+
+
+def _raster_histogram_oracle() -> str:
+    v = model.VALUE_SQL.format(x="x.x", y="y.y", band="b.band")
+    return f"""
+    with px as (
+      select b.band as band, (({v}) // 16) as bucket
+      from (select unnest(range(100)) as x) x
+      cross join (select unnest(range(100)) as y) y
+      cross join (select unnest([1, 2, 3]) as band) b
+    )
+    select band, cast(bucket as bigint) as bucket, count(*) as n
+    from px group by band, bucket order by band, bucket
+    """
+
+
+QUERIES["raster_histogram"] = _raster_histogram
+ORACLES["raster_histogram"] = _raster_histogram_oracle()

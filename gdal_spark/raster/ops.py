@@ -1259,3 +1259,68 @@ def update(
             yield pd.DataFrame(rows, columns=out_cols)
 
     return both.mapInPandas(fn, model.BLOCK_SCHEMA)
+
+
+def histogram(
+    blocks: DataFrame,
+    df_min: float | None = None,
+    df_max: float | None = None,
+    n_buckets: int = 256,
+    include_out_of_range: bool = False,
+) -> DataFrame:
+    """GDALRasterBand::GetHistogram (gcore/gdalrasterband.cpp:4263,
+    4499-4514): bucket = floor((v - min) * n / (max - min)); values
+    below the range land in bucket 0 and above in bucket n-1 ONLY when
+    include_out_of_range, else they are skipped; nodata pixels are
+    skipped.  Omitted range = the GetDefaultHistogram uint8 default
+    (-0.5, 255.5) (:4891 area).
+
+    Distributed shape: each block bincounts its own pixels map-side
+    (one int64 array per block, never per-pixel rows), then ONE
+    (band, bucket) groupBy sums the partials — the shuffle carries at
+    most n_buckets rows per block.  Output (band, bucket, n) sparse
+    rows (empty buckets omitted; the reference returns a dense array —
+    densify with a sequence join if needed)."""
+    from typing import Iterator
+
+    if df_min is None or df_max is None:
+        df_min, df_max = -0.5, 255.5
+    scale = n_buckets / (df_max - df_min)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                a = model.decode((r.buf, r.height, r.width, r.dtype)).astype(
+                    np.float64
+                ).ravel()
+                if r.nodata is not None and not np.isnan(r.nodata):
+                    a = a[a != r.nodata]
+                idx = np.floor((a - df_min) * scale)
+                if include_out_of_range:
+                    idx = np.clip(idx, 0, n_buckets - 1)
+                else:
+                    idx = idx[(idx >= 0) & (idx < n_buckets)]
+                counts = np.bincount(
+                    idx.astype(np.int64), minlength=n_buckets
+                )
+                nz = np.nonzero(counts)[0]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "band": int(r.band),
+                            "bucket": nz.astype(np.int64),
+                            "n": counts[nz].astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"band": [], "bucket": [], "n": []}
+            )
+
+    partial = blocks.mapInPandas(fn, "band int, bucket long, n long")
+    return (
+        partial.groupBy("band", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("band", "bucket")
+    )

@@ -357,3 +357,47 @@ def test_calc_multi_named_inputs(spark):
     P = model.synth_blocks(spark, model.plane_spec()).where("band = 1")
     with _pytest.raises(Exception, match="block grid"):
         C.calc_multi({"A": A, "B": P}, "A[1] + B[1]").collect()
+
+
+def test_histogram_gethistogram_rule(spark):
+    """GetHistogram parity (gcore/gdalrasterband.cpp:4263,4499-4514):
+    bucket = floor((v-min)*n/(max-min)); out-of-range skipped unless
+    include_out_of_range (then clamped to the edge buckets)."""
+    import numpy as np
+
+    from gdal_spark.raster import model, ops
+
+    g = model.synth_blocks(spark, model.grad100_spec())
+    got = {
+        (r["band"], r["bucket"]): r["n"]
+        for r in ops.histogram(g, 0.0, 256.0, 16).collect()
+    }
+    want = {}
+    for b in (1, 2, 3):
+        v = model.value_grid(0, 0, 100, 100, b).astype(np.float64).ravel()
+        idx = np.floor(v * 16 / 256.0).astype(int)
+        for i, c in zip(*np.unique(idx, return_counts=True)):
+            want[(b, int(i))] = int(c)
+    assert got == want
+    # default uint8 range (-0.5, 255.5): identity buckets = value counts
+    d = {
+        (r["band"], r["bucket"]): r["n"]
+        for r in ops.histogram(g.where("band = 1")).collect()
+    }
+    v = model.value_grid(0, 0, 100, 100, 1).ravel()
+    u, c = np.unique(v, return_counts=True)
+    assert d == {(1, int(x)): int(n) for x, n in zip(u, c)}
+    # narrow range: out-of-range values skipped vs clamped to the edges
+    skip = ops.histogram(g.where("band = 1"), 64.0, 192.0, 8).collect()
+    incl = ops.histogram(
+        g.where("band = 1"), 64.0, 192.0, 8, include_out_of_range=True
+    ).collect()
+    v64 = v.astype(np.float64)
+    inside = ((v64 >= 64) & (v64 < 192)).sum()
+    assert sum(r["n"] for r in skip) == inside
+    assert sum(r["n"] for r in incl) == v.size
+    edge = {r["bucket"]: r["n"] for r in incl}
+    below, above = (v64 < 64).sum(), (v64 >= 192).sum()
+    skip_edge = {r["bucket"]: r["n"] for r in skip}
+    assert edge[0] == skip_edge[0] + below
+    assert edge[7] == skip_edge[7] + above
