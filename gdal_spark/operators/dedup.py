@@ -745,12 +745,101 @@ def simhash_cols(
         for b in range(bits)
     ]
     v = d.selectExpr("*", *votes)
+    # shift a BIGINT one: shiftleft(1, b) is int32 and overflows at
+    # b = 31, capping usable signature width at 31 bits
     contrib = " + ".join(
-        f"(case when _v{b} > 0 then cast(shiftleft(1, {b}) as bigint) "
+        f"(case when _v{b} > 0 then shiftleft(cast(1 as bigint), {b}) "
         f"else cast(0 as bigint) end)"
         for b in range(bits)
     )
     return v.selectExpr(*df.columns, f"{contrib} as {out}")
+
+
+def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) per pigeonhole block: max_hamming+1 contiguous
+    bit ranges covering [0, bits), widths differing by at most 1. Two
+    signatures within Hamming distance max_hamming differ in at most
+    max_hamming blocks, so they agree EXACTLY on >= 1 block — the
+    pigeonhole guarantee behind Manku/Jain/Sarma's table scheme."""
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError("need max_hamming + 1 <= bits")
+    base, extra = divmod(bits, n_blocks)
+    out, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "portable",
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — near-dup pairs whose `bits`-bit SimHash
+    signatures are within Hamming distance `max_hamming`: the
+    Manku-Jain-Sarma web-crawl rule (WWW 2007, "Detecting
+    Near-Duplicates for Web Crawling"), of which the exact-signature
+    join (simhash_dup_pairs) is the k=0 special case.
+
+    Candidate generation is the pigeonhole block probe: the signature
+    splits into max_hamming+1 contiguous blocks (simhash_blocks) and
+    candidates equi-join on (block_idx, block_bits). Recall is PERFECT
+    (pigeonhole: <= max_hamming differing bits cannot touch all
+    max_hamming+1 blocks), so the brute-force all-pairs Hamming join is
+    an exact oracle for the blocked plan — not an approximation bound.
+    Verification is one bit_count(a XOR b) per candidate pair.
+
+    Scale: signatures are a pure map stage (simhash_cols — zero
+    shuffle); the corpus is exchanged ONCE on the block key, the
+    hot-bucket window cap and both self-join sides reuse that exchange
+    (same ReusedExchange discipline as candidate_pairs, same
+    O(bucket²) stop guard and recall trade — a pair dropped from one
+    hot block can still meet through its other max_hamming blocks)."""
+    sigs = simhash_cols(
+        df.select(id_col, text_col), bits=bits, text_col=text_col,
+        hasher=hasher,
+    ).select(id_col, "simhash")
+    entries = ", ".join(
+        f"named_struct('blk', {i}, 'bv', "
+        f"shiftright(simhash, {off}) & {(1 << w) - 1})"
+        for i, (off, w) in enumerate(simhash_blocks(bits, max_hamming))
+    )
+    blocks = sigs.selectExpr(
+        id_col, "simhash", f"inline(array({entries}))"
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("blk", "bv")
+        blocks = (
+            blocks.withColumn("_bn", F.count("*").over(w))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    a = blocks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"),
+        "blk", "bv",
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"),
+        "blk", "bv",
+    )
+    return (
+        a.join(b, ["blk", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("cast(bit_count(_sa ^ _sb) as int)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def cluster_safe_split(

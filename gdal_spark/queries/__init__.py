@@ -234,6 +234,11 @@ def collect() -> tuple[
         # operator and same oracle as dedup_simhash, alternate physical
         # plan; bit-identity additionally pinned in tests/test_dedup.py.
         "dedup_simhash_mapside",
+        # r5: Manku et al. Hamming<=k simhash near-dup (pigeonhole
+        # block probe) — the simhash family's in-window rep stays
+        # dedup_simhash; the brute-force-Hamming oracle checks the
+        # probe's perfect-recall guarantee on the local replica.
+        "simhash_hamming_pairs",
         # r5: fuzzy LSH decontamination — the decontamination family's
         # in-window rep stays the exact 13-gram `decontaminate`; this
         # rides the local replica (same minhash band machinery the

@@ -517,7 +517,8 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(corpus, bits=16)
 
 
-SIMHASH_ORACLE = f"""
+def _simhash_oracle(bits: int) -> str:
+    return f"""
     with corpus as ({NEAR_DUP_CORPUS_SQL}),
     t as (
         select doc_id, w, count(*) as cnt,
@@ -528,14 +529,17 @@ SIMHASH_ORACLE = f"""
     bits as (
         select doc_id, b,
                sum(case when (h >> b) % 2 = 1 then cnt else -cnt end) as v
-        from t cross join (select unnest(range(16)) as b)
+        from t cross join (select unnest(range({bits})) as b)
         group by doc_id, b
     )
     select doc_id,
-           cast(sum(case when v > 0 then cast(1 << b as bigint) else 0 end)
+           cast(sum(case when v > 0 then (cast(1 as bigint) << b) else 0 end)
                 as bigint) as simhash
     from bits group by doc_id
 """
+
+
+SIMHASH_ORACLE = _simhash_oracle(16)
 
 
 def _dedup_simhash_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,6 +570,29 @@ SIMHASH_PAIRS_ORACLE = f"""
 """
 
 
+def _simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manku et al. 2007 near-dup: Hamming(simhash) <= 3 via the
+    pigeonhole block probe. The oracle is the BRUTE-FORCE all-pairs
+    Hamming join — valid because block-probe recall is provably
+    perfect (see operators/dedup.simhash_hamming_pairs), so the oracle
+    checks the recall guarantee itself, not just the verify step.
+    32-bit signatures: at 16 bits, random non-dup pairs collide within
+    Hamming 3 by chance; at 32 the rule separates the real near-dups
+    (doc vs its ' mutated' twin) from noise."""
+    return dedup.simhash_hamming_pairs(
+        _near_dup_corpus(spark, sf_dir), bits=32, max_hamming=3
+    )
+
+
+SIMHASH_HAMMING_ORACLE = f"""
+    with sh as ({_simhash_oracle(32)})
+    select a.doc_id as id_a, b.doc_id as id_b,
+           cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+    from sh a join sh b on a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 QUERIES = {
     "text_stats": _text_stats,
     "token_count": _token_count,
@@ -576,6 +603,7 @@ QUERIES = {
     "dedup_simhash": _dedup_simhash,
     "dedup_simhash_mapside": _dedup_simhash_mapside,
     "simhash_dup_pairs": _simhash_pairs,
+    "simhash_hamming_pairs": _simhash_hamming,
     "lsh_decontaminate": _lsh_decontaminate,
     "dedup_incremental": _dedup_incremental,
 }
@@ -590,6 +618,7 @@ ORACLES = {
     "dedup_simhash": SIMHASH_ORACLE,
     "dedup_simhash_mapside": SIMHASH_ORACLE,
     "simhash_dup_pairs": SIMHASH_PAIRS_ORACLE,
+    "simhash_hamming_pairs": SIMHASH_HAMMING_ORACLE,
     "lsh_decontaminate": _lsh_decon_oracle(),
     "dedup_incremental": _incremental_oracle(),
 }

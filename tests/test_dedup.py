@@ -402,3 +402,80 @@ def test_cluster_safe_split_keeps_clusters_together(spark):
     assert {
         r.split for r in cluster_safe_split(df, pairs, 1000).collect()
     } == {"eval"}
+
+
+def test_simhash_blocks_partition():
+    """Pigeonhole blocks tile [0, bits) exactly, widths within 1."""
+    for bits, k in ((16, 3), (32, 3), (64, 6), (13, 4)):
+        blocks = dedup.simhash_blocks(bits, k)
+        assert len(blocks) == k + 1
+        covered = [b for off, w in blocks for b in range(off, off + w)]
+        assert covered == list(range(bits))
+        widths = {w for _, w in blocks}
+        assert max(widths) - min(widths) <= 1
+    with pytest.raises(ValueError):
+        dedup.simhash_blocks(4, 4)
+
+
+def test_simhash_hamming_pairs_matches_brute_force(spark):
+    """Manku block-probe recall is PERFECT: the blocked plan's output
+    equals the all-pairs Hamming<=k join, for every k (the pigeonhole
+    argument, checked exhaustively on a planted corpus)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight again"),
+        (2, "the quick brown fox jumps over the lazy dog tonight again"),
+        (3, "the quick brown fox jumps over the lazy cat tonight again"),
+        (4, "completely different text about spark engines and arrow data"),
+        (5, "breaking news subscribe to our newsletter today for updates"),
+        (6, "breaking news subscribe to our newsletter now for updates"),
+        (7, "one more unrelated document mentioning graphs and rasters"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_cols(df, bits=32).collect()
+    }
+    for k in (0, 2, 4):
+        brute = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for a in sigs
+            for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= k
+        }
+        got = {
+            tuple(r)
+            for r in dedup.simhash_hamming_pairs(
+                df, bits=32, max_hamming=k
+            ).collect()
+        }
+        assert got == brute, f"k={k}"
+    # exact dup pair present at k=0; near dups appear as k grows
+    assert (1, 2, 0) in {
+        tuple(r)
+        for r in dedup.simhash_hamming_pairs(df, bits=32, max_hamming=0).collect()
+    }
+
+
+def test_simhash_hamming_hot_bucket_cap(spark):
+    """A template cluster floods every block bucket; the window cap
+    drops those buckets before the self-join and pair counts stay
+    bounded, while distinct near-dups outside the cluster survive."""
+    cluster = [(i, "breaking news subscribe to our newsletter today now")
+               for i in range(60)]
+    near = [(5000, "spark engines process massive tables using columnar arrow data"),
+            (5001, "spark engines process massive tables using columnar arrow sets")]
+    uniq = [(1000 + i,
+             f"document {i} covers topic {i * 7} and subject {i * 13} deeply")
+            for i in range(40)]
+    df = spark.createDataFrame(
+        cluster + near + uniq, "doc_id long, text string"
+    ).repartition(8)
+    uncapped = dedup.simhash_hamming_pairs(df, bits=32, max_hamming=3,
+                                           max_bucket=None)
+    assert uncapped.where("id_a < 60 and id_b < 60").count() == 1770
+    capped = dedup.simhash_hamming_pairs(df, bits=32, max_hamming=3,
+                                         max_bucket=20)
+    assert capped.where("id_a < 60 and id_b < 60").count() == 0
+    assert (5000, 5001) in {
+        (r.id_a, r.id_b) for r in capped.collect()
+    }
