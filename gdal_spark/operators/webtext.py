@@ -1554,3 +1554,66 @@ def winnow_overlap_pairs(
             ).alias("overlap"),
         )
     )
+
+
+def distinct_kmv(
+    df: DataFrame,
+    value_col: str = "w",
+    k: int = 256,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over `value_col`
+    (Bar-Yossef et al. 2002; the bottom-k estimator production engines
+    ship as `approx_distinct`): one row (k_kmv, n_mins, kth_min_hash,
+    est_distinct) where est = (k-1) / U_(k) and U_(k) is the k-th
+    smallest distinct hash normalized to [0, 1).  Unlike HLL the state
+    IS the k smallest hashes — exactly reproducible in ANSI SQL
+    (`order by h limit k`), so the oracle checks the estimator
+    value-for-value rather than a tolerance band.
+
+    Scale (100 TB): per-partition partials via ONE Arrow pass
+    (mapInPandas accumulates the partition's k smallest DISTINCT
+    hashes across batches — O(k) state, emits k rows), so the corpus
+    is never shuffled and never globally distinct-ed: the merge sees
+    at most k x n_partitions rows.  The final distinct+top-k on that
+    tiny set is exact, and the result is independent of partitioning
+    (the k smallest distinct values globally are well-defined).  The
+    hash is the portable 60-bit md5 (JVM-side, computed BEFORE the
+    Arrow hop) so Spark and DuckDB agree bit-for-bit; estimator
+    arithmetic is two correctly-rounded double ops (* then /) —
+    engine-identical.  Fewer than k distinct values -> est is the
+    exact count (the standard KMV fallback)."""
+    import pandas as pd
+
+    from gdal_spark.portable import hash64
+
+    h = df.selectExpr(f"{hash64(value_col, 'spark')} as h")
+
+    def part_mins(it):
+        import numpy as np
+
+        best: np.ndarray | None = None
+        for pdf in it:
+            arr = pdf["h"].to_numpy()
+            best = arr if best is None else np.concatenate([best, arr])
+            best = np.unique(best)[:k]
+        if best is not None and len(best):
+            yield pd.DataFrame({"h": best})
+
+    partials = h.mapInPandas(part_mins, "h long")
+    mins = partials.distinct().orderBy("h").limit(k)
+    m = float(1 << 60)
+    return mins.agg(
+        F.count("*").alias("n_mins"), F.max("h").alias("kth_min_hash")
+    ).select(
+        F.lit(k).alias("k_kmv"),
+        "n_mins",
+        "kth_min_hash",
+        F.when(F.col("n_mins") < k, F.col("n_mins").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1)) * F.lit(m) / F.col("kth_min_hash").cast("double"),
+                4,
+            )
+        )
+        .alias("est_distinct"),
+    )

@@ -239,6 +239,9 @@ def collect() -> tuple[
         # dedup_simhash; the brute-force-Hamming oracle checks the
         # probe's perfect-recall guarantee on the local replica.
         "simhash_hamming_pairs",
+        # r5: KMV bottom-k distinct sketch — corpus-statistics family;
+        # in-window rep for text statistics stays lm_perplexity/lang_id.
+        "vocab_kmv",
         # r5: fuzzy LSH decontamination — the decontamination family's
         # in-window rep stays the exact 13-gram `decontaminate`; this
         # rides the local replica (same minhash band machinery the

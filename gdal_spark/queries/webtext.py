@@ -1356,3 +1356,37 @@ where n_shared >= {_WN_MIN_SHARED}
 order by id_a, id_b
 """
 QUERIES["winnow_overlap"] = _winnow_overlap
+
+
+# --- KMV distinct-count sketch (vocabulary-size estimation) ---
+
+def _vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-256 sketch of the corpus vocabulary size (distinct
+    tokens).  The oracle recomputes the ESTIMATOR exactly — the sketch
+    state is the k smallest distinct hashes, which `order by h limit k`
+    reproduces in SQL — so this checks the estimate value-for-value,
+    not within a tolerance band."""
+    from gdal_spark.operators.webtext import distinct_kmv
+
+    d = _docs(spark, sf_dir)
+    toks = d.selectExpr("explode(split(text, ' ')) as w")
+    return distinct_kmv(toks, value_col="w", k=256)
+
+
+ORACLES["vocab_kmv"] = """
+with v as (
+  select distinct
+    cast(concat('0x', substring(md5(w), 1, 15)) as bigint) as h
+  from (select unnest(string_split(text, ' ')) as w from documents)
+),
+mins as (select h from v order by h limit 256),
+s as (select count(*) as n, max(h) as kth from mins)
+select cast(256 as int) as k_kmv,
+       cast(n as bigint) as n_mins,
+       cast(kth as bigint) as kth_min_hash,
+       case when n < 256 then cast(n as double)
+            else round((cast(255 as double) * 1152921504606846976.0)
+                       / cast(kth as double), 4) end as est_distinct
+from s
+"""
+QUERIES["vocab_kmv"] = _vocab_kmv

@@ -1059,3 +1059,29 @@ def test_winnow_overlap_posting_cap_drops_hot_fingerprint(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert winnow_overlap_pairs(df, min_shared=1, max_posting=3).count() == 0
     assert winnow_overlap_pairs(df, min_shared=1, max_posting=None).count() > 0
+
+
+def test_distinct_kmv_exact_below_k_and_estimates_above(spark):
+    from gdal_spark.operators.webtext import distinct_kmv
+
+    # below k: the sketch IS the distinct set -> exact count
+    small = spark.createDataFrame(
+        [(f"tok{i % 37}",) for i in range(500)], "w string"
+    )
+    r = distinct_kmv(small, k=256).collect()[0]
+    assert (r.k_kmv, r.n_mins, r.est_distinct) == (256, 37, 37.0)
+
+    # above k: estimate within 25% of truth (k=256 -> ~6% stderr; the
+    # slack keeps the bound hash-agnostic) and independent of layout
+    big = spark.createDataFrame(
+        [(f"word{i}",) for i in range(5000)], "w string"
+    )
+    est1 = distinct_kmv(big.repartition(13), k=256).collect()[0]
+    est8 = distinct_kmv(big.repartition(2), k=256).collect()[0]
+    assert est1 == est8  # partitioning-independent, bit-for-bit
+    assert abs(est1.est_distinct - 5000) / 5000 < 0.25
+    assert est1.n_mins == 256
+
+    # duplicates never inflate the estimate
+    dup = big.unionAll(big).unionAll(big)
+    assert distinct_kmv(dup.repartition(7), k=256).collect()[0] == est1
