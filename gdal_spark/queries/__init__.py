@@ -242,6 +242,11 @@ def collect() -> tuple[
         # r5: KMV bottom-k distinct sketch — corpus-statistics family;
         # in-window rep for text statistics stays lm_perplexity/lang_id.
         "vocab_kmv",
+        # r5: geohash string cell keys — the cell-index family's
+        # in-window reps stay spatial_join_tiles / tile_assign_geodetic;
+        # the base32 system rides the replica, pinned to the published
+        # test vectors in tests/test_cellindex.py.
+        "geohash_assign",
         # r5: fuzzy LSH decontamination — the decontamination family's
         # in-window rep stays the exact 13-gram `decontaminate`; this
         # rides the local replica (same minhash band machinery the

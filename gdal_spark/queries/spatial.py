@@ -430,3 +430,76 @@ def _cell_compact_oracle() -> str:
 
 QUERIES["cell_compact"] = _cell_compact
 ORACLES["cell_compact"] = _cell_compact_oracle()
+
+
+# --- geohash cell keys (Niemeyer base32; prefix-truncation parents) ---
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_sql(dialect: str, lon: str, lat: str, precision: int) -> str:
+    """Geohash encode as ONE portable SQL expression — the exact twin
+    of cellindex/geohash.encode (same quantization, same MSB-first
+    lon/lat interleave, same base32 digits), so the SAME text is the
+    engine (codegen'd, zero-shuffle map) and the oracle.  All math is
+    floor/shift/% on values quantized from two correctly-rounded double
+    ops — engine-identical."""
+    bits = 5 * precision
+    lonbits = (bits + 1) // 2
+    latbits = bits // 2
+    shr = (
+        (lambda e, i: f"shiftright({e}, {i})")
+        if dialect == "spark"
+        else (lambda e, i: f"(({e}) >> {i})")
+    )
+    ix = (
+        f"least(cast(floor((({lon}) + 180.0) / 360.0 * {1 << lonbits}) "
+        f"as bigint), {(1 << lonbits) - 1})"
+    )
+    iy = (
+        f"least(cast(floor((({lat}) + 90.0) / 180.0 * {1 << latbits}) "
+        f"as bigint), {(1 << latbits) - 1})"
+    )
+    terms = []
+    for j in range(bits):
+        if j % 2 == 0:
+            src, sh = "_ix", lonbits - 1 - j // 2
+        else:
+            src, sh = "_iy", latbits - 1 - (j - 1) // 2
+        terms.append(f"(({shr(src, sh)}) % 2) * {1 << (bits - 1 - j)}")
+    code = "(" + " + ".join(terms) + ")"
+    digit = lambda c: f"(({shr('_code', 5 * (precision - 1 - c))}) % 32)"
+    chars = ", ".join(
+        f"substring('{_GH_ALPHABET}', cast({digit(c)} as int) + 1, 1)"
+        for c in range(precision)
+    )
+    return (
+        f"(select concat({chars}) from (select {code} as _code "
+        f"from (select {ix} as _ix, {iy} as _iy)))"
+    )
+
+
+def _geohash_assign_sql(dialect: str) -> str:
+    gh6 = _geohash_sql(dialect, "lon", "lat", 6)
+    return f"""
+    with g as ({portable.geo_pages_cte(dialect)}),
+    a as (select url, {gh6} as gh6 from g)
+    select url, gh6, substring(gh6, 1, 4) as gh4
+    from a order by url
+    """
+
+
+def _geohash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page geohash keys at precision 6 plus the precision-4 parent
+    by STRING-PREFIX truncation — the property that makes geohash the
+    string-keyed member of the cell family (roll-ups are substring;
+    range scans are prefix ranges, so a sort on gh6 co-locates every
+    ancestor cell).  Zero-shuffle codegen'd map; pinned against the
+    published test vectors (Wikipedia 'ezs42' / 'u4pruydqqvj') via the
+    numpy twin in tests/test_cellindex.py."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_geohash_assign_sql("spark"))
+
+
+QUERIES["geohash_assign"] = _geohash_assign
+ORACLES["geohash_assign"] = _geohash_assign_sql("duckdb")

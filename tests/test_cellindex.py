@@ -269,3 +269,50 @@ def test_tms_to_json_roundtrip():
             rg.matrix(z).scale_denominator == geo.matrix(z).scale_denominator
         )
         assert abs(rg.matrix(z).res_x - geo.matrix(z).res_x) <= 1e-13
+
+
+def test_geohash_published_vectors():
+    """Pin the numpy kernel to the PUBLISHED standard, independent of
+    our SQL: the two canonical examples every geohash implementation
+    ships (geohash.org / Wikipedia)."""
+    from gdal_spark.cellindex import geohash
+
+    assert list(
+        geohash.encode(np.array([10.40744]), np.array([57.64911]), 11)
+    ) == ["u4pruydqqvj"]
+    assert list(
+        geohash.encode(np.array([-5.6]), np.array([42.6]), 5)
+    ) == ["ezs42"]
+    # decode inverts encode: bbox contains the point, prefix nests
+    lo_x, lo_y, hi_x, hi_y = geohash.decode_bbox("ezs42")
+    assert lo_x <= -5.6 < hi_x and lo_y <= 42.6 < hi_y
+    plo_x, plo_y, phi_x, phi_y = geohash.decode_bbox("ezs4")
+    assert plo_x <= lo_x and phi_x >= hi_x and plo_y <= lo_y and phi_y >= hi_y
+
+
+def test_geohash_sql_matches_numpy(spark):
+    """The portable SQL twin produces the numpy kernel's strings on a
+    lat/lon grid covering all four quadrants + cell-edge values."""
+    from gdal_spark.cellindex import geohash
+    from gdal_spark.queries.spatial import _geohash_sql
+
+    lons = np.array([-179.9, -45.0, -5.6, 0.0, 10.40744, 90.0, 179.9])
+    lats = np.array([-89.9, -42.6, 42.6, 0.0, 57.64911, 45.0, 89.9])
+    pts = [(float(lo), float(la)) for lo in lons for la in lats]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = [
+        r.gh
+        for r in df.selectExpr(
+            "lon", "lat", f"{_geohash_sql('spark', 'lon', 'lat', 7)} as gh"
+        )
+        .orderBy("lon", "lat")
+        .collect()
+    ]
+    want = list(
+        geohash.encode(
+            np.array([p[0] for p in sorted(pts)]),
+            np.array([p[1] for p in sorted(pts)]),
+            7,
+        )
+    )
+    assert got == want
