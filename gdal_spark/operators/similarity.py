@@ -1073,3 +1073,98 @@ def ivfpq_topk(
         .where(F.col("rank") <= topk)
         .select("qid", "vec_id", "adc", "rank")
     )
+
+
+def embedding_gram(
+    corpus: DataFrame,
+    dim: int = 64,
+    scale_bits: int = 20,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(i, j, gram_q, moment) upper triangle of the d×d second-moment
+    (Gram) matrix of the embedding column — the scale primitive behind
+    PCA / whitening / covariance-conditioned pruning over a 100 TB
+    embedding table.
+
+    Exactness: each component is quantized q = floor(v · 2^scale_bits
+    + ½) — floor-half-up spelled out, NOT round(), because numpy rint
+    ties-to-even while SQL round() ties away from zero; v · 2^b is a
+    power-of-two scale and the +½ stays inside 53 bits, so both
+    engines floor the IDENTICAL double. The Gram is then
+    INTEGER arithmetic — int64 partial matrices, exact sums, identical
+    bit-for-bit in DuckDB regardless of accumulation order. `moment`
+    de-scales to float: gram_q / (n · 2^2b), two correctly-rounded
+    double ops. Magnitude guard: |q| ≤ 2^b·|v|max, so n·(q_iq_j)max
+    must stay < 2^63 — 500M rows of unit-normed 2^20-scaled vectors is
+    within budget; larger corpora lower scale_bits.
+
+    Scale shape: ONE Arrow pass (mapInPandas accumulates the
+    partition's d×d int64 partial via one integer matmul per batch —
+    O(d²) state, d(d+1)/2 rows out per partition), then ONE
+    map-side-combined groupBy sum over P · d(d+1)/2 tiny rows. The
+    corpus itself is never shuffled — same discipline as distinct_kmv."""
+    n = corpus.count()  # bounded-metadata: one scalar action, map-side agg
+    scale = float(1 << scale_bits)
+    iu, ju = np.triu_indices(dim)
+
+    def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in it:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(m * scale + 0.5).astype(np.int64)
+            g += q.T @ q
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"i": iu, "j": ju, "partial": g[iu, ju]}
+            )
+
+    partials = corpus.select(vec_col).mapInPandas(
+        part, "i int, j int, partial long"
+    )
+    denom = float(n) * scale * scale
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("partial").alias("gram_q"))
+        .select(
+            "i",
+            "j",
+            "gram_q",
+            F.round(F.col("gram_q").cast("double") / F.lit(denom), 6).alias(
+                "moment"
+            ),
+        )
+    )
+
+
+def pca_topk(
+    corpus: DataFrame,
+    dim: int = 64,
+    k: int = 4,
+    scale_bits: int = 20,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """(eigenvalues[k], components[k, dim]) — top-k principal axes of
+    the UNCENTERED second moment, from the distributed exact Gram.
+
+    The eigendecomposition runs driver-side on the d×d matrix
+    (bounded-metadata: d(d+1)/2 rows collected — O(dim²), corpus-size
+    independent), which is how distributed PCA is actually shaped:
+    the data-sized work (the Gram) is the cluster's, the O(d³) tail is
+    free. Sign convention: each component's largest-|coord| entry is
+    made positive, so results are comparable across runs/engines."""
+    rows = embedding_gram(corpus, dim, scale_bits, vec_col).collect()
+    g = np.zeros((dim, dim))
+    for r in rows:
+        g[r.i, r.j] = g[r.j, r.i] = r.gram_q
+    g /= float(1 << scale_bits) ** 2 * max(
+        1, corpus.count()
+    )
+    w, v = np.linalg.eigh(g)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return w[order], comps

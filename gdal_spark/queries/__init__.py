@@ -247,6 +247,10 @@ def collect() -> tuple[
         # the base32 system rides the replica, pinned to the published
         # test vectors in tests/test_cellindex.py.
         "geohash_assign",
+        # r5: fixed-point exact distributed Gram matrix (PCA primitive)
+        # — the embedding family's in-window reps stay ann_cosine_topk /
+        # ann_ivf_topk; integer bit-equality oracle rides the replica.
+        "embedding_gram",
         # r5: fuzzy LSH decontamination — the decontamination family's
         # in-window rep stays the exact 13-gram `decontaminate`; this
         # rides the local replica (same minhash band machinery the

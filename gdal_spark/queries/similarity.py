@@ -998,3 +998,38 @@ ORACLES["hard_negative_mine"] = f"""
     from ranked where rnk <= {TOPK}
 """
 QUERIES["hard_negative_mine"] = _hard_negative_mine
+
+
+# --- distributed exact Gram / second-moment matrix (PCA primitive) ---
+
+def _embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper triangle of the 64x64 second-moment matrix, fixed-point
+    EXACT (floor-half-up 2^20 quantization -> integer partial matmuls
+    per Arrow batch -> one tiny groupBy sum).  The oracle recomputes
+    the identical integer arithmetic by exploding components in SQL —
+    bit-for-bit equality regardless of accumulation order, something a
+    float formulation cannot promise."""
+    from gdal_spark.operators.similarity import embedding_gram
+
+    return embedding_gram(_emb(spark, sf_dir), dim=64).orderBy("i", "j")
+
+
+ORACLES["embedding_gram"] = """
+with q as (
+  select vec_id, cast(i as int) as i,
+         cast(floor(cast(embedding[i + 1] as double) * 1048576.0 + 0.5)
+              as bigint) as qv
+  from embeddings cross join (select unnest(range(64)) as i)
+),
+p as (
+  select a.i as i, b.i as j, a.qv * b.qv as prod
+  from q a join q b using (vec_id)
+  where a.i <= b.i
+)
+select i, j, cast(sum(prod) as bigint) as gram_q,
+       round(cast(sum(prod) as double) /
+             ((select count(*) from embeddings) * 1099511627776.0),
+             6) as moment
+from p group by i, j order by i, j
+"""
+QUERIES["embedding_gram"] = _embedding_gram

@@ -478,3 +478,36 @@ def test_hard_negatives_matches_numpy_on_random_corpus(spark):
             (r for r in got if r.query_id == a), key=lambda r: r.rnk
         )]
         assert mine == order
+
+
+def test_embedding_gram_exact_and_partition_independent(spark):
+    import numpy as np
+
+    from gdal_spark.operators.similarity import embedding_gram, pca_topk
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(120, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, m[i].tolist()) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = embedding_gram(df.repartition(9), dim=8).collect()
+    q = np.floor(m.astype(np.float64) * (1 << 20) + 0.5).astype(np.int64)
+    g_true = q.T @ q
+    assert len(rows) == 36
+    assert all(g_true[r.i, r.j] == r.gram_q for r in rows)
+    # bit-identical under a different partitioning (integer sums)
+    rows2 = embedding_gram(df.repartition(2), dim=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+    # driver-side PCA on the distributed Gram == numpy PCA on the
+    # full matrix (same quantization), eigenvalues and axes
+    w, comps = pca_topk(df, dim=8, k=3)
+    gm = g_true / float((1 << 20) ** 2 * 120)
+    wt, vt = np.linalg.eigh(gm)
+    order = np.argsort(wt)[::-1][:3]
+    assert np.allclose(w, wt[order], rtol=0, atol=1e-12)
+    for a, b in zip(comps, vt[:, order].T):
+        if b[np.argmax(np.abs(b))] < 0:
+            b = -b
+        assert np.allclose(a, b, atol=1e-9)
