@@ -1154,9 +1154,10 @@ def pca_topk(
     the data-sized work (the Gram) is the cluster's, the O(d³) tail is
     free. Sign convention: each component's largest-|coord| entry is
     made positive, so results are comparable across runs/engines."""
-    # bounded-metadata: d(d+1)/2 rows (the d x d Gram upper triangle),
-    # corpus-size independent
-    rows = embedding_gram(corpus, dim, scale_bits, vec_col).collect()
+    # bounded-metadata: d(d+1)/2 Gram rows, corpus-size independent
+    rows = embedding_gram(
+        corpus, dim, scale_bits, vec_col
+    ).collect()  # bounded-metadata: d(d+1)/2 rows
     g = np.zeros((dim, dim))
     for r in rows:
         g[r.i, r.j] = g[r.j, r.i] = r.gram_q
