@@ -251,6 +251,11 @@ def collect() -> tuple[
         # — the embedding family's in-window reps stay ann_cosine_topk /
         # ann_ivf_topk; integer bit-equality oracle rides the replica.
         "embedding_gram",
+        # r5: cutline clip (gdalwarp -cutline) — the raster family's
+        # clip/window rep in-window stays raster_translate_stats; the
+        # polygon-mask variant rides the replica with its exact
+        # integer-sum oracle.
+        "raster_clip_cutline",
         # r5: fuzzy LSH decontamination — the decontamination family's
         # in-window rep stays the exact 13-gram `decontaminate`; this
         # rides the local replica (same minhash band machinery the

@@ -3818,3 +3818,69 @@ def _raster_histogram_oracle() -> str:
 
 QUERIES["raster_histogram"] = _raster_histogram
 ORACLES["raster_histogram"] = _raster_histogram_oracle()
+
+
+# --- cutline clip (gdalwarp -cutline / gdal raster clip --geometry) ---
+
+def _raster_clip_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip grad100 with the layer-A NYC octagon (polygon 0): pixels
+    whose center falls outside the cutline become nodata-fill (0 for
+    the uint8 fixture).  Per-band exact integer report: sum of the
+    clipped raster (outside contributes 0) + count of nonzero kept
+    pixels."""
+    rings = [tables.polygon_rings_local(0)]
+    clipped = ops.clip_cutline(_blocks(spark), rings)
+    f = ops.as_features(clipped)
+    return (
+        f.groupBy("band")
+        .agg(
+            F.sum(F.col("value").cast("long")).alias("value_sum"),
+            F.sum(F.when(F.col("value") != 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_nonzero"),
+        )
+        .orderBy("band")
+    )
+
+
+def _clip_cutline_oracle() -> str:
+    gt = _gt()
+    ring = tables.polygon_rings_local(0)[:-1]
+    n = len(ring)
+    edges = " union all ".join(
+        f"select cast({ring[k][0]!r} as double) as x1, "
+        f"cast({ring[k][1]!r} as double) as y1, "
+        f"cast({ring[(k + 1) % n][0]!r} as double) as x2, "
+        f"cast({ring[(k + 1) % n][1]!r} as double) as y2"
+        for k in range(n)
+    )
+    return f"""
+    with px as ({PIXELS_CTE}),
+    pc as (
+      select x, y, band, value,
+             {gt[0]!r} + (x + 0.5) * {gt[1]!r} as lon,
+             {gt[3]!r} + (y + 0.5) * {gt[5]!r} as lat
+      from px
+    ),
+    e as ({edges}),
+    hits as (
+      select p.x, p.y, p.band, p.value,
+             sum(case when ((e.y1 > p.lat) <> (e.y2 > p.lat))
+                       and (p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                                    / (e.y2 - e.y1) + e.x1)
+                  then 1 else 0 end) as crossings
+      from pc p join e on true
+      group by p.x, p.y, p.band, p.value
+    )
+    select band,
+           cast(sum(case when crossings % 2 = 1
+                         then cast(value as bigint) else 0 end) as bigint)
+             as value_sum,
+           cast(sum(case when crossings % 2 = 1 and value <> 0
+                         then 1 else 0 end) as bigint) as n_nonzero
+    from hits group by band order by band
+    """
+
+
+QUERIES["raster_clip_cutline"] = _raster_clip_cutline
+ORACLES["raster_clip_cutline"] = _clip_cutline_oracle()

@@ -1324,3 +1324,69 @@ def histogram(
         .agg(F.sum("n").alias("n"))
         .orderBy("band", "bucket")
     )
+
+
+def clip_cutline(
+    blocks: DataFrame,
+    rings,
+    invert: bool = False,
+    crop: bool = False,
+) -> DataFrame:
+    """gdalwarp -cutline / `gdal raster clip --geometry` analog
+    (apps/gdalalg_raster_clip.cpp geometry path; gdalwarp_lib.cpp
+    cutline masking): pixels whose CENTER falls outside the cutline
+    polygon become nodata (inside, with invert=True).  `rings`: the
+    polygon as an iterable of (M, 2) georef-coordinate rings (exterior
+    + holes) — driver-side constants broadcast in the task closure,
+    like the reference's in-memory cutline geometry.
+
+    Scale shape: a pure MAP over block rows (one Arrow pass, no
+    shuffle).  Per block the kernel first tests the block's georef
+    bbox against the cutline envelope — fully-outside blocks are
+    filled (or skipped under crop=True) and fully-bbox-inside blocks
+    still ray-cast (bbox containment is necessary, not sufficient) —
+    so the O(pixels x edges) ray cast runs only where the cutline
+    actually crosses.  crop=True additionally drops all-nodata blocks
+    (the -crop_to_cutline extent trim, block granularity)."""
+    rs = [np.asarray(r, dtype=np.float64) for r in rings]
+    ex0 = min(float(r[:, 0].min()) for r in rs)
+    ex1 = max(float(r[:, 0].max()) for r in rs)
+    ey0 = min(float(r[:, 1].min()) for r in rs)
+    ey1 = max(float(r[:, 1].max()) for r in rs)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = []
+            bufs = []
+            for idx, r in enumerate(pdf.itertuples()):
+                a = model.decode((r.buf, r.height, r.width, r.dtype))
+                xs = r.x0 + 0.5 + np.arange(r.width, dtype=np.float64)
+                ys = r.y0 + 0.5 + np.arange(r.height, dtype=np.float64)
+                lon = r.gt0 + xs[None, :] * r.gt1 + ys[:, None] * r.gt2
+                lat = r.gt3 + xs[None, :] * r.gt4 + ys[:, None] * r.gt5
+                blo_x, bhi_x = lon.min(), lon.max()
+                blo_y, bhi_y = lat.min(), lat.max()
+                if bhi_x < ex0 or blo_x > ex1 or bhi_y < ey0 or blo_y > ey1:
+                    inside = np.zeros(a.shape, dtype=bool)
+                else:
+                    inside = points_in_rings(
+                        lon.ravel(), lat.ravel(), rs
+                    ).reshape(a.shape)
+                if invert:
+                    inside = ~inside
+                if crop and not inside.any():
+                    continue
+                nodata = r.nodata
+                if nodata is None or np.isnan(nodata):
+                    # integer rasters with no declared nodata: GDAL's
+                    # cutline fill of 0 (gdalwarp_lib.cpp dfDstNoDataReal
+                    # default); float rasters keep NaN
+                    nodata = np.nan if a.dtype.kind == "f" else 0.0
+                out = np.where(inside, a, np.array(nodata).astype(a.dtype))
+                keep.append(idx)
+                bufs.append(bytes(np.ascontiguousarray(out).tobytes()))
+            out_pdf = pdf.iloc[keep].copy()
+            out_pdf["buf"] = bufs
+            yield out_pdf
+
+    return blocks.mapInPandas(fn, model.BLOCK_SCHEMA)

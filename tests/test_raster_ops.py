@@ -401,3 +401,72 @@ def test_histogram_gethistogram_rule(spark):
     skip_edge = {r["bucket"]: r["n"] for r in skip}
     assert edge[0] == skip_edge[0] + below
     assert edge[7] == skip_edge[7] + above
+
+
+def test_clip_cutline_invert_crop_and_holes(spark):
+    """Inside/outside partition the raster exactly; crop drops
+    never-inside blocks; a hole ring flips parity (donut cutline)."""
+    import numpy as np
+
+    from gdal_spark import tables
+    from gdal_spark.geometry.kernels import points_in_rings
+    from gdal_spark.raster import model, ops
+
+    b = model.synth_blocks(spark, model.grad100_spec())
+    ring = tables.polygon_rings_local(0)
+    spec = model.grad100_spec()
+    gt = spec.gt
+    xs = np.arange(100) + 0.5
+    ys = np.arange(100) + 0.5
+    lon = np.broadcast_to(gt[0] + xs[None, :] * gt[1], (100, 100))
+    lat = np.broadcast_to(gt[3] + ys[:, None] * gt[5], (100, 100))
+
+    def kept_mask(rings):
+        return points_in_rings(lon.ravel(), lat.ravel(), rings).reshape(
+            100, 100
+        )
+
+    def spark_kept(df):
+        f = ops.as_features(df)
+        return {
+            (r.band, r.x, r.y)
+            for r in f.where("value <> 0").collect()
+        }
+
+    ins = kept_mask([ring])
+    v1 = model.value_grid(0, 0, 100, 100, 1)
+    truth = {
+        (band, x, y)
+        for band in (1, 2, 3)
+        for y, x in zip(*np.nonzero(ins & (model.value_grid(0, 0, 100, 100, band) != 0)))
+    }
+    got = spark_kept(ops.clip_cutline(b, [ring]))
+    assert got == truth
+
+    # invert: kept pixels are exactly the complement (of nonzero)
+    inv = spark_kept(ops.clip_cutline(b, [ring], invert=True))
+    all_nonzero = {
+        (band, x, y)
+        for band in (1, 2, 3)
+        for y, x in zip(*np.nonzero(model.value_grid(0, 0, 100, 100, band) != 0))
+    }
+    assert got | inv == all_nonzero and not (got & inv)
+
+    # crop drops blocks with no inside pixel, keeps all inside pixels
+    cropped = ops.clip_cutline(b, [ring], crop=True)
+    assert cropped.count() < b.count()
+    assert spark_kept(cropped) == truth
+
+    # hole: shrink the octagon around its center to make a donut
+    c = ring[:-1].mean(axis=0)
+    hole = (ring - c) * 0.5 + c
+    donut_truth = kept_mask([ring, hole])
+    got_d = spark_kept(ops.clip_cutline(b, [ring, hole]))
+    want_d = {
+        (band, x, y)
+        for band in (1, 2, 3)
+        for y, x in zip(
+            *np.nonzero(donut_truth & (model.value_grid(0, 0, 100, 100, band) != 0))
+        )
+    }
+    assert got_d == want_d and len(got_d) < len(got)
