@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "text_stats",              # text analysis
     "dedup_minhash_lsh",       # MinHash + LSH near-dup
     "dedup_simhash",           # SimHash
+    "simhash_hamming_pairs",   # r5g Manku Hamming<=k block-probe near-dup
+    "vocab_kmv",               # r5g KMV distinct sketch (map-only partials)
+    "embedding_gram",          # r5g fixed-point Gram (Arrow int matmul)
     "dedup_cluster_canonical", # r4b end-to-end near-dup resolution
     "dedup_incremental",       # r5c batch-vs-corpus-index probe (no self-join)
     "semdedup",                # r5c semantic dedup (includes Lloyd training)
@@ -59,6 +62,7 @@ BENCH_QUERIES = [
     "ann_pq_topk",             # r5 PQ/ADC compressed-scan ANN
     "layer_intersection_area", # layer algebra / clipping
     "raster_zonal_stats",      # raster↔vector aggregation
+    "raster_clip_cutline",     # r5g cutline mask (envelope fast path)
     "raster_tile_pyramid",     # tile pyramid (z8→z6)
     "raster_overview_refresh", # r5f incremental overview maintenance
     "vector_reproject_merc",   # r5f zero-shuffle CRS transform

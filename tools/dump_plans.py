@@ -274,6 +274,46 @@ NOTES = {
         "proportional to the dirty region — the plan you want when a "
         "daily update touches one tile of a 100 TB mosaic."
     ),
+    "simhash_hamming_pairs": (
+        "r5g Manku Hamming<=k near-dup. Signatures are doc-local array "
+        "lambdas (simhash_cols — a pure map, no shuffle of its own); "
+        "the pigeonhole block explode shuffles ONCE on (blk, bv) and "
+        "that exchange is shared by the hot-bucket cap window and both "
+        "self-join sides (ReusedExchange in the final adaptive plan — "
+        "verified post-execution: 1 ReusedExchange; the static tree "
+        "below shows the pre-AQE duplicate). Verification is one "
+        "bit_count(xor) per candidate pair — no join back to the "
+        "corpus, because the signature rides the block rows."
+    ),
+    "vocab_kmv": (
+        "r5g KMV distinct sketch. The corpus is NEVER shuffled or "
+        "globally distinct-ed: one Arrow pass accumulates each "
+        "partition's k smallest distinct hashes (O(k) state, k rows "
+        "out), and the merge distinct+top-k runs on <= k x partitions "
+        "rows — the tiny exchange visible below. TakeOrderedAndProject "
+        "keeps the global top-k a merge, not a sort."
+    ),
+    "embedding_gram": (
+        "r5g fixed-point exact Gram. ONE Arrow pass per partition "
+        "(int64 matmul per batch, d(d+1)/2 partial rows out), ONE "
+        "map-side-combined groupBy over P x d(d+1)/2 tiny rows; the "
+        "embedding table itself never shuffles. Integer arithmetic "
+        "makes the result bit-identical under any partitioning — the "
+        "property the oracle checks."
+    ),
+    "raster_clip_cutline": (
+        "r5g cutline clip. A pure MAP over block rows (MapInPandas, no "
+        "exchange added by the operator): the cutline rings travel in "
+        "the task closure, the per-block envelope test skips the "
+        "ray-cast where the cutline cannot intersect, and the "
+        "aggregation below is the query's reporting tail, not the "
+        "clip. Mirrors gdalwarp's per-chunk cutline masking."
+    ),
+    "geohash_assign": (
+        "r5g geohash cells. One codegen'd projection — quantize, "
+        "interleave, base32 — over the page scan; zero shuffle, zero "
+        "Python. The same SQL text is the DuckDB oracle."
+    ),
 }
 
 
