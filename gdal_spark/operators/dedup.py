@@ -525,8 +525,10 @@ def simhash(
         -F.col("cnt")
     )
     per_bit = b.groupBy(id_col, "b").agg(F.sum(vote).alias("v"))
+    # bigint one before the shift: shiftleft(1, b) is int32 and flips
+    # sign at b = 31 (same fix as simhash_cols — keeps bits up to 63)
     contrib = F.when(
-        F.col("v") > 0, F.expr("cast(shiftleft(1, b) as bigint)")
+        F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
     ).otherwise(F.lit(0))
     return per_bit.groupBy(id_col).agg(F.sum(contrib).alias("simhash"))
 

@@ -1080,6 +1080,7 @@ def embedding_gram(
     dim: int = 64,
     scale_bits: int = 20,
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> DataFrame:
     """(i, j, gram_q, moment) upper triangle of the d×d second-moment
     (Gram) matrix of the embedding column — the scale primitive behind
@@ -1103,7 +1104,10 @@ def embedding_gram(
     O(d²) state, d(d+1)/2 rows out per partition), then ONE
     map-side-combined groupBy sum over P · d(d+1)/2 tiny rows. The
     corpus itself is never shuffled — same discipline as distinct_kmv."""
-    n = corpus.count()  # bounded-metadata: one scalar action, map-side agg
+    if n is None:
+        # bounded-metadata: one scalar action, map-side agg (callers
+        # that already know |corpus| pass n= to skip the scan)
+        n = corpus.count()
     scale = float(1 << scale_bits)
     iu, ju = np.triu_indices(dim)
 
@@ -1111,6 +1115,8 @@ def embedding_gram(
         g = np.zeros((dim, dim), dtype=np.int64)
         seen = False
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             q = np.floor(m * scale + 0.5).astype(np.int64)
             g += q.T @ q
@@ -1155,15 +1161,15 @@ def pca_topk(
     free. Sign convention: each component's largest-|coord| entry is
     made positive, so results are comparable across runs/engines."""
     # bounded-metadata: d(d+1)/2 Gram rows, corpus-size independent
+    n = corpus.count()  # bounded-metadata: counted ONCE, shared with
+    # embedding_gram's denominator via n= (no second corpus scan)
     rows = embedding_gram(
-        corpus, dim, scale_bits, vec_col
+        corpus, dim, scale_bits, vec_col, n=n
     ).collect()  # bounded-metadata: d(d+1)/2 rows
     g = np.zeros((dim, dim))
     for r in rows:
         g[r.i, r.j] = g[r.j, r.i] = r.gram_q
-    g /= float(1 << scale_bits) ** 2 * max(
-        1, corpus.count()
-    )
+    g /= float(1 << scale_bits) ** 2 * max(1, n)
     w, v = np.linalg.eigh(g)
     order = np.argsort(w)[::-1][:k]
     comps = v[:, order].T

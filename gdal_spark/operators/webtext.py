@@ -1586,7 +1586,12 @@ def distinct_kmv(
 
     from gdal_spark.portable import hash64
 
-    h = df.selectExpr(f"{hash64(value_col, 'spark')} as h")
+    # drop NULL values before the Arrow hop: a NULL hash would coerce
+    # the pandas int64 column to float64 (losing low bits of 60-bit
+    # hashes) and NaN cannot cast back through the `h long` schema
+    h = df.selectExpr(f"{hash64(value_col, 'spark')} as h").where(
+        "h is not null"
+    )
 
     def part_mins(it):
         import numpy as np

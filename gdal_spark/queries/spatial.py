@@ -452,13 +452,17 @@ def _geohash_sql(dialect: str, lon: str, lat: str, precision: int) -> str:
         if dialect == "spark"
         else (lambda e, i: f"(({e}) >> {i})")
     )
+    # clamp BOTH sides, mirroring the numpy kernel's np.clip — without
+    # greatest() an out-of-range lon/lat goes negative and the digit
+    # lookup falls off the alphabet (and Spark/DuckDB substring
+    # semantics for non-positive starts differ)
     ix = (
-        f"least(cast(floor((({lon}) + 180.0) / 360.0 * {1 << lonbits}) "
-        f"as bigint), {(1 << lonbits) - 1})"
+        f"greatest(least(cast(floor((({lon}) + 180.0) / 360.0 * "
+        f"{1 << lonbits}) as bigint), {(1 << lonbits) - 1}), 0)"
     )
     iy = (
-        f"least(cast(floor((({lat}) + 90.0) / 180.0 * {1 << latbits}) "
-        f"as bigint), {(1 << latbits) - 1})"
+        f"greatest(least(cast(floor((({lat}) + 90.0) / 180.0 * "
+        f"{1 << latbits}) as bigint), {(1 << latbits) - 1}), 0)"
     )
     terms = []
     for j in range(bits):

@@ -434,7 +434,6 @@ def test_clip_cutline_invert_crop_and_holes(spark):
         }
 
     ins = kept_mask([ring])
-    v1 = model.value_grid(0, 0, 100, 100, 1)
     truth = {
         (band, x, y)
         for band in (1, 2, 3)
