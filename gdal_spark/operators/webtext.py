@@ -1622,3 +1622,53 @@ def distinct_kmv(
         )
         .alias("est_distinct"),
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 60,
+    qid_col: str = "q_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists (Cormack,
+    Clarke & Buettcher, SIGIR 2009 — the standard hybrid
+    lexical+semantic combiner): fused score = Σ_lists 1/(k + rank),
+    an item missing from a list contributes 0.  Returns
+    (q_id, item_id, rrf, fused_rank), re-ranked by (rounded score
+    DESC, item id ASC).
+
+    Exactness: both of this engine's retrieval arms (bm25_topk,
+    cosine_topk) emit integer ranks with explicit tie-breaks, so the
+    fused score is at most two correctly-rounded double divisions and
+    one addition — engine-identical — and the distinct score values
+    are ≥ ~1e-4 apart at k=60, so the 6-dp rounded rank order is
+    stable.
+
+    Scale: inputs are top-k lists — O(queries × k) rows; the
+    full-outer equi-join and the per-query window re-rank shuffle only
+    that candidate set, never a corpus."""
+    fa = a.select(
+        F.col(qid_col).alias("q_id"),
+        F.col(item_col).alias("item_id"),
+        F.col(rank_col).alias("_ra"),
+    )
+    fb = b.select(
+        F.col(qid_col).alias("q_id"),
+        F.col(item_col).alias("item_id"),
+        F.col(rank_col).alias("_rb"),
+    )
+    j = fa.join(fb, ["q_id", "item_id"], "full_outer")
+    score = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("_ra")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("_rb")), F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf").desc(), F.col("item_id").asc()
+    )
+    return (
+        j.select("q_id", "item_id", score.alias("rrf"))
+        .withColumn("fused_rank", F.row_number().over(w))
+    )

@@ -256,6 +256,10 @@ def collect() -> tuple[
         # polygon-mask variant rides the replica with its exact
         # integer-sum oracle.
         "raster_clip_cutline",
+        # r5: reciprocal-rank fusion of BM25 + cosine ANN — the
+        # retrieval family's in-window reps stay ann_cosine_topk /
+        # ann_ivf_topk; the hybrid combiner rides the replica.
+        "hybrid_rrf",
         # r5: fuzzy LSH decontamination — the decontamination family's
         # in-window rep stays the exact 13-gram `decontaminate`; this
         # rides the local replica (same minhash band machinery the

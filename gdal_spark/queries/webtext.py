@@ -1390,3 +1390,71 @@ select cast(256 as int) as k_kmv,
 from s
 """
 QUERIES["vocab_kmv"] = _vocab_kmv
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of BM25 + cosine ANN ---
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse the BM25 lexical top-5 with the exact cosine top-5
+    (reciprocal-rank fusion, k=60) for queries 0-4.  The corpus key:
+    embeddings.vec_id enumerates the same id space as documents.doc_id
+    in the test tables, standing in for the shared document key a real
+    hybrid index joins on.  Both arms' ranks are integer-exact with
+    explicit tie-breaks, so the fusion is engine-exact."""
+    import numpy as np
+
+    from gdal_spark import tables
+    from gdal_spark.operators.similarity import cosine_topk
+    from gdal_spark.operators.webtext import bm25_topk, rrf_fuse
+
+    d = _docs(spark, sf_dir)
+    q = spark.createDataFrame(_BM25_QUERIES, "q_id long, q_text string")
+    lex = bm25_topk(d, q, k=5).select(
+        "q_id", F.col("doc_id").alias("item_id"), "rank"
+    )
+    tables.register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qrows = (
+        emb.where(F.col("vec_id") < len(_BM25_QUERIES))
+        .select("vec_id", "embedding")
+        .collect()  # bounded-metadata: the 5 query vectors
+    )
+    queries = [(int(r["vec_id"]), np.asarray(r["embedding"])) for r in qrows]
+    sem = cosine_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("long").alias("q_id"),
+        F.col("vec_id").alias("item_id"),
+        F.col("rnk").alias("rank"),
+    )
+    return rrf_fuse(lex, sem).orderBy("q_id", "fused_rank")
+
+
+def _hybrid_rrf_oracle() -> str:
+    from gdal_spark.queries.similarity import ANN_COSINE_ORACLE
+
+    nq = len(_BM25_QUERIES)
+    return f"""
+with lex as (
+  select q_id, doc_id as item_id, rank from ({_bm25_oracle()})
+),
+sem as (
+  select cast(query_id as bigint) as q_id, vec_id as item_id,
+         rnk as rank
+  from ({ANN_COSINE_ORACLE}) where query_id < {nq}
+),
+f as (
+  select coalesce(l.q_id, s.q_id) as q_id,
+         coalesce(l.item_id, s.item_id) as item_id,
+         round(coalesce(cast(1 as double) / (60 + l.rank), 0)
+               + coalesce(cast(1 as double) / (60 + s.rank), 0), 6) as rrf
+  from lex l full outer join sem s
+    on l.q_id = s.q_id and l.item_id = s.item_id
+)
+select q_id, item_id, rrf,
+       cast(row_number() over (partition by q_id
+            order by rrf desc, item_id asc) as int) as fused_rank
+from f order by q_id, fused_rank
+"""
+
+
+QUERIES["hybrid_rrf"] = _hybrid_rrf
+ORACLES["hybrid_rrf"] = _hybrid_rrf_oracle()

@@ -1085,3 +1085,36 @@ def test_distinct_kmv_exact_below_k_and_estimates_above(spark):
     # duplicates never inflate the estimate
     dup = big.unionAll(big).unionAll(big)
     assert distinct_kmv(dup.repartition(7), k=256).collect()[0] == est1
+
+
+def test_rrf_fuse_mechanics(spark):
+    """Items in one list only contribute one reciprocal term; shared
+    items sum both; ties broken by item id; rank order follows the
+    rounded fused score."""
+    from gdal_spark.operators.webtext import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "q_id long, item_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "q_id long, item_id long, rank long",
+    )
+    out = {r.item_id: r for r in rrf_fuse(a, b, k=60).collect()}
+    assert round(out[11].rrf, 6) == round(1 / 62 + 1 / 61, 6)
+    assert round(out[10].rrf, 6) == round(1 / 61, 6)
+    assert round(out[13].rrf, 6) == round(1 / 62, 6)
+    assert round(out[12].rrf, 6) == round(1 / 63, 6)
+    # 11 wins (both lists); 10 vs 13: 1/61 > 1/62; 12 last
+    ranks = {r.item_id: r.fused_rank for r in out.values()}
+    assert ranks == {11: 1, 10: 2, 13: 3, 12: 4}
+    # tie-break: two singletons at the same rank -> lower item id first
+    c = spark.createDataFrame(
+        [(2, 21, 1)], "q_id long, item_id long, rank long"
+    )
+    d2 = spark.createDataFrame(
+        [(2, 20, 1)], "q_id long, item_id long, rank long"
+    )
+    tied = {r.item_id: r.fused_rank for r in rrf_fuse(c, d2).collect()}
+    assert tied == {20: 1, 21: 2}
