@@ -879,3 +879,57 @@ def cluster_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, containment_a, containment_b) — Broder CONTAINMENT
+    near-dup (Broder 1997 §2: C(A,B) = |A∩B| / |A|), keeping pairs
+    where max(C(A,B), C(B,A)) >= threshold.  The asymmetric complement
+    of Jaccard dedup: a short document quoted inside a long one has
+    high containment but LOW Jaccard (the size mismatch crushes
+    |A∩B|/|A∪B|), so Jaccard-tuned MinHash/LSH misses exactly the
+    quote/subset/boilerplate-inclusion cases this operator targets.
+
+    Candidates are pairs sharing >= 1 RARE shingle (document frequency
+    <= max_df — the same stop-shingle cap and documented recall trade
+    as ngram_jaccard_pairs: containment > 0 requires a shared shingle,
+    so within the cap the candidate recall is exact, not sketch-
+    approximate).  Verification joins the candidate set back to the
+    corpus's distinct-shingle ARRAYS (broadcast pair side under AQE,
+    map-side corpus scans — the corpus never shuffles on shingles for
+    verification)."""
+    sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    rare = sh.join(dfreq.where(F.col("dfreq") <= max_df), "shingle")
+    ra = rare.select(F.col(id_col).alias("id_a"), "shingle")
+    rb = rare.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        ra.join(rb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arr = df.selectExpr(id_col, f"{shingle_array_sql(text_col, k)} as _sh")
+    a = arr.selectExpr(f"{id_col} as id_a", "_sh as _sha")
+    b = arr.selectExpr(f"{id_col} as id_b", "_sh as _shb")
+    inter = F.expr("size(array_intersect(_sha, _shb))")
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.expr("size(_sha)"), 6).alias("containment_a"),
+            F.round(inter / F.expr("size(_shb)"), 6).alias("containment_b"),
+        )
+    )
+    return scored.where(
+        F.greatest("containment_a", "containment_b") >= threshold
+    )

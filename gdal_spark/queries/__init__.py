@@ -260,6 +260,11 @@ def collect() -> tuple[
         # retrieval family's in-window reps stay ann_cosine_topk /
         # ann_ivf_topk; the hybrid combiner rides the replica.
         "hybrid_rrf",
+        # r5: Broder containment (asymmetric quote/subset near-dup) —
+        # the dedup family's in-window reps stay dedup_minhash_lsh /
+        # dedup_exact / dedup_cluster_canonical; the directional score
+        # rides the replica.
+        "containment_pairs",
         # r5: fuzzy LSH decontamination — the decontamination family's
         # in-window rep stays the exact 13-gram `decontaminate`; this
         # rides the local replica (same minhash band machinery the

@@ -890,3 +890,72 @@ from enc order by doc_id
 
 ORACLES["bpe_encode"] = _bpe_encode_oracle()
 QUERIES["bpe_encode"] = _bpe_encode
+
+
+# --- Broder containment (asymmetric quote/subset near-dup) ---
+
+_CNT_T = 0.9
+_CNT_MAXDF = 50
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment C(A,B)=|A∩B|/|A| over the near-dup corpus:
+    every original is FULLY contained in its ' mutated' twin
+    (containment_a = 1.0) even where Jaccard dips below a symmetric
+    threshold — the asymmetric case Jaccard-tuned LSH misses."""
+    return dedup.containment_pairs(
+        _near_dup_corpus(spark, sf_dir), k=3, threshold=_CNT_T,
+        max_df=_CNT_MAXDF,
+    )
+
+
+def _containment_oracle() -> str:
+    return f"""
+    with corpus as ({NEAR_DUP_CORPUS_SQL}),
+    toks as (
+        select doc_id,
+               unnest(range(len(string_split(text, ' ')))) as pos,
+               unnest(string_split(text, ' ')) as w
+        from corpus
+    ),
+    sh as (
+        select distinct doc_id, concat(w, ' ', w1, ' ', w2) as shingle
+        from (
+            select doc_id, w,
+                   lead(w, 1) over (partition by doc_id order by pos) as w1,
+                   lead(w, 2) over (partition by doc_id order by pos) as w2
+            from toks
+        ) where w2 is not null
+    ),
+    dfreq as (select shingle, count(*) as dfq from sh group by shingle),
+    rare as (
+        select sh.doc_id, sh.shingle
+        from sh join dfreq on dfreq.shingle = sh.shingle
+        where dfreq.dfq <= {_CNT_MAXDF}
+    ),
+    cand as (
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from rare a join rare b on a.shingle = b.shingle
+        where a.doc_id < b.doc_id
+    ),
+    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    inter as (
+        select c.id_a, c.id_b, count(*) as i
+        from cand c
+        join sh a on a.doc_id = c.id_a
+        join sh b on b.doc_id = c.id_b and b.shingle = a.shingle
+        group by c.id_a, c.id_b
+    )
+    select i.id_a, i.id_b,
+           round(cast(i.i as double) / na.n, 6) as containment_a,
+           round(cast(i.i as double) / nb.n, 6) as containment_b
+    from inter i
+    join sizes na on na.doc_id = i.id_a
+    join sizes nb on nb.doc_id = i.id_b
+    where greatest(round(cast(i.i as double) / na.n, 6),
+                   round(cast(i.i as double) / nb.n, 6)) >= {_CNT_T}
+    """
+
+
+QUERIES["containment_pairs"] = _containment_pairs
+ORACLES["containment_pairs"] = _containment_oracle()

@@ -479,3 +479,35 @@ def test_simhash_hamming_hot_bucket_cap(spark):
     assert (5000, 5001) in {
         (r.id_a, r.id_b) for r in capped.collect()
     }
+
+
+def test_containment_finds_quotes_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment ~1.0
+    but Jaccard far below threshold — the asymmetric case the Broder
+    containment operator exists for."""
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "intro words here now " + quote +
+        " and then many more completely different trailing words "
+        "continue the article for a while longer still going on"
+    )
+    rows = [
+        (1, quote),
+        (2, long_doc),
+        (3, "totally unrelated text about raster pyramids and tiles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.containment_a, r.containment_b)
+        for r in dedup.containment_pairs(df, k=3, threshold=0.9).collect()
+    }
+    assert (1, 2) in got
+    ca, cb = got[(1, 2)]
+    assert ca == 1.0 and cb < 0.5  # directional: quote fully contained
+    assert not any(3 in p for p in got)
+    # symmetric Jaccard at the same bar misses the pair entirely
+    jac = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(df, k=3, threshold=0.9).collect()
+    }
+    assert (1, 2) not in jac
