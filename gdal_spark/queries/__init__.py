@@ -265,6 +265,10 @@ def collect() -> tuple[
         # dedup_exact / dedup_cluster_canonical; the directional score
         # rides the replica.
         "containment_pairs",
+        # r5: composed FineWeb-style stage sequence (gates -> dedup
+        # among survivors) — every stage is individually in-window or
+        # replica-green; the composition rides the replica.
+        "curation_pipeline",
         # r5: fuzzy LSH decontamination — the decontamination family's
         # in-window rep stays the exact 13-gram `decontaminate`; this
         # rides the local replica (same minhash band machinery the

@@ -1458,3 +1458,130 @@ from f order by q_id, fused_rank
 
 QUERIES["hybrid_rrf"] = _hybrid_rrf
 ORACLES["hybrid_rrf"] = _hybrid_rrf_oracle()
+
+
+# --- end-to-end curation pipeline (FineWeb-style stage composition) ---
+
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical curation SEQUENCE as one composed Catalyst plan:
+    Gopher quality gate → hashed-BoW linear-classifier gate → exact
+    dedup keep-first AMONG SURVIVORS (dedup after filtering, the
+    FineWeb/RefinedWeb stage order), over the corpus amplified with
+    verbatim copies so the dedup stage does real work.  Returns per-doc
+    stage flags (dedup_keep is NULL for gate-dropped docs — the stage
+    never saw them) + the final kept bit.
+
+    Plan shape: both gates are doc-local array lambdas fused into ONE
+    map over the scan (no exchange between stages); the content-hash
+    keep-first is the pipeline's single shuffle, running on the
+    gate-SURVIVOR subset only — filters first shrink the shuffle, the
+    reason real pipelines order stages this way."""
+    from gdal_spark.operators.webtext import (
+        gopher_metrics,
+        quality_score_linear,
+    )
+
+    d0 = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d0.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    d = d0.unionAll(dup)
+    g = gopher_metrics(d).select("doc_id", "gopher_keep")
+    q = quality_score_linear(d).select("doc_id", "quality_keep")
+    from gdal_spark.portable import hash64 as _h64
+
+    flags = (
+        d.join(g, "doc_id")
+        .join(q, "doc_id")
+        .withColumn("_h", F.expr(_h64("text", "spark")))
+    )
+    surv = flags.where("gopher_keep and quality_keep")
+    keeper = surv.groupBy("_h").agg(
+        F.min("doc_id").alias("_keeper"), F.count("*").alias("_n")
+    )
+    gates = F.col("gopher_keep") & F.col("quality_keep")
+    return (
+        flags.join(keeper, "_h", "left")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            "quality_keep",
+            # survivor content-group size (0 = doc never reached the
+            # dedup stage; its identical twin fails the same gates, so
+            # the group truly has no survivors)
+            F.coalesce(F.col("_n"), F.lit(0)).alias("surv_group_size"),
+            (gates & (F.col("doc_id") == F.col("_keeper"))).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _curation_pipeline_oracle() -> str:
+    from gdal_spark.portable import hash64
+
+    dim = 1024
+    b = hash64("w", "duck")
+    wt = hash64(f"'wt' || (({b}) % {dim})::varchar", "duck")
+    ch = hash64("text", "duck")
+    return f"""
+with corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 200000 as doc_id, text from documents
+),
+t as (
+  select doc_id, text,
+         string_split(text, ' ') as toks,
+         list_transform(range(0, cast(floor(greatest(length(text)-1, 0)
+             / 32.0) as int) + 1),
+             i -> substring(text, i*32 + 1, 32)) as lns
+  from corpus
+),
+m as (
+  select doc_id, text, toks, lns,
+         len(toks) as n_words,
+         list_transform(range(0, greatest(len(toks)-1, 1)),
+             i -> toks[i+1] || ' ' || toks[i+2]) as grams
+  from t
+),
+g as (
+  select doc_id,
+         (len(toks) between 50 and 100000
+          and (list_sum(list_transform(toks, w -> length(w)))
+               / greatest(len(toks), 1)) between 3.0 and 10.0
+          and (case when len(toks) < 2 then 0.0 else
+              list_max(list_transform(list_distinct(grams), gr ->
+                  len(list_filter(grams, x -> x = gr)) * length(gr)))
+              / greatest(length(text), 1) end) < 0.20
+          and (list_sum(list_concat([0], list_transform(
+                  list_filter(list_distinct(lns),
+                      l2 -> len(list_filter(lns, x -> x = l2)) > 1),
+                  l2 -> len(list_filter(lns, x -> x = l2)) * length(l2))))
+                / greatest(length(text), 1)) < 0.20) as gopher_keep
+  from m
+),
+q as (
+  select doc_id,
+         (cast(list_sum(list_transform(toks,
+              w -> ({wt}) % 2001 - 1000)) as bigint) > 0) as quality_keep
+  from t
+),
+flags as (
+  select c.doc_id, g.gopher_keep, q.quality_keep, {ch} as h
+  from corpus c
+  join g on g.doc_id = c.doc_id
+  join q on q.doc_id = c.doc_id
+),
+keeper as (
+  select h, min(doc_id) as keeper, count(*) as n
+  from flags where gopher_keep and quality_keep group by h
+)
+select f.doc_id, f.gopher_keep, f.quality_keep,
+       cast(coalesce(k.n, 0) as bigint) as surv_group_size,
+       (f.gopher_keep and f.quality_keep
+        and f.doc_id = k.keeper) as kept
+from flags f left join keeper k using (h)
+order by f.doc_id
+"""
+
+
+QUERIES["curation_pipeline"] = _curation_pipeline
+ORACLES["curation_pipeline"] = _curation_pipeline_oracle()

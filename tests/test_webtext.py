@@ -1118,3 +1118,32 @@ def test_rrf_fuse_mechanics(spark):
     )
     tied = {r.item_id: r.fused_rank for r in rrf_fuse(c, d2).collect()}
     assert tied == {20: 1, 21: 2}
+
+
+def test_curation_pipeline_stage_invariants(spark):
+    """Stage composition invariants on the smoke corpus: kept implies
+    both gates; at most one keeper per surviving content group; the
+    verbatim +200000 twin of a kept doc is never kept (keep-first);
+    surv_group_size is 0 exactly for gate-dropped docs and counts the
+    group's survivors otherwise."""
+    from gdal_spark.queries.webtext import _curation_pipeline
+
+    rows = _curation_pipeline(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 1000  # 500 docs + 500 verbatim twins
+    by_id = {r.doc_id: r for r in rows}
+    n_kept = 0
+    for r in rows:
+        if r.kept:
+            n_kept += 1
+            assert r.gopher_keep and r.quality_keep
+            assert r.surv_group_size >= 1
+        if not (r.gopher_keep and r.quality_keep):
+            assert r.surv_group_size == 0 and not r.kept
+    assert 0 < n_kept < 1000
+    for i in range(500):
+        a, b = by_id[i], by_id[i + 200000]
+        # identical text -> identical gate flags; min-id keep-first
+        assert (a.gopher_keep, a.quality_keep) == (b.gopher_keep, b.quality_keep)
+        assert not b.kept
+        if a.gopher_keep and a.quality_keep:
+            assert a.kept and a.surv_group_size == 2
