@@ -33,6 +33,14 @@ from pyspark.sql.types import (
 from gdal_spark.geometry import clip as C
 from gdal_spark.geometry import wkb as W
 from gdal_spark.geometry import wkt as T
+
+
+def _GJ():
+    # lazy: geojson is cold-path (export), keep it off the import chain
+    # of every ST-using task
+    from gdal_spark.geometry import geojson
+
+    return geojson
 from gdal_spark.geometry.kernels import (
     bbox_of_rings,
     geodesic_area_m2,
@@ -611,6 +619,18 @@ def register_st_functions(spark: SparkSession) -> None:
     reg("st_astext", P(_batch_astext, StringType()))
     reg("st_geomfromtext", P(
         lambda s: pd.Series([None if v is None else T.wkt_to_wkb(v) for v in s]),
+        BinaryType(),
+    ))
+    # GeoJSON codec (RFC 7946; ogr/ogrsf_frmts/geojson writer analog —
+    # a FORMAT codec over string columns, not a file driver). Curve
+    # inputs linearize first, like the reference's GeoJSON export.
+    reg("st_asgeojson", P(
+        lambda s: _each(s, _GJ().wkb_to_geojson), StringType()
+    ))
+    reg("st_geomfromgeojson", P(
+        lambda s: pd.Series(
+            [None if v is None else _GJ().from_geojson(v) for v in s]
+        ),
         BinaryType(),
     ))
     reg("st_x", P(lambda s: _batch_xy(s, 0), DoubleType()))

@@ -269,6 +269,10 @@ def collect() -> tuple[
         # among survivors) — every stage is individually in-window or
         # replica-green; the composition rides the replica.
         "curation_pipeline",
+        # r5: GeoJSON codec (RFC 7946 emit/parse) — the ST string
+        # family's in-window rep stays ogr_special_fields; the codec
+        # rides the replica next to st_point_roundtrip.
+        "st_geojson_roundtrip",
         # r5: fuzzy LSH decontamination — the decontamination family's
         # in-window rep stays the exact 13-gram `decontaminate`; this
         # rides the local replica (same minhash band machinery the

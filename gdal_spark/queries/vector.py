@@ -983,3 +983,48 @@ def _pipeline_chain_oracle() -> str:
 
 QUERIES["pipeline_chain"] = _pipeline_chain
 ORACLES["pipeline_chain"] = _pipeline_chain_oracle()
+
+
+# --- GeoJSON codec (RFC 7946; the reference's geojson writer analog) ---
+
+def _geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per page: the GeoJSON Point of the 3-dp-rounded coordinates
+    (string-exact vs a pure-SQL JSON construction — the same
+    shortest-repr trick as st_point_roundtrip) plus a WKT-identity
+    round-trip bit through st_geomfromgeojson on the page's envelope
+    polygon (geometry→json→geometry must preserve st_astext exactly)."""
+    register_st_functions(spark)
+    gp = tables.geo_pages(spark, sf_dir)
+    gp.createOrReplaceTempView("gp")
+    return spark.sql(
+        """
+        select url,
+               st_asgeojson(st_makepoint(cast(round(lon, 3) as double),
+                                         cast(round(lat, 3) as double)))
+                 as gj_point,
+               st_astext(st_geomfromgeojson(st_asgeojson(
+                   st_envelope(st_makepoint(lon, lat)))))
+                 = st_astext(st_envelope(st_makepoint(lon, lat)))
+                 as roundtrip_ok
+        from gp
+        """
+    )
+
+
+def _geojson_roundtrip_oracle() -> str:
+    g = portable.geo_pages_cte("duckdb")
+    num = (
+        lambda c: f"regexp_replace(cast(round({c}, 3) as varchar), '\\.0$', '')"
+    )
+    return f"""
+    with g as ({g})
+    select url,
+           concat('{{"type":"Point","coordinates":[', {num('lon')}, ',',
+                  {num('lat')}, ']}}') as gj_point,
+           true as roundtrip_ok
+    from g
+    """
+
+
+QUERIES["st_geojson_roundtrip"] = _geojson_roundtrip
+ORACLES["st_geojson_roundtrip"] = _geojson_roundtrip_oracle()

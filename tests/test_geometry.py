@@ -515,3 +515,57 @@ def test_strtree_sort_query_matches_numpy_leaf_order(spark):
     unsorted_loc = loc(urls)  # url order ~ random spatially
     assert str_loc < 0.35 * unsorted_loc
     assert str_loc < 2.0 * hil_loc
+
+
+def test_geojson_codec_all_types_roundtrip():
+    """RFC 7946 emit/parse across the 7 basic types + Z + holes; the
+    emitted text is valid JSON and geometry→json→geometry preserves
+    WKT exactly."""
+    import json
+
+    import numpy as np
+
+    from gdal_spark.geometry import geojson as GJ
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.geometry.wkt import wkb_to_wkt, wkt_to_wkb
+
+    wkts = [
+        "POINT (2.352 48.857)",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+    ]
+    for w in wkts:
+        buf = wkt_to_wkb(w)
+        gj = GJ.wkb_to_geojson(buf)
+        obj = json.loads(gj)
+        assert obj["type"] in (
+            "Point", "LineString", "Polygon", "MultiPolygon"
+        )
+        assert wkb_to_wkt(GJ.from_geojson(gj)) == wkb_to_wkt(buf)
+
+    ml = W.multilinestring_to_wkb(
+        [np.array([[0.0, 0.0], [1.0, 1.0]]), np.array([[2.0, 2.0], [3.0, 3.0]])]
+    )
+    gj = GJ.wkb_to_geojson(ml)
+    assert json.loads(gj)["type"] == "MultiLineString"
+    assert wkb_to_wkt(GJ.from_geojson(gj)) == wkb_to_wkt(ml)
+
+    # Z round-trips as a third position element
+    zb = W.structured_to_wkb((W.POINT, True, False, np.array([[1.5, 2.5, 3.5]])))
+    gj = GJ.wkb_to_geojson(zb)
+    assert json.loads(gj)["coordinates"] == [1.5, 2.5, 3.5]
+    n2 = W.parse_wkb_structured(GJ.from_geojson(gj))
+    assert n2[1] is True and n2[3][0][2] == 3.5
+
+    # rings are emitted CLOSED even when stored open (RFC 3.1.6)
+    open_ring = W.polygon_to_wkb([np.array([[0.0, 0.0], [2.0, 0.0], [1.0, 2.0]])])
+    ring = json.loads(GJ.wkb_to_geojson(open_ring))["coordinates"][0]
+    assert ring[0] == ring[-1] and len(ring) == 4
+
+    # curve input linearizes (like the reference's GeoJSON writer)
+    arc = W.circularstring_to_wkb(
+        np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]])
+    )
+    obj = json.loads(GJ.wkb_to_geojson(arc))
+    assert obj["type"] == "LineString" and len(obj["coordinates"]) > 3
