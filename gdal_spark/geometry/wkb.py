@@ -84,6 +84,24 @@ def multipolygon_to_wkb(polys: list[list[np.ndarray]]) -> bytes:
     return b"".join(out)
 
 
+def multipoint_to_wkb(coords: np.ndarray) -> bytes:
+    out = [_HDR.pack(1, MULTIPOINT), struct.pack("<I", len(coords))]
+    out.extend(
+        points_to_wkb(
+            np.ascontiguousarray(coords[:, 0]),
+            np.ascontiguousarray(coords[:, 1]),
+        )
+    )
+    return b"".join(out)
+
+
+def collection_to_wkb(children: list[bytes]) -> bytes:
+    """GEOMETRYCOLLECTION from already-encoded child WKBs."""
+    out = [_HDR.pack(1, COLLECTION), struct.pack("<I", len(children))]
+    out.extend(children)
+    return b"".join(out)
+
+
 def _rd_u32(buf, off, little):
     return struct.unpack_from("<I" if little else ">I", buf, off)[0], off + 4
 

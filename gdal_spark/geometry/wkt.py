@@ -118,4 +118,22 @@ def wkt_to_wkb(wkt: str) -> bytes:
         for g in _split_groups(body):
             polys.append([_parse_coords(_strip(r)) for r in _split_groups(_strip(g))])
         return W.multipolygon_to_wkb(polys)
+    if up.startswith("MULTIPOINT"):
+        body = _strip(s[10:])
+        # both OGC spellings: MULTIPOINT ((1 2), (3 4)) and (1 2, 3 4)
+        pts = [
+            _parse_coords(_strip(g) if g.strip().startswith("(") else g)
+            for g in _split_groups(body)
+        ]
+        return W.multipoint_to_wkb(np.vstack(pts))
+    if up.startswith("MULTILINESTRING"):
+        body = _strip(s[15:])
+        return W.multilinestring_to_wkb(
+            [_parse_coords(_strip(g)) for g in _split_groups(body)]
+        )
+    if up.startswith("GEOMETRYCOLLECTION"):
+        body = _strip(s[18:])
+        return W.collection_to_wkb(
+            [wkt_to_wkb(g.strip()) for g in _split_groups(body)]
+        )
     raise ValueError(f"unsupported WKT: {wkt[:40]}")

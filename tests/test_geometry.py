@@ -569,3 +569,23 @@ def test_geojson_codec_all_types_roundtrip():
     )
     obj = json.loads(GJ.wkb_to_geojson(arc))
     assert obj["type"] == "LineString" and len(obj["coordinates"]) > 3
+
+
+def test_wkt_parser_multi_and_collection_roundtrip():
+    """st_geomfromtext parity for the remaining WKT types the emitter
+    already covered: MULTIPOINT (both OGC spellings), MULTILINESTRING,
+    GEOMETRYCOLLECTION (nested heterogeneous)."""
+    from gdal_spark.geometry.wkt import wkb_to_wkt, wkt_to_wkb
+
+    for w in [
+        "MULTIPOINT ((1 2), (3 4))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1), "
+        "POLYGON ((0 0, 1 0, 1 1, 0 0)))",
+    ]:
+        assert wkb_to_wkt(wkt_to_wkb(w)) == w
+    # the paren-free MULTIPOINT spelling normalizes to the canonical one
+    assert (
+        wkb_to_wkt(wkt_to_wkb("MULTIPOINT (1 2, 3 4)"))
+        == "MULTIPOINT ((1 2), (3 4))"
+    )
