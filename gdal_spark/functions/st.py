@@ -31,16 +31,9 @@ from pyspark.sql.types import (
 )
 
 from gdal_spark.geometry import clip as C
+from gdal_spark.geometry import geojson as GJ
 from gdal_spark.geometry import wkb as W
 from gdal_spark.geometry import wkt as T
-
-
-def _GJ():
-    # lazy: geojson is cold-path (export), keep it off the import chain
-    # of every ST-using task
-    from gdal_spark.geometry import geojson
-
-    return geojson
 from gdal_spark.geometry.kernels import (
     bbox_of_rings,
     geodesic_area_m2,
@@ -625,11 +618,11 @@ def register_st_functions(spark: SparkSession) -> None:
     # a FORMAT codec over string columns, not a file driver). Curve
     # inputs linearize first, like the reference's GeoJSON export.
     reg("st_asgeojson", P(
-        lambda s: _each(s, _GJ().wkb_to_geojson), StringType()
+        lambda s: _each(s, GJ.wkb_to_geojson), StringType()
     ))
     reg("st_geomfromgeojson", P(
         lambda s: pd.Series(
-            [None if v is None else _GJ().from_geojson(v) for v in s]
+            [None if v is None else GJ.from_geojson(v) for v in s]
         ),
         BinaryType(),
     ))

@@ -66,8 +66,10 @@ def _contains_curve(node) -> bool:
 def to_geojson(node) -> str:
     """Structured WKB node → compact RFC 7946 geometry JSON.  Z is kept
     as a third position element; M is dropped (GeoJSON has no M)."""
-    if _contains_curve(node):
-        # linearize_structured returns plain WKB bytes — re-parse
+    if node[0] != W.COLLECTION and _contains_curve(node):
+        # linearize_structured returns plain WKB bytes — re-parse.
+        # COLLECTION recurses below, so curved CHILDREN linearize one
+        # by one (linearize_structured has no collection case).
         node = W.parse_wkb_structured(W.linearize_structured(node))
     base, has_z, _m, payload = node
     dim = 3 if has_z else 2
@@ -119,38 +121,41 @@ def _node(obj):
                 [_node(g) for g in obj["geometries"]])
     code = _CODE[t]
     cs = obj["coordinates"]
-    has_z = False
+    # RFC 7946 permits 2- and 3-element positions MIXED within one
+    # geometry; decide the dimension in a pre-pass (any 3-element
+    # position -> 3D, short positions z-padded with 0.0 — the OGR
+    # missing-z convention) so every coordinate array is uniform.
+    has_z = _any_z(cs)
+    dim = 3 if has_z else 2
 
-    def rows(c):
-        nonlocal has_z
-        r = np.asarray(c, dtype=np.float64)
-        if r.shape[-1] >= 3:
-            has_z = True
-        return r
+    def arr(ps):
+        return np.asarray(
+            [(list(map(float, p)) + [0.0, 0.0])[:dim] for p in ps],
+            dtype=np.float64,
+        )
 
     if t == "Point":
-        pay = rows(cs).reshape(1, -1)
+        pay = arr([cs])
     elif t == "LineString":
-        pay = rows(cs)
+        pay = arr(cs)
     elif t == "Polygon":
-        pay = [rows(r) for r in cs]
+        pay = [arr(r) for r in cs]
     elif t == "MultiPoint":
-        pay = [(W.POINT, None, None, rows(p).reshape(1, -1)) for p in cs]
+        pay = [(W.POINT, has_z, False, arr([p])) for p in cs]
     elif t == "MultiLineString":
-        pay = [(W.LINESTRING, None, None, rows(l)) for l in cs]
+        pay = [(W.LINESTRING, has_z, False, arr(l)) for l in cs]
     elif t == "MultiPolygon":
         pay = [
-            (W.POLYGON, None, None, [rows(r) for r in poly]) for poly in cs
+            (W.POLYGON, has_z, False, [arr(r) for r in poly]) for poly in cs
         ]
     else:
         raise ValueError(f"unsupported GeoJSON type {t}")
-
-    def fix(n):
-        b, _z, _m, p = n
-        if b in (W.MULTIPOINT, W.MULTILINESTRING, W.MULTIPOLYGON):
-            return (b, has_z, False, [fix(c) for c in p])
-        return (b, has_z, False, p)
-
-    if code in (W.MULTIPOINT, W.MULTILINESTRING, W.MULTIPOLYGON):
-        return fix((code, has_z, False, pay))
     return (code, has_z, False, pay)
+
+
+def _any_z(cs) -> bool:
+    if not isinstance(cs, (list, tuple)) or not cs:
+        return False
+    if isinstance(cs[0], (int, float)):
+        return len(cs) >= 3
+    return any(_any_z(c) for c in cs)

@@ -37,15 +37,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def query_vectors(
+    emb: DataFrame, n: int = N_QUERIES
+) -> list[tuple[int, np.ndarray]]:
+    """The first n embedding rows as driver-side (id, vector) query
+    pairs — the protocol every broadcast-query retrieval op shares."""
+    qrows = (
+        emb.where(F.col("vec_id") < n)
+        .select("vec_id", "embedding")
+        .collect()  # bounded-metadata: the n query vectors
+    )
+    return [(int(r["vec_id"]), np.asarray(r["embedding"])) for r in qrows]
+
+
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _emb(spark, sf_dir)
-    qrows = (
-        corpus.where(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    queries = [(int(r["vec_id"]), np.asarray(r["embedding"])) for r in qrows]
-    return cosine_topk(corpus, queries, k=TOPK)
+    return cosine_topk(corpus, query_vectors(corpus), k=TOPK)
 
 
 ANN_COSINE_ORACLE = f"""

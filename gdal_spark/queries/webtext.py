@@ -1401,11 +1401,10 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the test tables, standing in for the shared document key a real
     hybrid index joins on.  Both arms' ranks are integer-exact with
     explicit tie-breaks, so the fusion is engine-exact."""
-    import numpy as np
-
     from gdal_spark import tables
     from gdal_spark.operators.similarity import cosine_topk
     from gdal_spark.operators.webtext import bm25_topk, rrf_fuse
+    from gdal_spark.queries.similarity import query_vectors
 
     d = _docs(spark, sf_dir)
     q = spark.createDataFrame(_BM25_QUERIES, "q_id long, q_text string")
@@ -1414,12 +1413,7 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tables.register_views(spark, sf_dir)
     emb = spark.table("embeddings")
-    qrows = (
-        emb.where(F.col("vec_id") < len(_BM25_QUERIES))
-        .select("vec_id", "embedding")
-        .collect()  # bounded-metadata: the 5 query vectors
-    )
-    queries = [(int(r["vec_id"]), np.asarray(r["embedding"])) for r in qrows]
+    queries = query_vectors(emb, len(_BM25_QUERIES))
     sem = cosine_topk(emb, queries, k=5).select(
         F.col("query_id").cast("long").alias("q_id"),
         F.col("vec_id").alias("item_id"),
@@ -1543,19 +1537,23 @@ m as (
   from t
 ),
 g as (
+  -- the engine gates on the 6-dp ROUNDED metric columns
+  -- (gopher_metrics emits round(...,6) then builds the flag), so the
+  -- mirror must round before comparing or a metric within 5e-7 of a
+  -- gate boundary diverges
   select doc_id,
          (len(toks) between 50 and 100000
-          and (list_sum(list_transform(toks, w -> length(w)))
-               / greatest(len(toks), 1)) between 3.0 and 10.0
-          and (case when len(toks) < 2 then 0.0 else
+          and round(list_sum(list_transform(toks, w -> length(w)))
+               / greatest(len(toks), 1), 6) between 3.0 and 10.0
+          and round(case when len(toks) < 2 then 0.0 else
               list_max(list_transform(list_distinct(grams), gr ->
                   len(list_filter(grams, x -> x = gr)) * length(gr)))
-              / greatest(length(text), 1) end) < 0.20
-          and (list_sum(list_concat([0], list_transform(
+              / greatest(length(text), 1) end, 6) < 0.20
+          and round(list_sum(list_concat([0], list_transform(
                   list_filter(list_distinct(lns),
                       l2 -> len(list_filter(lns, x -> x = l2)) > 1),
                   l2 -> len(list_filter(lns, x -> x = l2)) * length(l2))))
-                / greatest(length(text), 1)) < 0.20) as gopher_keep
+                / greatest(length(text), 1), 6) < 0.20) as gopher_keep
   from m
 ),
 q as (

@@ -589,3 +589,27 @@ def test_wkt_parser_multi_and_collection_roundtrip():
         wkb_to_wkt(wkt_to_wkb("MULTIPOINT (1 2, 3 4)"))
         == "MULTIPOINT ((1 2), (3 4))"
     )
+
+
+def test_geojson_edge_cases_collection_curve_and_mixed_dims():
+    """A curved child inside a GEOMETRYCOLLECTION linearizes per child
+    (linearize_structured has no collection case); RFC-legal MIXED 2D/3D
+    positions in one geometry promote to 3D with z=0 padding."""
+    import json
+
+    import numpy as np
+
+    from gdal_spark.geometry import geojson as GJ
+    from gdal_spark.geometry import wkb as W
+
+    arc = W.circularstring_to_wkb(np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]]))
+    pt = W.points_to_wkb(np.array([5.0]), np.array([6.0]))[0]
+    o = json.loads(GJ.wkb_to_geojson(W.collection_to_wkb([pt, arc])))
+    assert [g["type"] for g in o["geometries"]] == ["Point", "LineString"]
+    assert len(o["geometries"][1]["coordinates"]) > 3  # stroked arc
+
+    n = W.parse_wkb_structured(
+        GJ.from_geojson('{"type":"MultiPoint","coordinates":[[0,0],[1,1,5]]}')
+    )
+    assert n[1] is True
+    assert [list(c[3][0]) for c in n[3]] == [[0, 0, 0], [1, 1, 5]]

@@ -112,6 +112,32 @@ def run_at(cpus: int, sf_dir: str) -> dict:
         corpus.unpersist()
         best["dedup_sec"] = min(dts)
         best["all_dedup_sec"] = sorted(dts)
+
+        # third metric: the TILING half of the north rule ("spatial-join
+        # + tiling engine") — full WebMercatorQuad pyramid (per-tile
+        # warp + 4->1 overview reduces, z9..z6) over a 1600x1600
+        # synthetic raster (same analytic gradient as grad100 at 16x
+        # the resolution; 625 cached 64px blocks). The job is the
+        # engine's real tile path: cover shuffle keyed (band,z,x,y),
+        # Arrow warp kernel per tile, reduce loop per level.
+        from gdal_spark.raster import model as RM
+        from gdal_spark.raster import tile as RT
+
+        g = RM.grad100_spec().gt
+        spec = RM.GridSpec(
+            "scale1600", 1600, 1600,
+            (g[0], 0.0025, 0.0, g[3], 0.0, -0.0025), block=64, bands=1,
+        )
+        tblocks = RM.synth_blocks(spark, spec).repartition(64).persist()
+        tblocks.count()
+        tts = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            best["n_tiles"] = RT.tile_pyramid(tblocks, 9, 6).count()
+            tts.append(round(time.time() - t0, 3))
+        tblocks.unpersist()
+        best["tile_sec"] = min(tts)
+        best["all_tile_sec"] = sorted(tts)
         return best
     finally:
         spark.stop()
@@ -152,6 +178,7 @@ def main() -> None:
     hi = run_level_subprocess(4 * n, sf_dir)
     eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4.0
     eff_dedup = (lo["dedup_sec"] / hi["dedup_sec"]) / 4.0
+    eff_tile = (lo["tile_sec"] / hi["tile_sec"]) / 4.0
     result = {
         "sf": sf_dir,
         "n_cores": n,
@@ -170,6 +197,12 @@ def main() -> None:
         "all_dedup_sec_n": lo["all_dedup_sec"],
         "all_dedup_sec_4n": hi["all_dedup_sec"],
         "dedup_scaling_efficiency": round(eff_dedup, 3),
+        "n_tiles": lo["n_tiles"],
+        "tile_sec_n": lo["tile_sec"],
+        "tile_sec_4n": hi["tile_sec"],
+        "all_tile_sec_n": lo["all_tile_sec"],
+        "all_tile_sec_4n": hi["all_tile_sec"],
+        "tile_scaling_efficiency": round(eff_tile, 3),
         "ts": int(time.time()),
     }
     print(json.dumps(result))
@@ -239,6 +272,22 @@ verify; the band self-join is the only corpus shuffle.
 
 **Dedup scaling efficiency** = (wall @ {n}) / (wall @ {4*n}) / 4 =
 **{eff_dedup:.3f}** (target ≥ 0.8).
+
+## Third metric: the TILING half of the north rule (XYZ pyramid)
+
+Same two levels, same estimator, on the engine's real tile path: a full
+WebMercatorQuad pyramid z9→z6 ({lo['n_tiles']} tiles: per-tile warp of a
+1600×1600 source — 625 cached 64-px blocks, the grad100 gradient at 16×
+resolution — via the cover shuffle keyed (band,z,x,y) + Arrow warp
+kernel, then the 4→1 overview reduce per level).
+
+| cores | pyramid wall (s, best) | samples (s) |
+|---|---|---|
+| {n} | {lo['tile_sec']} | {lo['all_tile_sec']} |
+| {4*n} | {hi['tile_sec']} | {hi['all_tile_sec']} |
+
+**Tiling scaling efficiency** = (wall @ {n}) / (wall @ {4*n}) / 4 =
+**{eff_tile:.3f}** (target ≥ 0.8).
 
 Reproduce: `python tools/bench_scaling.py {n}`
 (env: `SPARK_GRAFT_SF_DIR`, `GDAL_SPARK_BENCH_AMPLIFY`,

@@ -314,6 +314,31 @@ NOTES = {
         "interleave, base32 — over the page scan; zero shuffle, zero "
         "Python. The same SQL text is the DuckDB oracle."
     ),
+    "hybrid_rrf": (
+        "r5g reciprocal-rank fusion. Both retrieval arms produce top-k "
+        "lists (O(queries x k) rows); the fusion is a full-outer "
+        "equi-join + per-query window over ONLY that candidate set — "
+        "the corpus-scale work stays inside the arms (BM25's one "
+        "term-join, the ANN broadcast scan), and fusing adds no "
+        "corpus-touching stage."
+    ),
+    "curation_pipeline": (
+        "r5g composed curation sequence. The Gopher gate and the "
+        "linear-classifier gate are doc-local array lambdas that fuse "
+        "into ONE codegen'd map over the scan — no exchange between "
+        "stages; the content-hash keep-first aggregate is the "
+        "pipeline's single shuffle and runs on the gate-SURVIVOR "
+        "subset only (filters first shrink the shuffle — the reason "
+        "real pipelines order stages this way)."
+    ),
+    "containment_pairs": (
+        "r5g Broder containment. Candidate generation shuffles the "
+        "rare-shingle stream once (max_df stop-shingle cap bounds the "
+        "self-join fan-out); verification joins the candidate pair set "
+        "back to doc-local shingle ARRAYS — under AQE the pair side "
+        "broadcasts, so the corpus is scanned, never re-shuffled, for "
+        "the verify."
+    ),
 }
 
 
