@@ -1672,3 +1672,61 @@ def rrf_fuse(
         j.select("q_id", "item_id", score.alias("rrf"))
         .withColumn("fused_rank", F.row_number().over(w))
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_k: int = 500,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution: OLS of
+    ln(freq) on ln(rank) over the top_k most frequent tokens — the
+    power-law health check corpus reports ship (a natural corpus fits
+    slope ≈ −1; strong boilerplate/dup contamination flattens or
+    steepens it).  Returns one row
+    (n_terms, slope, intercept, r2).
+
+    Exactness: per-term ln values round to 6 dp and accumulate as
+    DECIMAL — order-independent exact sums (the bm25 discipline), so
+    the closed-form OLS is reproducible bit-for-bit in DuckDB; the
+    final divisions are correctly-rounded double ops.
+
+    Scale: token counting is ONE map-side-combined aggregate (the only
+    corpus-scale stage); the rank window then runs over the
+    VOCABULARY, which is dictionary-sized, not corpus-sized — and only
+    the top_k rows (TakeOrderedAndProject, a merge not a sort) enter
+    the regression, whose state is five decimal sums."""
+    toks = df.selectExpr(f"explode(split({text_col}, ' ')) as w")
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(top_k)
+    w = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    ranked = top.withColumn("r", F.row_number().over(w))
+    d = ranked.selectExpr(
+        "cast(round(ln(cast(r as double)), 6) as decimal(18, 6)) as x",
+        "cast(round(ln(cast(c as double)), 6) as decimal(18, 6)) as y",
+    )
+    s = d.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -273,6 +273,9 @@ def collect() -> tuple[
         # family's in-window rep stays ogr_special_fields; the codec
         # rides the replica next to st_point_roundtrip.
         "st_geojson_roundtrip",
+        # r5: Zipf-law fit — corpus-statistics family beside vocab_kmv;
+        # in-window text reps stay lm_perplexity / lang_id.
+        "zipf_fit",
         # r5: fuzzy LSH decontamination — the decontamination family's
         # in-window rep stays the exact 13-gram `decontaminate`; this
         # rides the local replica (same minhash band machinery the

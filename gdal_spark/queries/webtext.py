@@ -1583,3 +1583,50 @@ order by f.doc_id
 
 QUERIES["curation_pipeline"] = _curation_pipeline
 ORACLES["curation_pipeline"] = _curation_pipeline_oracle()
+
+
+# --- Zipf-law fit (corpus power-law health check) ---
+
+def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS of ln(freq) on ln(rank) over the 500 most frequent tokens.
+    Decimal-exact sums make the closed-form regression bit-reproducible
+    in SQL; the oracle computes the identical operation sequence."""
+    from gdal_spark.operators.webtext import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_k=500)
+
+
+ORACLES["zipf_fit"] = """
+with counts as (
+  select w, count(*) as c
+  from (select unnest(string_split(text, ' ')) as w from documents)
+  group by w
+),
+top as (select w, c from counts order by c desc, w asc limit 500),
+ranked as (
+  select c, row_number() over (order by c desc, w asc) as r from top
+),
+d as (
+  select cast(round(ln(cast(r as double)), 6) as decimal(18, 6)) as x,
+         cast(round(ln(cast(c as double)), 6) as decimal(18, 6)) as y
+  from ranked
+),
+s as (
+  select cast(count(*) as bigint) as n_terms,
+         cast(count(*) as double) as n,
+         cast(sum(x) as double) as sx,
+         cast(sum(y) as double) as sy,
+         cast(sum(x * y) as double) as sxy,
+         cast(sum(x * x) as double) as sxx,
+         cast(sum(y * y) as double) as syy
+  from d
+)
+select n_terms,
+       round(((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) as slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) as intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) as r2
+from s
+"""
+QUERIES["zipf_fit"] = _zipf_fit

@@ -1147,3 +1147,32 @@ def test_curation_pipeline_stage_invariants(spark):
         assert not b.kept
         if a.gopher_keep and a.quality_keep:
             assert a.kept and a.surv_group_size == 2
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """A corpus synthesized with freq(rank) = round(1000 * rank^-1)
+    recovers slope ≈ -1 with r2 ≈ 1; a uniform corpus fits slope ≈ 0."""
+    import math
+
+    rows = []
+    did = 0
+    words = []
+    for r in range(1, 60):
+        words += [f"tok{r:03d}"] * max(1, round(1000 / r))
+    # pack the multiset into docs of 50 tokens
+    for i in range(0, len(words), 50):
+        rows.append((did, " ".join(words[i : i + 50])))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from gdal_spark.operators.webtext import zipf_fit
+
+    got = zipf_fit(df, top_k=59).collect()[0]
+    assert got.n_terms == 59
+    assert abs(got.slope + 1.0) < 0.02 and got.r2 > 0.999
+
+    uni = spark.createDataFrame(
+        [(i, " ".join(f"u{j}" for j in range(40))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    flat = zipf_fit(uni, top_k=40).collect()[0]
+    assert abs(flat.slope) < 1e-9
