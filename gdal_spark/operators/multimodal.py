@@ -581,3 +581,135 @@ def frame_sample_real(media: DataFrame, every: int = 2) -> DataFrame:
     return media.where(F.col("media_type") == "video").mapInPandas(
         fn, "doc_id long, frame int, frame_mean double"
     )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte image dispatch shared by resize/feature extraction:
+    netpbm / PNG / baseline JPEG → uint8 array (H, W) or (H, W, C).
+    Compressed/unknown codecs raise NotImplementedError (poison-pill
+    callers surface it per row)."""
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from gdal_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise NotImplementedError("compressed/unknown image codec")
+
+
+def bilinear_resize(a: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Pixel-center-aligned bilinear resize of a (H, W[, C]) uint8
+    array — the same sampling convention as the raster warp kernels
+    (dst center maps to src at (i+0.5)·scale−0.5, edge-clamped), so an
+    image resize and a raster 'resize' agree on the grid."""
+    h, w = a.shape[:2]
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = np.clip(xs - x0, 0.0, 1.0)
+    fy = np.clip(ys - y0, 0.0, 1.0)
+    af = a.astype(np.float64)
+    if af.ndim == 2:
+        af = af[:, :, None]
+    top = af[y0][:, x0] * (1 - fx)[None, :, None] + af[y0][:, x1] * fx[None, :, None]
+    bot = af[y1][:, x0] * (1 - fx)[None, :, None] + af[y1][:, x1] * fx[None, :, None]
+    out = top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+    out = np.floor(out + 0.5).astype(np.uint8)
+    return out[:, :, 0] if a.ndim == 2 else out
+
+
+def resize_media(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Image rows resized to (out_w, out_h) — the thumbnail/normalize
+    step of a multimodal training pipeline.  One Arrow pass (decode →
+    bilinear kernel → re-encode PGM for grayscale, raw bytes for
+    multi-channel); non-image rows and undecodable payloads surface in
+    the `error` column (poison-pill tolerance).  Returns
+    (doc_id, out_w, out_h, mean, resized_md5, error) — the md5 pins the
+    exact resized bytes without shipping tensors to the driver."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                mean = md5 = err = None
+                try:
+                    a = decode_image(bytes(r.payload))
+                    t = bilinear_resize(a, out_w, out_h)
+                    mean = float(np.floor(t.astype(np.float64).mean() * 1e6)
+                                 / 1e6)
+                    md5 = hashlib.md5(
+                        np.ascontiguousarray(t).tobytes()
+                    ).hexdigest()
+                except (NotImplementedError, ValueError, KeyError) as e:
+                    err = str(e)
+                rows.append((int(r.doc_id), out_w, out_h, mean, md5, err))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_w", "out_h", "mean", "resized_md5",
+                         "error"],
+            )
+
+    return media.where(F.col("media_type") == "image").select(
+        "doc_id", "payload"
+    ).mapInPandas(
+        fn,
+        "doc_id long, out_w int, out_h int, mean double, "
+        "resized_md5 string, error string",
+    )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Classical image features per row — the cheap feature-extract
+    stage (dedup/quality signals before any model): per-channel mean,
+    contrast (std), Sobel edge energy, and a 16-bin intensity-histogram
+    entropy.  One Arrow pass, numpy only; errors per row."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                mean = std = edge = ent = None
+                err = None
+                try:
+                    a = decode_image(bytes(r.payload)).astype(np.float64)
+                    g = a if a.ndim == 2 else a.mean(axis=2)
+                    mean = float(g.mean())
+                    std = float(g.std())
+                    gx = (
+                        g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:]
+                        - g[:-2, :-2] - 2 * g[1:-1, :-2] - g[2:, :-2]
+                    )
+                    gy = (
+                        g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:]
+                        - g[:-2, :-2] - 2 * g[:-2, 1:-1] - g[:-2, 2:]
+                    )
+                    edge = float(np.sqrt(gx * gx + gy * gy).mean())
+                    hist = np.bincount(
+                        (g.ravel() / 16).astype(np.int64).clip(0, 15),
+                        minlength=16,
+                    )
+                    p = hist[hist > 0] / hist.sum()
+                    ent = float(-(p * np.log2(p)).sum())
+                except (NotImplementedError, ValueError, KeyError) as e:
+                    err = str(e)
+                rows.append((int(r.doc_id), mean, std, edge, ent, err))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mean", "contrast", "edge_energy",
+                         "hist_entropy", "error"],
+            )
+
+    return media.where(F.col("media_type") == "image").select(
+        "doc_id", "payload"
+    ).mapInPandas(
+        fn,
+        "doc_id long, mean double, contrast double, edge_energy double, "
+        "hist_entropy double, error string",
+    )

@@ -1092,3 +1092,47 @@ def test_pagerank_mass_conserved(spark):
     )
     prs = [float(r["pr"]) for r in pagerank(e, iters=4).collect()]
     assert sum(prs) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_resize_media_and_image_features(spark):
+    """Resize: identity at source size, exact 2x2 block average at
+    half-scale on a planted checkerboard; features: constants on flat
+    and step images; non-decodable payloads poison-pill per row."""
+    import hashlib
+
+    import numpy as np
+
+    from gdal_spark.operators import multimodal as M
+
+    flat = np.full((16, 16), 100, dtype=np.uint8)
+    step = np.zeros((16, 16), dtype=np.uint8)
+    step[:, 8:] = 200
+    rows = [
+        (1, "image", 16, 16, 1, bytearray(M.encode_pgm(flat))),
+        (2, "image", 16, 16, 1, bytearray(M.encode_pgm(step))),
+        (3, "image", 16, 16, 1, bytearray(b"GIF89a not supported")),
+        (4, "audio", 256, 1, 1, bytearray(M.encode_wav(
+            np.zeros(256, dtype=np.int16), 8000))),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    # identity resize: bytes round-trip exactly
+    ident = {r.doc_id: r for r in M.resize_media(media, 16, 16).collect()}
+    assert ident[1].resized_md5 == hashlib.md5(flat.tobytes()).hexdigest()
+    assert ident[2].resized_md5 == hashlib.md5(step.tobytes()).hexdigest()
+    assert ident[3].error and ident[3].resized_md5 is None
+    assert 4 not in ident  # audio rows filtered out
+
+    # half-scale of a 2x2-constant image == block average (bilinear at
+    # exact center sampling); flat stays flat
+    half = {r.doc_id: r for r in M.resize_media(media, 8, 8).collect()}
+    assert half[1].mean == 100.0
+    got = M.bilinear_resize(step, 8, 8)
+    want = step.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    assert np.array_equal(got.astype(np.float64), want)
+
+    feats = {r.doc_id: r for r in M.image_features(media).collect()}
+    assert feats[1].contrast == 0.0 and feats[1].edge_energy == 0.0
+    assert feats[1].hist_entropy == 0.0  # single bin
+    assert feats[2].edge_energy > 0.0 and feats[2].contrast == 100.0
+    assert feats[3].error
