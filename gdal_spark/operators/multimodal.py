@@ -18,6 +18,8 @@ hash-derived-tensor variant for schema/plumbing tests.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -286,7 +288,8 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                         raise NotImplementedError(
                             "compressed/unknown codec: needs PIL/ffmpeg"
                         )
-                except (NotImplementedError, ValueError, KeyError) as e:
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError, struct.error, zlib.error) as e:
                     err = str(e)
                 rows.append((int(r.doc_id), kind, mean, std, rate, err))
             yield pd.DataFrame(
@@ -605,6 +608,8 @@ def bilinear_resize(a: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     (dst center maps to src at (i+0.5)·scale−0.5, edge-clamped), so an
     image resize and a raster 'resize' agree on the grid."""
     h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot resize an empty image")
     xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
     ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
     x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
@@ -616,8 +621,9 @@ def bilinear_resize(a: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     af = a.astype(np.float64)
     if af.ndim == 2:
         af = af[:, :, None]
-    top = af[y0][:, x0] * (1 - fx)[None, :, None] + af[y0][:, x1] * fx[None, :, None]
-    bot = af[y1][:, x0] * (1 - fx)[None, :, None] + af[y1][:, x1] * fx[None, :, None]
+    rows0, rows1 = af[y0], af[y1]
+    top = rows0[:, x0] * (1 - fx)[None, :, None] + rows0[:, x1] * fx[None, :, None]
+    bot = rows1[:, x0] * (1 - fx)[None, :, None] + rows1[:, x1] * fx[None, :, None]
     out = top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
     out = np.floor(out + 0.5).astype(np.uint8)
     return out[:, :, 0] if a.ndim == 2 else out
@@ -628,11 +634,11 @@ def resize_media(
 ) -> DataFrame:
     """Image rows resized to (out_w, out_h) — the thumbnail/normalize
     step of a multimodal training pipeline.  One Arrow pass (decode →
-    bilinear kernel → re-encode PGM for grayscale, raw bytes for
-    multi-channel); non-image rows and undecodable payloads surface in
-    the `error` column (poison-pill tolerance).  Returns
-    (doc_id, out_w, out_h, mean, resized_md5, error) — the md5 pins the
-    exact resized bytes without shipping tensors to the driver."""
+    bilinear kernel); non-image rows and undecodable payloads surface
+    in the `error` column (poison-pill tolerance).  Returns
+    (doc_id, out_w, out_h, mean, resized_md5, error) — the md5 is over
+    the RAW resized uint8 array bytes (row-major, channels-last), so
+    the exact tensor is pinned without shipping it to the driver."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -647,7 +653,8 @@ def resize_media(
                     md5 = hashlib.md5(
                         np.ascontiguousarray(t).tobytes()
                     ).hexdigest()
-                except (NotImplementedError, ValueError, KeyError) as e:
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError, struct.error, zlib.error) as e:
                     err = str(e)
                 rows.append((int(r.doc_id), out_w, out_h, mean, md5, err))
             yield pd.DataFrame(
@@ -682,22 +689,28 @@ def image_features(media: DataFrame) -> DataFrame:
                     g = a if a.ndim == 2 else a.mean(axis=2)
                     mean = float(g.mean())
                     std = float(g.std())
-                    gx = (
-                        g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:]
-                        - g[:-2, :-2] - 2 * g[1:-1, :-2] - g[2:, :-2]
-                    )
-                    gy = (
-                        g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:]
-                        - g[:-2, :-2] - 2 * g[:-2, 1:-1] - g[:-2, 2:]
-                    )
-                    edge = float(np.sqrt(gx * gx + gy * gy).mean())
+                    if min(g.shape) < 3:
+                        # no 3x3 Sobel window fits: edge energy is 0 by
+                        # definition, not NaN (the row is NOT an error)
+                        edge = 0.0
+                    else:
+                        gx = (
+                            g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:]
+                            - g[:-2, :-2] - 2 * g[1:-1, :-2] - g[2:, :-2]
+                        )
+                        gy = (
+                            g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:]
+                            - g[:-2, :-2] - 2 * g[:-2, 1:-1] - g[:-2, 2:]
+                        )
+                        edge = float(np.sqrt(gx * gx + gy * gy).mean())
                     hist = np.bincount(
                         (g.ravel() / 16).astype(np.int64).clip(0, 15),
                         minlength=16,
                     )
                     p = hist[hist > 0] / hist.sum()
                     ent = float(-(p * np.log2(p)).sum())
-                except (NotImplementedError, ValueError, KeyError) as e:
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError, struct.error, zlib.error) as e:
                     err = str(e)
                 rows.append((int(r.doc_id), mean, std, edge, ent, err))
             yield pd.DataFrame(

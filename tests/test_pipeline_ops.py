@@ -1136,3 +1136,27 @@ def test_resize_media_and_image_features(spark):
     assert feats[1].hist_entropy == 0.0  # single bin
     assert feats[2].edge_energy > 0.0 and feats[2].contrast == 100.0
     assert feats[3].error
+
+
+def test_resize_poison_pills_and_tiny_images(spark):
+    """Truncated/corrupt containers land in the error column (not a
+    stage failure); sub-3x3 images get edge_energy 0.0, not NaN."""
+    import numpy as np
+
+    from gdal_spark.operators import multimodal as M
+
+    tiny = np.array([[10, 200], [60, 90]], dtype=np.uint8)
+    rows = [
+        (1, "image", 2, 2, 1, bytearray(M.encode_pgm(tiny))),
+        (2, "image", 16, 16, 1, bytearray(b"\x89PNG\r\n\x1a\n\x00\x00")),
+        (3, "image", 16, 16, 1, bytearray(b"\xff\xd8\xff\xc0\x00")),
+        (4, "image", 0, 0, 1, bytearray(b"P5\n0 0\n255\n")),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    res = {r.doc_id: r for r in M.resize_media(media, 4, 4).collect()}
+    assert res[1].error is None and res[1].resized_md5
+    assert res[2].error and res[3].error and res[4].error
+    feats = {r.doc_id: r for r in M.image_features(media).collect()}
+    assert feats[1].edge_energy == 0.0 and feats[1].error is None
+    assert feats[1].contrast > 0.0
+    assert feats[2].error and feats[3].error
