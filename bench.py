@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "dsir_select",             # r5d DSIR importance-resampling selection
     "c4_filter",               # r5d C4 cleaning rule set (pure map)
     "bm25_topk",               # r5d lexical retrieval (Okapi BM25)
+    "hybrid_rrf",              # r5g BM25+cosine reciprocal-rank fusion
+    "curation_pipeline",       # r5g composed gates->dedup stage sequence
     "link_pagerank",           # r5d link-graph PageRank (iterative joins)
     "ngram_novelty",           # r5e k-gram first-occurrence novelty
     "kn_perplexity",           # r5e Kneser-Ney LM scoring
