@@ -276,6 +276,11 @@ def collect() -> tuple[
         # r5: Zipf-law fit — corpus-statistics family beside vocab_kmv;
         # in-window text reps stay lm_perplexity / lang_id.
         "zipf_fit",
+        # r5: DBSCAN density clustering — the spatial family's in-window
+        # reps stay spatial_join_tiles / knn_ring; the cell-bucketed
+        # clustering rides the replica with its O(n^2)+recursive-CTE
+        # mirror.
+        "dbscan_pages",
         # r5: fuzzy LSH decontamination — the decontamination family's
         # in-window rep stays the exact 13-gram `decontaminate`; this
         # rides the local replica (same minhash band machinery the

@@ -507,3 +507,74 @@ def _geohash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["geohash_assign"] = _geohash_assign
 ORACLES["geohash_assign"] = _geohash_assign_sql("duckdb")
+
+
+# --- DBSCAN density clustering (Ester et al. 1996) ---
+
+_DB_EPS = 0.3
+_DB_MINPTS = 4
+
+
+def _dbscan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the geocoded pages (planar degrees, eps=0.3,
+    min_pts=4): pages cluster around their city centers; sparse
+    outskirts become border/noise.  Deterministic labels (min core id
+    per component, min-cluster border rule) make the O(n²)+recursive-CTE
+    oracle an exact mirror."""
+    from gdal_spark.operators.dbscan import dbscan
+
+    gp = tables.geo_pages(spark, sf_dir).selectExpr("url", "lon", "lat")
+    return dbscan(
+        gp, eps=_DB_EPS, min_pts=_DB_MINPTS,
+        id_col="url", x_col="lon", y_col="lat",
+    ).orderBy("id")
+
+
+def _dbscan_oracle() -> str:
+    e2 = _DB_EPS * _DB_EPS
+    return f"""
+    with recursive g as ({portable.geo_pages_cte('duckdb')}),
+    p as (select url as id, lon as x, lat as y from g),
+    nbr as (
+      select a.id as id_a, b.id as id_b
+      from p a join p b on a.id <> b.id
+       and (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {e2!r}
+    ),
+    deg as (select id_a, count(*) + 1 as n from nbr group by id_a),
+    core as (select id_a as cid from deg where n >= {_DB_MINPTS}),
+    e0 as (
+      select n.id_a as la, n.id_b as lb from nbr n
+      join core ca on ca.cid = n.id_a
+      join core cb on cb.cid = n.id_b
+      where n.id_a < n.id_b
+    ),
+    e as (select la, lb from e0 union select lb, la from e0),
+    reach(node, r) as (
+      select la, la from e
+      union
+      select e.lb, reach.r from reach join e on e.la = reach.node
+    ),
+    comp as (select node, min(r) as root from reach group by node),
+    core_lab as (
+      select c.cid as core_id, coalesce(m.root, c.cid) as cluster
+      from core c left join comp m on m.node = c.cid
+    ),
+    border as (
+      select n.id_a as id, min(cl.cluster) as bcluster
+      from nbr n join core_lab cl on cl.core_id = n.id_b
+      group by n.id_a
+    )
+    select p.id,
+           coalesce(cl.cluster, b.bcluster) as cluster_id,
+           case when cl.cluster is not null then 'core'
+                when b.bcluster is not null then 'border'
+                else 'noise' end as role
+    from p
+    left join core_lab cl on cl.core_id = p.id
+    left join border b on b.id = p.id
+    order by p.id
+    """
+
+
+QUERIES["dbscan_pages"] = _dbscan_pages
+ORACLES["dbscan_pages"] = _dbscan_oracle()

@@ -162,7 +162,21 @@ def seam_edges(strips: DataFrame) -> DataFrame:
 def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     """(label, root) — min label of each component. Alternating
     neighbor-min exchange + pointer jumping; each round at least halves
-    chain lengths, so fixpoint in O(log n) rounds."""
+    chain lengths, so fixpoint in O(log n) rounds.
+
+    Iteration state is localCheckpoint()ed (eager), not persist()ed:
+    persist keeps the full LINEAGE, and because each round references
+    the previous `ex` twice the logical plan doubles per round — with
+    the cache not always substituted under AQE, round walls grew
+    geometrically (measured 12 s → 21 s → 82 s on a 4-round fixture;
+    flat ~1 s/round after the change). Checkpointing truncates the
+    lineage so every round's plan is O(1) regardless of round count —
+    the standard discipline for iterative DataFrame algorithms. (The
+    earlier gate fixtures all converged in ≤2 rounds, which is why the
+    growth stayed invisible until a deeper-converging input hit it.)
+    Trade: checkpointed blocks are not recomputable on executor loss;
+    a production run with flaky executors should use a reliable
+    checkpoint dir instead."""
     sym = (
         # symmetrize with ONE scan of edges (explode both directions
         # from each row) — a union of edges with its flipped self would
@@ -181,34 +195,22 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
         )
         .select("_e.la", "_e.lb")
         .distinct()
-        # persist: every iteration joins sym; without this the ENTIRE
-        # upstream edge pipeline re-executes once per round
-        .persist()
+        .localCheckpoint()
     )
     mapping = (
         sym.groupBy("la")
         .agg(F.min("lb").alias("nb"))
         .select(F.col("la").alias("label"), F.least("la", "nb").alias("root"))
-        .persist()
+        .localCheckpoint()
     )
-    try:
-        mapping = _cc_iterate(sym, mapping, max_iters)
-    except BaseException:
-        mapping.unpersist()
-        raise
-    finally:
-        # exception-safe (ADVICE r4): a failure mid-loop must not leak
-        # the cached edge set. On success the returned mapping was
-        # materialized by the in-loop count(), so dropping sym here only
-        # risks recomputation on cache eviction — a perf corner, not
-        # correctness.
-        sym.unpersist()
-    return mapping
+    return _cc_iterate(sym, mapping, max_iters)
 
 
 def _cc_iterate(sym: DataFrame, mapping: DataFrame, max_iters: int) -> DataFrame:
-    """The CC fixpoint loop: returns the final persisted mapping; every
-    superseded mapping (and a mid-failure candidate) is unpersisted."""
+    """The CC fixpoint loop over localCheckpoint()ed state: each
+    round's `jumped` truncates its lineage eagerly, so plan size and
+    round wall stay constant; superseded checkpoint blocks are freed
+    when their RDDs are garbage-collected."""
     for _ in range(max_iters):
         # neighbor exchange: root ← min(root, roots of neighbors)
         nbr = (
@@ -239,19 +241,15 @@ def _cc_iterate(sym: DataFrame, mapping: DataFrame, max_iters: int) -> DataFrame
                 F.col("x.label").alias("label"),
                 F.coalesce(F.col("r.root"), F.col("x.root")).alias("root"),
             )
-            .persist()
+            # eager lineage cut — see connected_components docstring
+            .localCheckpoint()
         )
-        try:
-            changed = (
-                jumped.alias("j")
-                .join(mapping.alias("o"), "label")
-                .where(F.col("j.root") != F.col("o.root"))
-                .count()
-            )
-        except BaseException:
-            jumped.unpersist()
-            raise
-        mapping.unpersist()
+        changed = (
+            jumped.alias("j")
+            .join(mapping.alias("o"), "label")
+            .where(F.col("j.root") != F.col("o.root"))
+            .count()
+        )
         mapping = jumped
         if changed == 0:
             break

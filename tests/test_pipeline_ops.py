@@ -1160,3 +1160,64 @@ def test_resize_poison_pills_and_tiny_images(spark):
     assert feats[1].edge_energy == 0.0 and feats[1].error is None
     assert feats[1].contrast > 0.0
     assert feats[2].error and feats[3].error
+
+def test_dbscan_matches_brute_force_and_is_layout_stable(spark):
+    """Planted two dense blobs + sparse noise: cluster sets, roles and
+    labels equal the O(n^2) brute-force reference; identical output
+    under a different partitioning; border points take the MIN cluster
+    among their core neighbors."""
+    import numpy as np
+
+    from gdal_spark.operators.dbscan import dbscan
+
+    rng = np.random.default_rng(11)
+    blob_a = rng.normal((0.0, 0.0), 0.05, size=(30, 2))
+    blob_b = rng.normal((3.0, 3.0), 0.05, size=(25, 2))
+    # fringe points: placed 0.19 beyond each blob's outermost-x member,
+    # so they reach exactly that member (a core point) but are far too
+    # sparse to be core themselves -> border by construction
+    fringe = np.array(
+        [
+            blob_a[blob_a[:, 0].argmax()] + [0.19, 0.0],
+            blob_b[blob_b[:, 0].argmax()] + [0.19, 0.0],
+        ]
+    )
+    noise = np.array([[10.0, -5.0], [-8.0, 7.0], [6.0, -6.0]])
+    pts = np.vstack([blob_a, blob_b, fringe, noise])
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    eps, min_pts = 0.2, 4
+    got = {r.id: r for r in dbscan(df, eps, min_pts).collect()}
+
+    # brute force reference with the SAME deterministic rules
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    nbrm = (d2 <= eps * eps) & ~np.eye(len(pts), dtype=bool)
+    core = nbrm.sum(1) + 1 >= min_pts
+    # components over core-core adjacency
+    label = {i: i for i in range(len(pts)) if core[i]}
+    changed = True
+    while changed:
+        changed = False
+        for i in label:
+            for j in label:
+                if nbrm[i, j] and label[j] < label[i]:
+                    label[i] = label[j]
+                    changed = True
+    want = {}
+    for i in range(len(pts)):
+        if core[i]:
+            want[i] = (label[i], "core")
+        else:
+            cn = [label[j] for j in label if nbrm[i, j]]
+            want[i] = (min(cn), "border") if cn else (None, "noise")
+    for i, (cl, role) in want.items():
+        assert (got[i].cluster_id, got[i].role) == (cl, role), i
+    roles = {v[1] for v in want.values()}
+    assert roles == {"core", "border", "noise"}, roles  # fixture sanity
+    assert len({v[0] for v in want.values() if v[0] is not None}) == 2
+
+    got2 = {r.id: r for r in dbscan(df.repartition(13), eps, min_pts).collect()}
+    assert {k: (v.cluster_id, v.role) for k, v in got.items()} == {
+        k: (v.cluster_id, v.role) for k, v in got2.items()
+    }
