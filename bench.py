@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "tile_assign",             # tile math only
     "tile_assign_geodetic",    # r5 WorldCRS84Quad scheme (linear math)
     "spatial_sort_strtree",    # r5 STR leaf-order sort
+    "dbscan_pages",            # r5g density clustering (cell join + CC;
+    #   wall is CC round-latency at fixture scale, like dedup_cluster)
     "groupby_agg",             # relational / aggregation
     "join_first_match",        # OGR join semantics
     "text_stats",              # text analysis

@@ -331,6 +331,16 @@ NOTES = {
         "subset only (filters first shrink the shuffle — the reason "
         "real pipelines order stages this way)."
     ),
+    "dbscan_pages": (
+        "r5g DBSCAN. eps-neighbor candidates are ONE cell-key equi-join "
+        "(the a-side explodes to its 3x3 cell neighborhood, the b-side "
+        "keys by home cell — every ordered pair produced exactly once, "
+        "no dedup pass); the degree count is map-side combined; the "
+        "component loop runs over CORE points only with per-round "
+        "localCheckpoint (flat round cost — the discipline the shared "
+        "CC loop now enforces after the lineage-growth fix this "
+        "operator surfaced)."
+    ),
     "containment_pairs": (
         "r5g Broder containment. Candidate generation shuffles the "
         "rare-shingle stream once (max_df stop-shingle cap bounds the "
