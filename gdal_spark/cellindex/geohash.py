@@ -80,3 +80,36 @@ def decode_bbox(gh: str) -> tuple[float, float, float, float]:
                     lat_hi = mid
             even = not even
     return lon_lo, lat_lo, lon_hi, lat_hi
+
+
+def neighbors(gh: str) -> list[str]:
+    """The up-to-8 adjacent geohash cells (the border-table algorithm
+    every geohash library ships, computed here from the codec itself:
+    decode the cell, step one cell-width in each compass direction,
+    re-encode).  Cells at the antimeridian/pole edge drop the
+    out-of-range directions.  Needed whenever a radius query probes a
+    geohash-bucketed index — matches within ε of a cell border live in
+    a neighbor bucket (the same 3×3 discipline as the DBSCAN cell
+    join)."""
+    lon_lo, lat_lo, lon_hi, lat_hi = decode_bbox(gh)
+    dlon = lon_hi - lon_lo
+    dlat = lat_hi - lat_lo
+    clon = (lon_lo + lon_hi) / 2.0
+    clat = (lat_lo + lat_hi) / 2.0
+    out = []
+    for dy in (1, 0, -1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            lon = clon + dx * dlon
+            lat = clat + dy * dlat
+            if not (-90.0 < lat < 90.0):
+                continue
+            # longitude wraps across the antimeridian
+            if lon <= -180.0:
+                lon += 360.0
+            elif lon > 180.0:
+                lon -= 360.0
+            out.append(str(encode(np.array([lon]), np.array([lat]),
+                                  len(gh))[0]))
+    return out

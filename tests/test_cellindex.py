@@ -316,3 +316,35 @@ def test_geohash_sql_matches_numpy(spark):
         )
     )
     assert got == want
+
+
+def test_geohash_neighbors_published_adjacency():
+    """The 8 neighbors of 'ezs42' per the published tables; bbox
+    adjacency (shared edges/corners) holds; pole cells drop the
+    out-of-range directions; antimeridian cells wrap longitude."""
+    from gdal_spark.cellindex import geohash
+
+    assert set(geohash.neighbors("ezs42")) == {
+        "ezs48", "ezs49", "ezs43", "ezs41", "ezs40",
+        "ezefp", "ezefr", "ezefx",
+    }
+    # every neighbor's bbox touches the cell's bbox
+    lo_x, lo_y, hi_x, hi_y = geohash.decode_bbox("ezs42")
+    for n in geohash.neighbors("ezs42"):
+        a, b, c, d = geohash.decode_bbox(n)
+        assert a <= hi_x + 1e-9 and c >= lo_x - 1e-9
+        assert b <= hi_y + 1e-9 and d >= lo_y - 1e-9
+    # north-pole cell: no northern neighbors
+    top = geohash.encode(
+        __import__("numpy").array([0.0]),
+        __import__("numpy").array([89.9]), 1,
+    )[0]
+    assert len(geohash.neighbors(str(top))) == 5
+    # antimeridian cell wraps west
+    west = geohash.neighbors(
+        str(geohash.encode(__import__("numpy").array([-179.9]),
+                           __import__("numpy").array([0.1]), 3)[0])
+    )
+    assert any(
+        geohash.decode_bbox(n)[0] >= 170.0 for n in west
+    )
